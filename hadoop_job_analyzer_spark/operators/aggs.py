@@ -1,0 +1,339 @@
+"""Category D — aggregations (SURVEY.md §2.D).
+
+This is the reference's core capability: its entire "engine" was a
+per-dimension-tuple sum/count in a Python dict over flattened job
+records (SURVEY.md §3.1 [R-M], upstream:hadoop-job-analyzer). Here each
+projection/aggregation is a Catalyst ``Aggregate`` — partial (map-side)
+HashAggregate → shuffle on the group keys → final HashAggregate, with
+whole-stage codegen and AQE partition coalescing. GROUPING SETS /
+ROLLUP / CUBE compute *several* of the reference's "crossections" in a
+single pass (one Expand + one shuffle) instead of the reference's one
+full pass per projection spec.
+
+Scale notes (100 TB): partial aggregation bounds shuffle volume by
+(#groups × #partitions), not input rows; low-cardinality group keys
+(returnflag, status, priority) make these shuffles tiny at any scale.
+countDistinct expands rows (Expand) before the two-phase agg — for
+high-cardinality distincts at scale prefer approx_count_distinct (HLL,
+constant memory), which is also declared here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ._common import dec, dsum, o_dsum
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {o_dsum('l_quantity')} AS sum_qty,
+       {o_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped totals over lineitem (the reference's grand-total metrics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_group_pricing",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {o_dsum('l_quantity')} AS sum_qty,
+       {o_dsum('l_extendedprice')} AS sum_base_price,
+       {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {o_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+       {o_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+       {o_dsum('l_discount')} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_group_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — TPC-H-Q1-shaped pricing summary.
+
+    The canonical "crossection" aggregation of the reference (dimension
+    tuple → many summed metrics), as one partial+final HashAggregate.
+    Eight aggregates over ~4 distinct groups: shuffle volume is a few
+    hundred bytes regardless of input scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / n).alias("avg_qty"),
+            (dsum("l_extendedprice") / n).alias("avg_price"),
+            (dsum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (the reference's unique-user counters)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches differ across engines by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per event type.
+
+    The 100 TB path for distinct counting: constant memory per group vs
+    countDistinct's row expansion. Self-check (tests): within 5% of exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several of the reference's projection specs in ONE pass.
+
+    The reference looped over projection specs, re-aggregating the whole
+    job list once per spec [R-M]; GROUPING SETS is the Spark-native
+    upgrade — one Expand node replicates each row once per grouping set,
+    then a single shuffle+aggregate computes all three projections.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("hja_orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM hja_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical crossection: status → status×priority → grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT user_id, {o_dsum('value')} AS total_value, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) > 500.0
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups over an alerting threshold (post-aggregation filter)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(dsum("value").alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("total_value") > 500.0)
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       {o_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_price,
+       {o_dsum("CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN o_totalprice ELSE 0 END")} AS low_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (per-status counters of the reference)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    low = F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(urgent).alias("n_urgent"),
+        F.sum(dec(F.when(urgent, F.col("o_totalprice")).otherwise(F.lit(0.0))))
+        .cast("double")
+        .alias("urgent_price"),
+        F.sum(dec(F.when(low, F.col("o_totalprice")).otherwise(F.lit(0.0))))
+        .cast("double")
+        .alias("low_price"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc,
+       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+       ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_price_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates, rounded per the float policy (§5.3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+SELECT o_orderstatus, max_key AS top_orderkey, min_key AS bottom_orderkey
+FROM (
+  SELECT o_orderstatus,
+         FIRST(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS max_key,
+         FIRST(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS min_key
+  FROM orders
+  GROUP BY o_orderstatus
+)
+""",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min per status ("which job was worst") with full tiebreak.
+
+    max_by on a (price, key) struct makes ties deterministic — plain
+    max_by(key, price) is nondeterministic under duplicate prices.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("top_orderkey"),
+        F.min_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("bottom_orderkey"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT user_id,
+       LIST(DISTINCT event_type ORDER BY event_type) AS types
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sorted distinct event-type list (collect_list order is
+    nondeterministic → always sort_array; §5.3.6)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS p50,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 2) AS p90
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (latency-percentile analog).
+
+    Exact percentile requires a per-group sort — fine for bounded group
+    counts; at 100 TB with many groups prefer approx_percentile (KLL/GK
+    sketch, mergeable, constant memory).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+    )

@@ -1,0 +1,98 @@
+"""Single source of truth for the engine's query inventory.
+
+Operator modules register ``(key, query_fn, oracle_sql)`` via the
+``@query`` decorator; ``queries()`` / ``oracle_sql()`` assemble the
+dicts the driver contract (__spark_entry__.py) re-exports. A unit test
+asserts key parity between the two dicts and SURVEY.md §2.
+
+Every registered callable is wrapped so that the correctness-critical
+session confs (UTC timezone, nanosAsLong, Arrow) are applied even when
+the caller passes a session we did not build.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import apply_session_conf
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+# All modules that register queries. Imported lazily, once.
+_OP_MODULES = (
+    "hadoop_job_analyzer_spark.operators.scans",
+    "hadoop_job_analyzer_spark.operators.filters",
+    "hadoop_job_analyzer_spark.operators.joins",
+    "hadoop_job_analyzer_spark.operators.aggs",
+    "hadoop_job_analyzer_spark.operators.windows",
+    "hadoop_job_analyzer_spark.operators.sorts",
+    "hadoop_job_analyzer_spark.operators.setops",
+    "hadoop_job_analyzer_spark.operators.llm",
+    "hadoop_job_analyzer_spark.operators.udfs",
+    "hadoop_job_analyzer_spark.functions.scalars",
+    "hadoop_job_analyzer_spark.streaming.streams",
+)
+
+_loaded = False
+
+
+def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query under ``key`` with an optional DuckDB oracle SQL.
+
+    Queries with ``oracle=None`` get the driver's weaker rows-only check;
+    our own tests must then provide a stronger self-check (SURVEY.md §5.4).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in _QUERIES:
+            raise ValueError(f"duplicate query key {key!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
+            apply_session_conf(spark)
+            return _fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # type: ignore[attr-defined]
+        _QUERIES[key] = wrapped
+        if oracle is not None:
+            _ORACLES[key] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _OP_MODULES:
+        importlib.import_module(mod)
+    _loaded = True
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+def metadata() -> dict[str, Any]:
+    """Introspection: which keys have oracles vs rows-only."""
+    _load_all()
+    return {
+        "n_queries": len(_QUERIES),
+        "n_oracles": len(_ORACLES),
+        "rows_only": sorted(set(_QUERIES) - set(_ORACLES)),
+    }
