@@ -1,0 +1,149 @@
+"""Category B — projection / filter / predicates (SURVEY.md §2.B).
+
+Reference analog: the time-window/status filters and metric derivation
+the reference applied per job record in Python [R-M]. Expressed
+declaratively, every predicate here is pushed into the parquet scan by
+Catalyst (PushedFilters), so at 100 TB only matching row groups are
+decoded — the opposite of the reference's fetch-everything-then-filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "project_compute",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber AS line_no,
+       l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+""",
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select + rename + derived column (per-row double math is
+    IEEE-identical across engines — no rounding needed without aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("line_no"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+@query(
+    "filter_range_date",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+""",
+)
+def filter_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window filter (the reference's submit-time window [R-M])."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 23:59:59").cast("timestamp"),
+        )
+    )
+
+
+@query(
+    "filter_in_set",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_orderstatus
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+def filter_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership filter (the reference's status whitelist [R-M])."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderpriority", "o_orderstatus").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+
+
+@query(
+    "filter_like",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_name LIKE '%widget%' AND p_type LIKE 'ECO%'
+""",
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE pattern matching (contains + prefix)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", "p_name", "p_type").where(
+        F.col("p_name").like("%widget%") & F.col("p_type").like("ECO%")
+    )
+
+
+@query(
+    "filter_rlike",
+    oracle=r"""
+SELECT doc_id, lang
+FROM documents
+WHERE regexp_matches(text, '\b(join|merge)\b.*\bscan\b')
+""",
+)
+def filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate over documents.text.
+
+    Pattern kept in the RE2 ∩ java.util.regex common subset (no
+    lookaround/backrefs) — DuckDB is RE2, Spark is java.util.regex.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang").where(F.col("text").rlike(r"\b(join|merge)\b.*\bscan\b"))
+
+
+@query(
+    "filter_null_logic",
+    oracle="""
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'P') AS status_or_null,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+       (NULLIF(o_orderstatus, 'P') IS NULL) AS is_pending
+FROM orders
+WHERE NULLIF(o_orderstatus, 'F') IS NOT NULL
+""",
+)
+def filter_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic over derived NULLs (missing conf keys [R-M])."""
+    o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        o.where(F.nullif(F.col("o_orderstatus"), F.lit("F")).isNotNull())
+        .select(
+            "o_orderkey",
+            status_or_null.alias("status_or_null"),
+            F.coalesce(status_or_null, F.lit("PENDING")).alias("status_filled"),
+            status_or_null.isNull().alias("is_pending"),
+        )
+    )
+
+
+@query(
+    "filter_bool_combo",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE (o_orderstatus = 'O' AND o_totalprice > 150000.0)
+   OR (NOT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AND o_orderstatus = 'F')
+""",
+)
+def filter_bool_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT combination with grouping parens."""
+    o = load_table(spark, sf_dir, "orders")
+    cond = ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0)) | (
+        (~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")) & (F.col("o_orderstatus") == "F")
+    )
+    return o.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice").where(cond)

@@ -1,0 +1,105 @@
+"""Category A — scans, sources, sinks (SURVEY.md §2.A).
+
+Reference analog: ingest of job metadata/history (JobTracker HTTP,
+conf XML, counters [R-M]). Spark-native inversion: columnar parquet
+scans through the vectorized reader, with Catalyst supplying column
+pruning and predicate pushdown (verified via .explain in tests);
+CSV/JSONL with explicit DDL schemas (never inferred — inference is a
+full extra pass and nondeterministic typing); partitioned parquet
+sink with read-back (partition pruning on re-read = the 100 TB layout
+story: partition by low-cardinality dims you filter on).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import COLUMNS, load_table
+from ..registry import query
+from ..sources.fixtures import ensure_csv_nation, ensure_jobs_jsonl
+from ._common import dsum, o_dsum
+
+_ARTIFACTS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_artifacts")
+
+
+@query("scan_parquet", oracle="SELECT * FROM lineitem")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lineitem scan, stable column order."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@query("scan_parquet_nanos", oracle="SELECT * FROM events")
+def scan_parquet_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan incl. the ns→µs timestamp recipe (SURVEY.md §0.2).
+
+    DuckDB reads the same parquet column as µs-truncated TIMESTAMP, so
+    after the recipe both engines see identical values.
+    """
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "scan_column_prune",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+)
+def scan_column_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-of-11-column projection — Catalyst prunes the parquet ReadSchema
+    to exactly these columns (asserted in tests via the physical plan)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@query("scan_csv_schema")  # rows-only; self-check vs parquet twin in tests
+def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV read with explicit DDL schema (no inference pass).
+
+    Fixture: nation written as CSV once (deterministic). At scale the
+    same pattern reads TB of gzipped logs — schema-pinned, single pass.
+    """
+    path = ensure_csv_nation(spark, sf_dir)
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+@query("scan_jsonl")  # rows-only; self-check vs in-memory twin in tests
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines read with explicit schema — the jobs-log-shaped ingest
+    (FIXTURES.md table 11): the reference's job records as JSONL."""
+    path = ensure_jobs_jsonl()
+    schema = (
+        "job_id STRING, user STRING, framework STRING, status STRING, "
+        "submit_ts TIMESTAMP, duration_ms BIGINT, map_tasks INT, reduce_tasks INT, "
+        "counters MAP<STRING, BIGINT>"
+    )
+    return spark.read.schema(schema).json(path)
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {o_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → write partitioned parquet → read back (sink + DPP demo).
+
+    Reference analog: the Graphite/stdout metrics sink [R-M]. Partition
+    layout by the filtered dimension is what enables partition pruning
+    at 100 TB. Values round-trip parquet exactly, so the read-back still
+    hash-matches the aggregation oracle.
+    """
+    out = os.path.join(_ARTIFACTS, "sink_parquet_partitioned")
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return spark.read.parquet(out).select("event_type", "n_events", "total_value")

@@ -1,0 +1,88 @@
+"""Category F — sorts / limits / top-k (SURVEY.md §2.F).
+
+Reference analog: output ordering and top-N reports [R-M]. The
+driver's value-hash is order-insensitive, so ORDER BY semantics are
+materialized as a row_number() COLUMN (§5.3.4) — the rank itself is
+the tested value. Every limit carries a full tiebreak, otherwise the
+result set is nondeterministic under parallelism.
+
+Scale: global orderBy is a range-partitioned shuffle (sampled
+boundaries) — fine for final outputs; top-k uses TakeOrderedAndProject
+(per-partition heaps, no full sort) when orderBy+limit are adjacent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "sort_multi_null",
+    oracle="""
+SELECT s_suppkey,
+       nullable_bal,
+       ROW_NUMBER() OVER (
+         ORDER BY nullable_bal DESC NULLS LAST, s_suppkey ASC
+       ) AS sort_pos
+FROM (
+  SELECT s_suppkey,
+         CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS nullable_bal
+  FROM supplier
+)
+""",
+)
+def sort_multi_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULL placement, order captured as a column.
+
+    Spark default asc = NULLS FIRST, DuckDB = NULLS LAST — always explicit.
+    """
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") < 0, F.lit(None).cast("double"))
+        .otherwise(F.col("s_acctbal"))
+        .alias("nullable_bal"),
+    )
+    w = Window.orderBy(F.col("nullable_bal").desc_nulls_last(), F.col("s_suppkey").asc())
+    return s.withColumn("sort_pos", F.row_number().over(w))
+
+
+@query(
+    "limit_topk_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def limit_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 with full tiebreak — compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge; no full-data sort at any scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "distinct_values",
+    oracle="""
+SELECT event_type,
+       ROW_NUMBER() OVER (ORDER BY event_type) AS pos
+FROM (SELECT DISTINCT event_type FROM events)
+""",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted dimension inventory (the reference's dimension discovery)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("pos", F.row_number().over(Window.orderBy("event_type")))
+    )

@@ -1,0 +1,77 @@
+"""Deterministic self-written fixtures (CSV / JSONL twins).
+
+The driver's tables are parquet-only; the CSV/JSONL ingest keys need
+text-format inputs. These are generated ONCE, deterministically
+(seeded, sorted), into the repo-local ``fixtures/`` dir so the scan
+keys are reproducible across sessions and engines.
+
+The ``jobs`` JSONL fixture is the reference-domain record shape
+(FIXTURES.md table 11): one Hadoop-job-like record per line with conf
+counters as a nested map — the closest stand-in for the reference's
+JobTracker harvest [R-M] that exists in this environment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pyarrow.parquet as pq
+
+_FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures"
+)
+
+FRAMEWORKS = ["hive", "pig", "cascading", "streaming", "native"]
+STATUSES = ["SUCCEEDED", "FAILED", "KILLED"]
+USERS = [f"user{i}" for i in range(8)]
+COUNTER_KEYS = ["hdfs_bytes_read", "hdfs_bytes_written", "map_input_records", "spilled_records"]
+
+N_JOBS = 240
+
+
+def ensure_csv_nation(spark, sf_dir: str) -> str:
+    """nation.parquet → nation.csv (25 rows, same at every sf)."""
+    os.makedirs(_FIXDIR, exist_ok=True)
+    path = os.path.join(_FIXDIR, "nation.csv")
+    if not os.path.exists(path):
+        tbl = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet")
+        rows = sorted(zip(*[tbl.column(c).to_pylist() for c in ["n_nationkey", "n_name", "n_regionkey"]]))
+        with open(path, "w") as f:
+            f.write("n_nationkey,n_name,n_regionkey\n")
+            for k, name, rk in rows:
+                f.write(f"{k},{name},{rk}\n")
+    return path
+
+
+def jobs_records() -> list[dict]:
+    """Deterministic jobs-log records (seed fixed; no wall-clock)."""
+    rng = random.Random(20260813)
+    recs = []
+    for i in range(N_JOBS):
+        submit = 1704067200 + rng.randrange(0, 30 * 86400)  # Jan 2024, like events
+        recs.append(
+            {
+                "job_id": f"job_2024{i:06d}",
+                "user": rng.choice(USERS),
+                "framework": rng.choice(FRAMEWORKS),
+                "status": rng.choices(STATUSES, weights=[8, 1, 1])[0],
+                "submit_ts": f"2024-01-{1 + (submit - 1704067200) // 86400:02d}T{(submit % 86400) // 3600:02d}:{(submit % 3600) // 60:02d}:{submit % 60:02d}Z",
+                "duration_ms": rng.randrange(1_000, 7_200_000),
+                "map_tasks": rng.randrange(1, 500),
+                "reduce_tasks": rng.randrange(0, 64),
+                "counters": {k: rng.randrange(0, 10**9) for k in COUNTER_KEYS},
+            }
+        )
+    return recs
+
+
+def ensure_jobs_jsonl() -> str:
+    os.makedirs(_FIXDIR, exist_ok=True)
+    path = os.path.join(_FIXDIR, "jobs.jsonl")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            for r in jobs_records():
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+    return path

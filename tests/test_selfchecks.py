@@ -1,0 +1,50 @@
+"""Stronger self-checks for rows-only keys (SURVEY.md §5.4).
+
+The driver only checks row counts for keys without an oracle; these
+tests hold them to a real standard.
+"""
+
+from __future__ import annotations
+
+from hadoop_job_analyzer_spark.catalog import load_table
+from hadoop_job_analyzer_spark.registry import queries
+from hadoop_job_analyzer_spark.sources.fixtures import jobs_records
+
+
+def test_scan_csv_schema_equals_parquet_twin(spark, sf_dir):
+    got = queries()["scan_csv_schema"](spark, sf_dir)
+    want = load_table(spark, sf_dir, "nation")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_scan_jsonl_matches_generator(spark, sf_dir):
+    df = queries()["scan_jsonl"](spark, sf_dir)
+    rows = {r.job_id: r for r in df.collect()}
+    recs = jobs_records()
+    assert len(rows) == len(recs)
+    for rec in recs[:25]:
+        r = rows[rec["job_id"]]
+        assert r.user == rec["user"]
+        assert r.status == rec["status"]
+        assert r.duration_ms == rec["duration_ms"]
+        assert dict(r.counters) == rec["counters"]
+    # no nulls anywhere = schema matched every line
+    for c in df.columns:
+        assert df.where(df[c].isNull()).count() == 0, c
+
+
+def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
+    approx = {
+        r.event_type: r.approx_users
+        for r in queries()["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
