@@ -1,0 +1,340 @@
+"""Category C — joins (SURVEY.md §2.C).
+
+The reference had exactly one "table" (the flattened job list), so all
+joins are the mandated Spark-native generalization. Physical strategy
+notes (the 100 TB story):
+
+- dim tables (region/nation/customer at low SF) auto-broadcast under
+  the 10 MB threshold; ``join_broadcast_hint`` forces it explicitly —
+  a broadcast join is shuffle-free on the fact side.
+- fact⋈fact (orders⋈lineitem) defaults to sort-merge after AQE; the
+  forced-SMJ / forced-shuffle-hash keys pin each strategy via hints.
+- AQE converts to broadcast at runtime when a side turns out small,
+  and splits skewed partitions on the shuffle keys.
+- as-of / range joins have no native DataFrame operator: expressed as
+  equi-join + window pick (as-of) and equi-join + range predicate
+  (interval) so the equi part still hash-partitions — never a pure
+  cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ._common import dsum, o_dsum
+
+_JOIN3_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def _join3(spark: SparkSession, sf_dir: str, force_broadcast: bool) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    if force_broadcast:
+        n, r = F.broadcast(n), F.broadcast(r)
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .join(r, n.n_regionkey == r.r_regionkey, "inner")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query("join_inner_equi", oracle=_JOIN3_ORACLE)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region; Catalyst auto-broadcasts the dims."""
+    return _join3(spark, sf_dir, force_broadcast=False)
+
+
+@query("join_broadcast_hint", oracle=_JOIN3_ORACLE)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same star lookup with explicit broadcast() — the hint you reach for
+    when stats are missing/stale on a real cluster."""
+    return _join3(spark, sf_dir, force_broadcast=True)
+
+
+_ORDER_LINE_ORACLE = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_extendedprice, l.l_quantity
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+"""
+
+
+def _order_line(spark: SparkSession, sf_dir: str, hint: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.hint(hint)
+        .join(l.hint(hint), o.o_orderkey == l.l_orderkey, "inner")
+        .select("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice", "l_quantity")
+    )
+
+
+@query("join_sort_merge", oracle=_ORDER_LINE_ORACLE)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact forced sort-merge — the robust strategy for two large
+    sides (both shuffle-sorted on the key; spills gracefully)."""
+    return _order_line(spark, sf_dir, "merge")
+
+
+@query("join_shuffle_hash", oracle=_ORDER_LINE_ORACLE)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair forced shuffle-hash — cheaper than SMJ when one side's
+    per-partition hash table fits memory (no sort)."""
+    return _order_line(spark, sf_dir, "shuffle_hash")
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep order-less customers (NULL right side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "O")
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM orders o
+RIGHT JOIN customer c ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror of left outer (same result set from the flipped sides)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "O")
+    return o.join(c, cond, "right").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_full_outer",
+    oracle=f"""
+SELECT COALESCE(f.o_custkey, o.o_custkey) AS custkey,
+       f.n_f, o.n_o
+FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+FULL JOIN (SELECT o_custkey, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+  ON f.o_custkey = o.o_custkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over partially-overlapping key sets (F-only vs O-only
+    customers survive with NULLs on the missing side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_side = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("f_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    o_side = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    joined = f_side.join(o_side, f_side.f_custkey == o_side.o_custkey, "full")
+    return joined.select(
+        F.coalesce(F.col("f_custkey"), F.col("o_custkey")).alias("custkey"), "n_f", "n_o"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 urgent order — semi join never duplicates the left."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with zero orders (the churn/no-activity report)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (5×5) — only ever for tiny inputs."""
+    a = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    b = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b)
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT a.event_id AS anchor_id, b.event_id AS nearby_id, a.user_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts
+ AND a.event_id <> b.event_id
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within a trailing 5-minute window.
+
+    The equi part (user_id) hash-partitions; the range predicate is
+    evaluated inside each partition — no cross product at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & F.col("b.ts").between(F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"), F.col("a.ts"))
+        & (F.col("a.event_id") != F.col("b.event_id"))
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a.event_id").alias("anchor_id"),
+        F.col("b.event_id").alias("nearby_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase → most recent click at-or-before it.
+
+    Spark has no native as-of for DataFrames; expressed as equi-join on
+    user + window pick of the latest qualifying click. DuckDB's native
+    ASOF JOIN is the oracle. At 100 TB the equi-join on user_id still
+    hash-partitions; the per-purchase window is bounded by that user's
+    clicks. (Spark's ASOF exists only in pandas-on-Spark via merge_asof.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    joined = p.join(
+        c, (p.user_id == c.c_user_id) & (p.purchase_ts >= c.click_ts), "left"
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.col("click_ts").desc_nulls_last())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", F.col("click_ts").alias("last_click_ts"))
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+""",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems shipped within 90 days of their order's date
+    (equi key + interval predicate — time-window join)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (l.l_orderkey == o.o_orderkey) & l.l_shipdate.between(
+        o.o_orderdate, o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return l.join(o, cond, "inner").select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@query(
+    "join_star_multiway",
+    oracle=f"""
+SELECT o.o_orderkey,
+       o.o_orderdate,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       ROW_NUMBER() OVER (ORDER BY {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} DESC, o.o_orderkey ASC) AS rank_pos
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+)
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: 3-way star join + filters + agg + top-10.
+
+    The dimensional-rollup pipeline of the reference generalized to a
+    multi-table star. customer broadcast-joins into orders; the
+    orders⋈lineitem leg shuffles on the order key; revenue follows the
+    decimal-sum policy so the top-10 cut is deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        agg.withColumn("rank_pos", F.row_number().over(w))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
