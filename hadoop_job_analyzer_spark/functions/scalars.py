@@ -1,0 +1,390 @@
+"""Category H — scalar function families (SURVEY.md §2.H).
+
+Reference analog: the string/regex/JSON munging the reference did per
+job record in Python (framework-name extraction, conf parsing, time
+dims [R-M]). Every function here is a built-in Catalyst expression —
+JVM-side, inside whole-stage codegen; no Python in the hot path.
+
+Cross-dialect traps handled per §5.3.7: dayofweek origin (avoided),
+datediff argument order, double→int cast (Spark truncates, DuckDB
+rounds — always explicit trunc), NULL sort defaults, libm functions
+(ln/power rounded to 6), ceil/floor return types (Spark LONG vs
+DuckDB DOUBLE — cast both to BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ..sources.fixtures import ensure_jobs_jsonl
+
+
+@query(
+    "fn_string_basic",
+    oracle="""
+SELECT c_custkey,
+       UPPER(c_name) AS name_upper,
+       LOWER(c_mktsegment) AS seg_lower,
+       LENGTH(c_name) AS name_len,
+       TRIM(CONCAT('  ', c_name, '  ')) AS name_trimmed,
+       LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       SUBSTR(c_name, 1, 8) AS name_prefix,
+       CONCAT(c_mktsegment, ':', c_name) AS seg_name
+FROM customer
+""",
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/upper/lower/length/trim/lpad/substr (name munging [R-M])."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
+    )
+
+
+@query(
+    "fn_string_split",
+    oracle="""
+SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+FROM documents
+""",
+)
+def fn_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode → one row per token (tokenizing job names [R-M])."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+
+@query(
+    "fn_regexp_extract",
+    oracle=r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS extracted_id,
+       regexp_replace(c_name, '^Customer#0*', '') AS short_id,
+       regexp_matches(c_name, '#0{3,}') AS has_triple_zero
+FROM customer
+""",
+)
+def fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE framework-plugin capability [R-M]: derive a stable logical id
+    from a formatted name via regex group extraction."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("extracted_id"),
+        F.regexp_replace("c_name", r"^Customer#0*", "").alias("short_id"),
+        F.col("c_name").rlike(r"#0{3,}").alias("has_triple_zero"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       sha256(text) AS text_sha256
+FROM documents
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5/sha256 hex digests — byte-identical across engines (verified),
+    the cross-engine-deterministic hash family used for dedup keys."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+@query(
+    "fn_date_parts",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter
+FROM orders
+""",
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/quarter time dimensions [R-M].
+
+    dayofweek deliberately avoided: Spark origin 1=Sunday vs DuckDB
+    0=Sunday (§5.3.7)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+    )
+
+
+@query(
+    "fn_date_trunc",
+    oracle="""
+SELECT event_id,
+       date_trunc('hour', ts) AS ts_hour,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day,
+       time_bucket(INTERVAL 15 MINUTE, ts) AS ts_15min
+FROM events
+""",
+)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour/day truncation + 15-minute buckets (time-series dims [R-M]).
+
+    15-min bucket = epoch-seconds integer-div trick, matching DuckDB's
+    time_bucket (both anchor at the Unix epoch).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.date_trunc("day", "ts").alias("ts_day"),
+        F.timestamp_seconds(F.expr("cast(ts as long) div 900 * 900")).alias("ts_15min"),
+    )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS days_since_95,
+       CAST(l_shipdate AS DATE) + 30 AS ship_plus_30d,
+       CAST(CAST(l_shipdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS ship_plus_2mo
+FROM lineitem
+""",
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff / date_add / add_months (durations [R-M]).
+
+    Argument-order trap: Spark datediff(end, start) = DuckDB
+    date_diff('day', start, end). Spark date_add returns DATE, so the
+    oracle works in DATE space too."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.date_add(F.col("l_shipdate"), 30).alias("ship_plus_30d"),
+        F.add_months(F.col("l_shipdate"), 2).alias("ship_plus_2mo"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       ROUND(l_extendedprice, 1) AS price_r1,
+       ABS(l_discount - 0.05) AS disc_dev,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       SQRT(l_extendedprice) AS price_sqrt,
+       ROUND(LN(l_extendedprice), 6) AS price_ln,
+       ROUND(POWER(l_quantity, 2), 6) AS qty_sq,
+       ((l_partkey % 7) + 7) % 7 AS pk_mod7
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/ln/power/pmod (metric math).
+
+    sqrt is IEEE-correctly-rounded (exact cross-engine); ln/power are
+    libm-dependent → rounded to 6. ROUND(x,1) of 2-dp money values
+    never lands on a tie (see _common.py scale note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
+        F.pmod("l_partkey", F.lit(7)).alias("pk_mod7"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 200000 THEN 'large'
+            WHEN o_totalprice >= 100000 THEN 'medium'
+            WHEN o_totalprice >= 25000 THEN 'small'
+            ELSE 'tiny' END AS size_band,
+       GREATEST(o_totalprice, 50000.0) AS floor_50k,
+       LEAST(o_totalprice, 250000.0) AS cap_250k,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm
+FROM orders
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE ladder + greatest/least + coalesce/nullif (status classification [R-M])."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p >= 200000, "large")
+        .when(p >= 100000, "medium")
+        .when(p >= 25000, "small")
+        .otherwise("tiny")
+        .alias("size_band"),
+        F.greatest(p, F.lit(50000.0)).alias("floor_50k"),
+        F.least(p, F.lit(250000.0)).alias("cap_250k"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle=r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '(\d+)', 1) AS INTEGER) AS id_from_string,
+       CAST(c_custkey AS VARCHAR) AS key_str,
+       CAST(c_custkey AS DOUBLE) AS key_dbl,
+       CAST(TRUNC(c_acctbal) AS INTEGER) AS bal_int,
+       TRY_CAST(c_mktsegment AS INTEGER) AS seg_as_int,
+       TRY_CAST('2024-01-15 12:30:00' AS TIMESTAMP) AS ts_lit
+FROM customer
+""",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts incl. failure→NULL via try_cast (string-typed conf values [R-M]).
+
+    double→int trap: Spark CAST truncates toward zero, DuckDB CAST
+    rounds — both sides go through an explicit trunc."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).cast("int").alias("id_from_string"),
+        F.col("c_custkey").cast("string").alias("key_str"),
+        F.col("c_custkey").cast("double").alias("key_dbl"),
+        F.expr("CAST(c_acctbal AS INT)").alias("bal_int"),
+        F.expr("TRY_CAST(c_mktsegment AS INT)").alias("seg_as_int"),
+        F.expr("TRY_CAST('2024-01-15 12:30:00' AS TIMESTAMP)").alias("ts_lit"),
+    )
+
+
+@query(
+    "fn_array_basic",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS first_elem,
+       embedding[64] AS last_elem,
+       embedding[1:3] AS head3
+FROM embeddings
+""",
+)
+def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/slice on the embedding vector column [D].
+
+    element_at is 1-based in both engines; parquet float32 values
+    compare exactly (no arithmetic performed)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.element_at("embedding", 64).alias("last_elem"),
+        F.slice("embedding", 1, 3).alias("head3"),
+    )
+
+
+@query(
+    "fn_array_higher_order",
+    oracle="""
+SELECT vec_id,
+       ROUND(list_dot_product(embedding, embedding), 4) AS norm_sq,
+       ROUND(list_aggregate(list_transform(embedding, x -> CAST(ABS(x) AS DOUBLE)), 'max'), 6) AS max_abs,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive
+FROM embeddings
+""",
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform/filter/aggregate lambdas — vector math without UDFs [D].
+
+    The dot product runs as a fused JVM expression (no Python); this is
+    the built-in path the similarity keys (§2.K) build on."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: (a * b).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("norm_sq"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x).cast("double"))), 6
+        ).alias("max_abs"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT k_value, COUNT(*) AS n_events
+FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+  FROM events
+)
+GROUP BY k_value
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + group by it (JSON conf parsing [R-M])."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k_value"))
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query("fn_map_ops")  # rows-only: DuckDB map literals/ordering differ; self-check in tests
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface over the jobs fixture's counters (§1.1 counters map).
+
+    The open-ended conf/counters maps of the reference land as MapType
+    columns; this key exercises keys/values/lookup/size. Self-check:
+    tests compare against the fixture generator records.
+    """
+    path = ensure_jobs_jsonl()
+    schema = (
+        "job_id STRING, user STRING, framework STRING, status STRING, "
+        "submit_ts TIMESTAMP, duration_ms BIGINT, map_tasks INT, reduce_tasks INT, "
+        "counters MAP<STRING, BIGINT>"
+    )
+    jobs = spark.read.schema(schema).json(path)
+    return jobs.select(
+        "job_id",
+        F.sort_array(F.map_keys("counters")).alias("counter_names"),
+        F.element_at(F.col("counters"), "hdfs_bytes_read").alias("hdfs_read"),
+        F.size("counters").alias("n_counters"),
+        F.aggregate(F.map_values("counters"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "counter_total"
+        ),
+    )

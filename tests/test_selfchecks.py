@@ -48,3 +48,15 @@ def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_fn_map_ops_matches_generator(spark, sf_dir):
+    rows = {r.job_id: r for r in queries()["fn_map_ops"](spark, sf_dir).collect()}
+    recs = jobs_records()
+    assert len(rows) == len(recs)
+    for rec in recs[:25]:
+        r = rows[rec["job_id"]]
+        assert r.counter_names == sorted(rec["counters"].keys())
+        assert r.hdfs_read == rec["counters"]["hdfs_bytes_read"]
+        assert r.n_counters == len(rec["counters"])
+        assert r.counter_total == sum(rec["counters"].values())
