@@ -1,0 +1,338 @@
+"""Category E — window functions (SURVEY.md §2.E).
+
+The log-analytics showcase: per-entity rankings, inter-event gaps,
+running counters, sliding windows, and gaps-and-islands sessionization
+(the flagship — the reference's notion of job runs over time [R-M],
+done properly). Each window is one shuffle on the partition keys plus
+a per-partition sort; numeric RANGE frames and rows frames never
+materialize the partition in Python.
+
+Determinism rules applied throughout (§5.3): every ORDER BY carries a
+full tiebreak; money sums inside frames go through the decimal cast;
+ratios are exact integer-derived doubles.
+
+Scale: partitionBy(user_id) distributes; the one global-window key
+(win_ntile_pct over 15 k customers) is a deliberate single-partition
+sort — at 100 TB you'd pre-aggregate or bucket first (noted on the key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ._common import dec
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rk <= 3
+""",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment (top-N per crossection)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS qty_rank,
+       DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS qty_dense_rank
+FROM lineitem
+""",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with real ties (integer-valued quantities repeat;
+    tied rows get identical ranks in both engines — no tiebreak needed
+    because the rank itself is the tested value)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(w).alias("qty_rank"),
+        F.dense_rank().over(w).alias("qty_dense_rank"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, ts,
+       date_diff('second',
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_sec,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap seconds (the inter-job gap of the reference).
+
+    Second-granularity diff: Spark's timestamp→long cast truncates to
+    whole seconds, matching DuckDB's boundary-counting date_diff.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")).alias("gap_sec"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS cum_spend
+FROM orders
+""",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over time (running counters [R-M]);
+    decimal accumulation keeps the running sum exact at every prefix."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+SELECT day, n_events,
+       CAST(SUM(CAST(day_value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         / SUM(n_events) OVER w AS avg_value_7d
+FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+  FROM events
+  GROUP BY 1
+)
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of per-event value (smoothing): daily rollup
+    first (tiny), then a rows-frame window over days — never a window
+    over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("day_value"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_events",
+        (F.sum(dec("day_value")).over(w).cast("double") / F.sum("n_events").over(w)).alias(
+            "avg_value_7d"
+        ),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+SELECT event_id, user_id, epoch_sec,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+         PARTITION BY user_id ORDER BY epoch_sec
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_hour_value
+FROM (SELECT event_id, user_id, value,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS epoch_sec
+      FROM events)
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame: per-user trailing-3600 s value sum (sliding
+    counters). RANGE (unlike ROWS) includes all peers of the current
+    epoch second, so same-second events agree across engines."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_sec", F.col("ts").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_sec").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "epoch_sec",
+        F.sum(dec("value")).over(w).cast("double").alias("trailing_hour_value"),
+    )
+
+
+@query(
+    "win_ntile_pct",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+       PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS bal_pct_rank,
+       CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS bal_cume_dist
+FROM customer
+""",
+)
+def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile / percent_rank / cume_dist of account balance.
+
+    Global window = deliberate single-partition sort; at 100 TB compute
+    distribution stats via approx quantiles instead. Ratios are exact
+    rank/count divisions → exact double equality.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT DISTINCT user_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type) OVER w AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event type per user-day — with the explicit full frame
+    (default frame stops at CURRENT ROW, a classic silent-wrong-answer)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "day",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "win_share_of_total",
+    oracle="""
+SELECT event_id, event_type, value,
+       value / CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS share_of_type
+FROM events
+""",
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row share of its dimension's total (% of total per crossection
+    [R-M]); the partition total is decimal-exact so every share divides
+    identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value") / F.sum(dec("value")).over(w).cast("double")).alias("share_of_type"),
+    )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+FROM numbered
+GROUP BY user_id, session_idx
+""",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP log-analytics op — gaps-and-islands sessionization.
+
+    30-minute-gap sessions per user: lag → gap flag → running sum
+    (session index) → per-session aggregation. This is the reference's
+    job-run grouping done as three windows + one aggregate, all
+    partitioned by user — each step is a single shuffle-free pass once
+    events are hash-partitioned by user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
+    )
