@@ -1,0 +1,407 @@
+"""Category K — LLM-data-pipeline extensions (SURVEY.md §2.K; mandated
+beyond the reference's own surface).
+
+Dedup, similarity search, text analysis, and multimodal joins over the
+``documents``/``embeddings`` tables — the operators a 100 TB training-
+data pipeline needs. Design rules:
+
+- Cross-engine-deterministic hashing: every hash is md5 hex (identical
+  bytes in Spark and DuckDB, verified); minhash compares md5 strings
+  LEXICOGRAPHICALLY, avoiding any hex→int conversion the two engines
+  would do differently. Spark's ``hash()``/DuckDB's ``hash()`` are
+  engine-specific and never used for results.
+- Vector math accumulates in DOUBLE on both sides (Spark lambda casts;
+  DuckDB arrays cast to DOUBLE[]), then rounds per the float policy.
+- All token/shingle work is built-in JVM expressions (split/transform/
+  explode) — no Python UDFs in any hot path.
+
+Scale notes: minhash-LSH replaces the O(n²) pair scan with banded
+signature buckets (the standard shuffle-friendly near-dup pipeline);
+the brute-force kNN keys are the correctness baseline for the bucketed
+variants and broadcast the small query side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# ---------------------------------------------------------------- dedup
+
+_N_HASHES = 16  # minhash signature length
+_BAND_ROWS = 2  # rows per LSH band → 8 bands
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+
+    One shuffle on the 32-byte hash (never on the full text) — at
+    100 TB the shuffle carries hashes + ids only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct 3-word shingles (built-in lambdas only)."""
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+), seeds AS (
+  SELECT UNNEST(generate_series(0, {_N_HASHES - 1})) AS seed
+), minhash AS (
+  SELECT doc_id, seed, MIN(md5(shingle || '#' || seed)) AS mh
+  FROM shingles CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // {_BAND_ROWS} AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+  FROM minhash
+  GROUP BY doc_id, seed // {_BAND_ROWS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
+""",
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs.
+
+    3-word shingles → 16 md5-keyed minhashes (lexicographic min of hex
+    strings — cross-engine deterministic) → 8 bands of 2 → docs sharing
+    any band signature become candidates. The band join groups by a
+    32-byte signature, so the shuffle is O(docs×bands), never O(n²);
+    at 100 TB skewed mega-buckets (boilerplate docs) would be length-
+    capped or salted before pairing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    minhash = (
+        _shingles(d)
+        .crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed")))).alias("mh"))
+    )
+    bands = (
+        minhash.withColumn("band", F.expr(f"seed div {_BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "mh"))), lambda s: s.mh
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("band_sig").alias("sig_a")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("sig_b")
+    )
+    return (
+        a.join(b, (a.band_a == b.band_b) & (a.sig_a == b.sig_b) & (a.doc_a < b.doc_b))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------- similarity
+
+
+def _dot(a, b):
+    """Double-accumulated dot product of two float arrays (JVM lambda)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_O_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / SQRT(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
+    "      * list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+SELECT v.vec_id,
+       ROUND({_O_COS.format(a='v.embedding', b='q.embedding')}, 6) AS cosine,
+       ROW_NUMBER() OVER (
+         ORDER BY ROUND({_O_COS.format(a='v.embedding', b='q.embedding')}, 6) DESC, v.vec_id ASC
+       ) AS rank_pos
+FROM embeddings v, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE v.vec_id <> 0
+ORDER BY cosine DESC, v.vec_id ASC
+LIMIT 10
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the query vector (vec_id=0).
+
+    The ANN correctness baseline: broadcast the single query row, one
+    pass of JVM-side double-accumulated dot products, TakeOrdered top-k.
+    Ordering uses the ROUNDED cosine + vec_id so the cut is stable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / F.sqrt(
+        _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("q_emb"), F.col("q_emb"))
+    )
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank_pos", F.row_number().over(w))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+SELECT anchor_id, neighbor_id, cosine, nn_rank FROM (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+         ROUND({_O_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND({_O_COS.format(a='a.embedding', b='b.embedding')}, 6) DESC, b.vec_id ASC
+         ) AS nn_rank
+  FROM (SELECT * FROM embeddings WHERE label = 0) a
+  JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+WHERE nn_rank <= 3
+""",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-NN join: every label=0 vector → its 3 nearest others.
+
+    The anchor side (small) broadcasts; per-anchor top-3 via window.
+    At 100 TB this exact join is the per-bucket step of an IVF/LSH
+    partitioned ANN — the declared bucketed variant reuses it.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb")
+    )
+    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b_emb"))
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / F.sqrt(
+        _dot(F.col("a_emb"), F.col("a_emb")) * _dot(F.col("b_emb"), F.col("b_emb"))
+    )
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("anchor_id") != F.col("neighbor_id"))
+        .select("anchor_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("nn_rank", F.row_number().over(w)).where(F.col("nn_rank") <= 3)
+
+
+# ------------------------------------------------------------- text ops
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank_pos
+FROM (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+)
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens over the corpus (map-side partial agg keeps the
+    shuffle at vocabulary size, not token count)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank_pos", F.row_number().over(w))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_ngram",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT bigram, COUNT(*) AS n
+FROM (
+  SELECT concat_ws(' ', t[i], t[i+1]) AS bigram
+  FROM toks, UNNEST(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t)-1) ELSE [] END) AS u(i)
+)
+GROUP BY bigram
+""",
+)
+def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts via index-sequence lambda (no self-join needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, score, term_rank FROM (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC, tf.token ASC
+         ) AS term_rank
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+WHERE term_rank <= 3
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, top-3 terms per doc — pure DataFrame math (tf and df are
+    exact ints; only the final ln() is rounded)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar dimension; at scale: a 1-row broadcast instead
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        tf.join(df, "token")
+        .select("doc_id", "token", score.alias("score"))
+        .withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= 3)
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       n_chars // 100 * 100 AS len_bucket_dummy
+FROM documents
+GROUP BY lang, source, n_chars // 100 * 100
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang×source corpus stats with a 100-char length histogram
+    bucket (integer-division buckets are exact in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang", "source", F.expr("n_chars div 100 * 100").alias("len_bucket_dummy")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang", "source", "n_docs", "avg_chars", "min_chars", "max_chars", "len_bucket_dummy"
+        )
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+SELECT e.label,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT d.lang) AS n_langs
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector modalities in one relation (doc_id = vec_id), then
+    per-label stats — the multimodal-columns join surface [D]."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
