@@ -1,0 +1,231 @@
+"""Category I — Structured Streaming (SURVEY.md §2.I).
+
+Reference analog: the reference polled the JobTracker on a schedule —
+a hand-rolled micro-batch loop [R-M]. Structured Streaming is that
+loop done right: the same logical plans compiled incrementally, with
+watermarks for late data and a state store for stateful ops.
+
+Test harness pattern (driver-compatible): file source →
+``trigger(availableNow=True)`` → memory sink → return the sink table
+as a DataFrame. The driver sees rows-only; our tests assert the
+stronger batch-equivalence self-oracle (each streaming result ==
+its batch twin; SURVEY.md §5.4).
+
+Streaming reads declare the schema explicitly (file streams require
+it); ``ts`` arrives as epoch-ns LONG (nanosAsLong) and goes through
+the same integer-division recipe as batch.
+
+Scale: in production these run continuously against arriving files/
+Kafka; state (windows, dedup keys, sessions) is partitioned by group
+key in the state store (RocksDB at scale), and watermarks bound state
+size — none of this changes between local[32] and 1000 executors.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table_path
+from ..registry import query
+
+_ARTIFACTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_artifacts"
+)
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+)
+
+_uid = count()
+
+
+def events_stream_dir(sf_dir: str) -> str:
+    """File streams need a DIRECTORY source; stage one with a symlink to
+    the (read-only) events.parquet."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(_ARTIFACTS, f"events_src_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a file-source stream (ns→µs recipe applied)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(events_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(spark: SparkSession, streamed: DataFrame, key: str, output_mode: str) -> DataFrame:
+    """Run the backlog with availableNow into a memory sink; return the table."""
+    name = f"hja_{key}_{next(_uid)}"
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_file_source")
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count by event type == batch groupBy (complete mode)."""
+    counts = read_events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return run_to_memory(spark, counts, "stream_file_source", "complete")
+
+
+@query("stream_tumbling")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows with a 2-hour watermark.
+
+    availableNow processes the whole backlog, so complete-mode counts
+    equal the batch date_trunc aggregation (asserted in tests).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+        )
+    )
+    return run_to_memory(spark, agg, "stream_tumbling", "complete")
+
+
+@query("stream_sliding")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), F.col("n_events"))
+    )
+    return run_to_memory(spark, agg, "stream_sliding", "complete")
+
+
+@query("stream_session_window")
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) per user — the streaming twin
+    of win_sessionize; session_window also runs in batch, which the
+    tests exploit as the self-oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+    return run_to_memory(spark, agg, "stream_session_window", "complete")
+
+
+@query("stream_late_data")
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermark semantics: late rows are dropped.
+
+    Two RUNS over a shared checkpoint (the watermark is persisted in the
+    offset log and restored between runs — within a single availableNow
+    run the operator watermark lags one batch, so a one-run two-file
+    source does NOT exercise the drop):
+
+    - run 1: file 1 only (odd event_ids, all 30 days) → advances the
+      checkpointed watermark to max(ts)−2 h; emits nothing (wm was 0).
+    - run 2: file 2 added (even ids, first 3 days — entirely below the
+      restored watermark) → every file-2 row dropped as late; append
+      mode emits file 1's finalized hourly windows only.
+
+    Self-check in tests: emitted counts == file-1-only batch counts and
+    no emitted window contains file-2 rows.
+    """
+    src_dir = os.path.join(_ARTIFACTS, "late_src")
+    ckpt_dir = os.path.join(_ARTIFACTS, "late_ckpt")
+    out_dir = os.path.join(_ARTIFACTS, "late_out")
+    for d in (src_dir, ckpt_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    batch = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(table_path(sf_dir, "events"))
+    cutoff_ns = 1704067200_000_000_000 + 3 * 86400 * 1_000_000_000  # 2024-01-04 UTC
+    f1 = batch.where(F.expr("event_id % 2 = 1"))
+    f2 = batch.where(F.expr("event_id % 2 = 0").cast("boolean") & (F.col("ts") < cutoff_ns))
+
+    def run_once() -> None:
+        # parquet sink, not memory: only the file sink supports resuming
+        # from a checkpoint, and the restored watermark is the whole point
+        raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(os.path.join(src_dir, "*"))
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = (
+            ev.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("window_start"), F.col("n_events"))
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    f1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "f1"))
+    run_once()
+    f2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "f2"))
+    run_once()
+    return spark.read.parquet(out_dir)
+
+
+@query("stream_dedup")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id (duplicated source → distinct
+    count; state holds one key per id, bounded by watermark in the
+    dropDuplicatesWithinWatermark variant)."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.union(ev)  # guaranteed duplicates
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
+    return run_to_memory(spark, agg, "stream_dedup", "complete")
+
+
+@query("stream_foreach_batch")
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sink via foreachBatch: each micro-batch appended as parquet
+    (the Graphite-sink analog [R-M] — arbitrary per-batch emit), then
+    read back for verification."""
+    out_dir = os.path.join(_ARTIFACTS, "foreach_batch_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ev = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = ev.writeStream.foreachBatch(emit).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,100 @@
+"""Streaming batch-equivalence self-oracles (SURVEY.md §5.4).
+
+The driver records rows-only for §2.I keys; these tests hold each
+streaming result to its batch twin — a strictly stronger check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_job_analyzer_spark.catalog import load_table
+from hadoop_job_analyzer_spark.registry import queries
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_file_source_equals_batch(spark, sf_dir):
+    got = queries()["stream_file_source"](spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    got = queries()["stream_tumbling"](spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    got = queries()["stream_sliding"](spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_session_window_equals_batch_and_win_sessionize(spark, sf_dir):
+    got = queries()["stream_session_window"](spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"), "n_events")
+    )
+    assert _rows(got) == _rows(want)
+    # cross-check against the gaps-and-islands flagship: same session count
+    # per user and same per-session event counts (session_window's end is
+    # last_ts + gap, so only (user, n_events) multisets are comparable)
+    w = queries()["win_sessionize"](spark, sf_dir)
+    lhs = sorted((r.user_id, r.n_events) for r in got.collect())
+    rhs = sorted((r.user_id, r.n_events) for r in w.collect())
+    assert lhs == rhs
+
+
+def test_stream_late_data_drops_late_rows(spark, sf_dir):
+    got = {(r.window_start, r.n_events) for r in queries()["stream_late_data"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").where(F.expr("event_id % 2 = 1"))
+    batch_f1 = {
+        (r.window_start, r.n_events)
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    # every emitted window matches file-1-only counts (all file-2 rows dropped)
+    assert got <= batch_f1
+    # and only the trailing (watermark-withheld) windows are missing
+    assert len(batch_f1) - len(got) <= 4, (len(batch_f1), len(got))
+    missing = {w for w, _ in (batch_f1 - got)}
+    max_emitted = max(w for w, _ in got)
+    assert all(w > max_emitted for w in missing)
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    got = queries()["stream_dedup"](spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n_unique_events"))
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_foreach_batch_roundtrip(spark, sf_dir):
+    got = queries()["stream_foreach_batch"](spark, sf_dir)
+    want = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    assert _rows(got) == _rows(want)
