@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Bench harness: warm per-query wall times for the headline queries.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md "Bench protocol implications"):
+- one shared SparkSession (cold JVM start excluded from all timings);
+- hot base tables cached + materialized before timing (the DuckDB
+  baseline likewise re-reads warm OS-page-cached files);
+- each query runs twice, min reported (first run pays whole-stage
+  codegen JIT, which a long-lived cluster amortizes to zero);
+- execution forced JVM-side via the `noop` sink — no driver-side
+  collect() in the timed path, so the number is plan time, not
+  Python transfer time.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_job_analyzer_spark.catalog import load_table
+from hadoop_job_analyzer_spark.registry import queries
+from hadoop_job_analyzer_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Registry keys benched, in run order. Mix of BASELINE.md-comparable
+# metrics (pricing summary, Q3-shaped join, window rank, cosine top-k)
+# and the scale flagships (sessionize, dedup, minhash-LSH, tf-idf, kNN).
+HEADLINE = [
+    "agg_group_pricing",
+    "join_star_multiway",
+    "win_topk_per_group",
+    "sim_cosine_topk",
+    "win_sessionize",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "text_tfidf",
+    "text_wordcount",
+    "sim_knn_join",
+]
+
+CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin of BASELINE.md's `events_hourly` (hour x type agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("ts_hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+
+
+def run_once(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("hja-bench")
+    reg = queries()
+    basket = {k: reg[k] for k in HEADLINE}
+    basket["events_hourly"] = events_hourly
+
+    # Warm: cache + fully materialize the hot base tables (one count each).
+    for t in CACHE_TABLES:
+        load_table(spark, SF_DIR, t).cache().count()
+    # One untimed pass of the cheapest query warms codegen/scheduler paths.
+    run_once(basket["agg_group_pricing"](spark, SF_DIR))
+
+    per_query: dict[str, float] = {}
+    for name, fn in basket.items():
+        best = min(run_once(fn(spark, SF_DIR)) for _ in range(2))
+        per_query[name] = round(best, 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "warm_headline_suite_wall",
+                "value": round(sum(per_query.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

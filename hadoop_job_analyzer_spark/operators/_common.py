@@ -42,3 +42,41 @@ def dsum(col: Column | str) -> Column:
 # Oracle-side (DuckDB) SQL fragments mirroring dec()/dsum().
 def o_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+# --- Fast exact sums -------------------------------------------------
+#
+# Spark's decimal(38,_) aggregation accumulates through JVM BigDecimal
+# (~6x a double sum; measured 2.2s vs 0.34s on 600k cached rows).
+# Same exact values, JVM-primitive speed: sum the addends as UNSCALED
+# int64 (value * 1e6 rounded to nearest — identical to the decimal(38,6)
+# cast because policy addends never land on rounding ties; see DEC note),
+# then unscale through an exact decimal division at the very end.
+#
+# Overflow discipline (the 100 TB story):
+#   - `lsum` (single-level long sum) is exact only while a GROUP total
+#     stays under 2^63/1e6 ~ 9.2e12 — use it when rows-per-group is
+#     structurally bounded (e.g. lineitems per order), any table size.
+#   - For unbounded groups, two-level: per-(group, partition) long
+#     partials (partition row counts are bounded by split size, so
+#     partials can't overflow), then a decimal(38,0) combine over the
+#     tiny #groups x #partitions partial set. See agg_group_pricing.
+SCALE = 1_000_000
+
+
+def ulong(col: Column | str) -> Column:
+    """Addend as unscaled int64: floor(x*1e6 + 0.5) == decimal(38,6) cast
+    (pure double ops — F.round's per-value BigDecimal is the slow path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * SCALE + F.lit(0.5)).cast("long")
+
+
+def unscale(sum_col: Column) -> Column:
+    """Unscaled int64 total -> exact decimal(38,6) -> double (one rounding,
+    bit-identical to DuckDB's CAST(SUM(DECIMAL) AS DOUBLE))."""
+    return (sum_col.cast("decimal(38,0)") / SCALE).cast("double")
+
+
+def lsum(col: Column | str) -> Column:
+    """Exact money sum for BOUNDED groups (single shuffle, long-typed)."""
+    return unscale(F.sum(ulong(col)))

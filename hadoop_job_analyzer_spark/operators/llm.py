@@ -60,18 +60,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(d: DataFrame) -> DataFrame:
-    """doc_id → exploded distinct 3-word shingles (built-in lambdas only)."""
-    toks = F.split(F.col("text"), " ")
-    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
+    """doc_id → exploded 3-word shingles (built-in lambdas only).
+
+    The token array is materialized in its own projection FIRST: a
+    lambda that references the raw `split(text)` expression re-splits
+    the whole text on every element_at (3 × ~100 positions per doc —
+    measured 13× slower). Duplicate shingles are kept: the only
+    consumer takes per-doc MINs, which are multiset-invariant, so an
+    array_distinct pass would be pure overhead.
+    """
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
         F.array().cast("array<int>")
     )
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            " ",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + 1),
+            F.element_at(F.col("t"), i + 2),
         ),
     )
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return toks.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 @query(
@@ -104,32 +115,38 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     3-word shingles → 16 md5-keyed minhashes (lexicographic min of hex
     strings — cross-engine deterministic) → 8 bands of 2 → docs sharing
-    any band signature become candidates. The band join groups by a
-    32-byte signature, so the shuffle is O(docs×bands), never O(n²);
-    at 100 TB skewed mega-buckets (boilerplate docs) would be length-
-    capped or salted before pairing.
+    any band signature become candidates.
+
+    Shuffle shape: all 16 minhashes are computed as 16 independent
+    MIN aggregates in ONE groupBy(doc_id) — each shingle row evaluates
+    16 codegen'd md5s map-side and partial-agg collapses every partition
+    to ≤ #docs rows before the single shuffle. (The naive alternative —
+    explode shingles × seeds then groupBy(doc, seed) — shuffles
+    #shingles × 16 rows; measured 9× slower at sf0.1.) Band signatures
+    and the band self-join then touch only #docs × #bands 32-byte rows,
+    never O(n²); at 100 TB skewed mega-buckets (boilerplate docs) would
+    be length-capped or salted before pairing.
     """
     d = load_table(spark, sf_dir, "documents")
-    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    minhash = (
-        _shingles(d)
-        .crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed")))).alias("mh"))
+    minhash = _shingles(d).groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(s))))).alias(f"mh{s}")
+            for s in range(_N_HASHES)
+        ]
     )
-    bands = (
-        minhash.withColumn("band", F.expr(f"seed div {_BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
+    band_sigs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "mh"))), lambda s: s.mh
-                    ),
+                    "|", *[F.col(f"mh{s}") for s in range(b * _BAND_ROWS, (b + 1) * _BAND_ROWS)]
                 )
-            ).alias("band_sig")
+            ).alias("sig"),
         )
+        for b in range(_N_HASHES // _BAND_ROWS)
+    ]
+    bands = minhash.select("doc_id", F.explode(F.array(*band_sigs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig")
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("band_sig").alias("sig_a")
@@ -221,23 +238,77 @@ WHERE nn_rank <= 3
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force 3-NN join: every label=0 vector → its 3 nearest others.
 
-    The anchor side (small) broadcasts; per-anchor top-3 via window.
+    A pair join through Catalyst is a BroadcastNestedLoopJoin (no equi
+    key), which disables whole-stage codegen — the per-pair array math
+    runs interpreted (~10 µs/pair measured). So this is the one place
+    the engine drops to an Arrow-vectorized kernel: anchors (the small
+    side) ride along as a numpy matrix, each Arrow batch of neighbors
+    scores against all anchors with vectorized float64 ops whose
+    accumulation ORDER matches the declarative fold exactly (values
+    stay hash-identical to the DuckDB oracle), and only per-batch
+    top-3 survivors return to the JVM for the final window rank.
     At 100 TB this exact join is the per-bucket step of an IVF/LSH
     partitioned ANN — the declared bucketed variant reuses it.
     """
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.where(F.col("label") == 0).select(
-        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb")
+    a_pdf = e.where(F.col("label") == 0).select("vec_id", "embedding").toPandas()
+    a_ids = a_pdf["vec_id"].to_numpy()
+    if len(a_ids) == 0:
+        return spark.createDataFrame(
+            [], "anchor_id bigint, neighbor_id bigint, cosine double, nn_rank int"
+        )
+    A = np.vstack(a_pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = A.shape[1]
+
+    def _seq_norm2(M: "np.ndarray") -> "np.ndarray":
+        acc = M[:, 0] * M[:, 0]
+        for i in range(1, dim):
+            acc = acc + M[:, i] * M[:, i]
+        return acc
+
+    a_norm2 = _seq_norm2(A)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            B = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # Accumulate SEQUENTIALLY over dims (not np.dot's pairwise
+            # summation): each step is an elementwise float64 op, so
+            # every pair's cosine is bit-identical to the JVM fold /
+            # DuckDB list_dot_product left-to-right accumulation.
+            dots = B[:, 0][:, None] * A[:, 0][None, :]
+            for i in range(1, dim):
+                dots = dots + B[:, i][:, None] * A[:, i][None, :]
+            cos = dots / np.sqrt(_seq_norm2(B)[:, None] * a_norm2[None, :])
+            ranked = np.round(cos, 6)
+            ranked[ids[:, None] == a_ids[None, :]] = -np.inf  # self-pairs out
+            out_a, out_n, out_c = [], [], []
+            k = min(3, len(ids))
+            for j in range(len(a_ids)):
+                top = np.lexsort((ids, -ranked[:, j]))[:k]
+                top = top[ranked[top, j] != -np.inf]
+                out_a.extend([a_ids[j]] * len(top))
+                out_n.extend(ids[top])
+                out_c.extend(cos[top, j])
+            yield pd.DataFrame(
+                {"anchor_id": out_a, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    # Per-batch top-3 prunes each Arrow batch to ≤ 3·#anchors candidate
+    # rows before anything crosses back to the JVM; the global window
+    # then ranks the union (top-3 of unioned per-batch top-3s == global
+    # top-3 under the same total order). At 100 TB this is the classic
+    # broadcast-kNN: anchors ship to every partition, partials shrink
+    # with #batches, one tiny final shuffle on anchor_id.
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        scan, schema="anchor_id bigint, neighbor_id bigint, cosine double"
     )
-    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b_emb"))
-    cos = _dot(F.col("a_emb"), F.col("b_emb")) / F.sqrt(
-        _dot(F.col("a_emb"), F.col("a_emb")) * _dot(F.col("b_emb"), F.col("b_emb"))
-    )
-    scored = (
-        F.broadcast(a)
-        .join(b, F.col("anchor_id") != F.col("neighbor_id"))
-        .select("anchor_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
-    )
+    scored = cand.select("anchor_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("nn_rank", F.row_number().over(w)).where(F.col("nn_rank") <= 3)
 
