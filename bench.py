@@ -51,6 +51,11 @@ HEADLINE = [
     "text_tfidf",
     "text_wordcount",
     "sim_knn_join",
+    "text_fingerprint",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "sim_ann_ivf",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]

@@ -14,7 +14,11 @@ Layout:
     session.py    — canonical SparkSession config (correctness-critical confs)
     catalog.py    — table loading incl. the ns-timestamp recipe
     registry.py   — single source of truth for queries()/oracle_sql()
-    operators/    — scans, filters, joins, aggs, windows, sorts, setops, llm, udfs
+    operators/    — scans, filters, joins, aggs, windows, sorts, setops, udfs,
+                    llm (dedup/similarity/text/multimodal-join),
+                    textops (lang-id/quality/tokens/fingerprint),
+                    neardup (simhash/jaccard/embedding-dup/IVF ANN),
+                    multimodal (binary media plumbing, stub codecs)
     functions/    — scalar function families
     streaming/    — Structured Streaming keys (availableNow + memory sink)
     sources/      — fixture writers (csv/jsonl twins)

@@ -1,0 +1,155 @@
+"""Category K2 — multimodal binary-column plumbing (SURVEY.md §2.K2).
+
+Treats media as opaque ``binary`` columns with typed metadata, the way
+a 100 TB multimodal training pipeline stores image/audio/video next to
+text: the Spark-side plumbing (binary payloads through Arrow, Pandas
+UDF batch shapes, typed output schemas, partition-friendly plans) is
+real and tested; the codec step is a clearly-marked STUB (no
+image/audio libraries in this container — see _decode_real).
+
+The payload is synthesized deterministically from each document
+(64 bytes = unhex of 4 chained md5s), which makes every derived
+metadata value cross-engine checkable: byte i of the payload is hex
+chars 2i+1..2i+2 of the md5 chain, so the DuckDB oracle derives the
+SAME values with pure string/int functions while the Spark side parses
+REAL bytes in Python — if the binary plumbing mangled a single byte,
+the hash-match would fail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_N_FRAMES = 4
+_FRAME_BYTES = 16
+
+# 128 hex chars -> 64 payload bytes, derived only from text.
+_HEX_SQL = "md5(text) || md5(text || '#1') || md5(text || '#2') || md5(text || '#3')"
+
+
+def _payload(d: DataFrame) -> DataFrame:
+    """documents + synthetic 64-byte binary payload column."""
+    hx = F.concat(
+        F.md5("text"),
+        F.md5(F.concat(F.col("text"), F.lit("#1"))),
+        F.md5(F.concat(F.col("text"), F.lit("#2"))),
+        F.md5(F.concat(F.col("text"), F.lit("#3"))),
+    )
+    return d.select("doc_id", F.unhex(hx).alias("payload"))
+
+
+def _decode_real(payload: bytes) -> dict:
+    """The real codec step — image decode / audio resample / etc.
+
+    STUB: pillow/torchaudio/ffmpeg are not in this container. The
+    deterministic header-parse below (_decode_stub) stands in so the
+    distributed plumbing stays fully testable; swap this in when the
+    codec libraries exist.
+    """
+    raise NotImplementedError("media codecs unavailable in this environment")
+
+
+@query(
+    "mm_decode_meta",
+    oracle=f"""
+SELECT doc_id,
+       octet_length(from_hex({_HEX_SQL})) AS n_bytes,
+       substring({_HEX_SQL}, 1, 4) AS magic,
+       ('0x' || substring({_HEX_SQL}, 5, 4))::INT % 1920 + 1 AS width,
+       ('0x' || substring({_HEX_SQL}, 9, 4))::INT % 1080 + 1 AS height,
+       ('0x' || substring({_HEX_SQL}, 13, 2))::INT % 4 + 1 AS channels,
+       CASE ('0x' || substring({_HEX_SQL}, 15, 2))::INT % 4
+         WHEN 0 THEN 'raw' WHEN 1 THEN 'rgb' WHEN 2 THEN 'yuv' ELSE 'gray'
+       END AS fmt
+FROM documents
+""",
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract stub over a binary media column.
+
+    mapInPandas receives Arrow batches of (doc_id, payload:binary),
+    parses the header fields from the RAW BYTES in Python (the exact
+    shape a real decoder has: bytes in, typed struct out), and returns
+    a typed metadata frame. The oracle re-derives every field from the
+    hex source — a byte mangled anywhere in the Arrow path breaks the
+    match. One map stage, no shuffle, embarrassingly parallel at 100 TB.
+    """
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    meta = _decode_real(b)
+                except NotImplementedError:
+                    meta = {  # deterministic header parse (STUB decode)
+                        "n_bytes": len(b),
+                        "magic": b[0:2].hex(),
+                        "width": int.from_bytes(b[2:4], "big") % 1920 + 1,
+                        "height": int.from_bytes(b[4:6], "big") % 1080 + 1,
+                        "channels": b[6] % 4 + 1,
+                        "fmt": ["raw", "rgb", "yuv", "gray"][b[7] % 4],
+                    }
+                rows.append({"doc_id": doc_id, **meta})
+            yield pd.DataFrame(rows)
+
+    return _payload(load_table(spark, sf_dir, "documents")).mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, n_bytes int, magic string, width int, height int,"
+            " channels int, fmt string"
+        ),
+    )
+
+
+def _frame_oracle() -> str:
+    luma = " + ".join(
+        f"('0x' || substring(frame_hex, {2 * j + 1}, 2))::INT" for j in range(_FRAME_BYTES)
+    )
+    return f"""
+SELECT doc_id, frame_idx, frame_hex, ({luma}) % 256 AS luma
+FROM (
+  SELECT doc_id, f.frame_idx,
+         substring({_HEX_SQL}, f.frame_idx * {2 * _FRAME_BYTES} + 1, {2 * _FRAME_BYTES}) AS frame_hex
+  FROM documents,
+       (SELECT UNNEST(generate_series(0, {_N_FRAMES - 1})) AS frame_idx) f
+)
+"""
+
+
+@query("mm_frame_sample", oracle=_frame_oracle())
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary video column (stub codec).
+
+    Row-expanding media op: each 64-byte payload yields 4 fixed-stride
+    16-byte "frames" (the deterministic stand-in for ffmpeg keyframe
+    extraction), each fingerprinted (hex) and feature-extracted (luma =
+    byte sum — the stub for a real per-frame embedding). Python slices
+    the real bytes; the oracle re-derives both fields from hex. The
+    1→N row expansion inside mapInPandas is the exact batch shape a
+    real frame sampler has.
+    """
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hex": [], "luma": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(_N_FRAMES):
+                    frame = b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_hex"].append(frame.hex())
+                    out["luma"].append(sum(frame) % 256)
+            yield pd.DataFrame(out)
+
+    return _payload(load_table(spark, sf_dir, "documents")).mapInPandas(
+        sample, schema="doc_id bigint, frame_idx int, frame_hex string, luma int"
+    )

@@ -1,0 +1,365 @@
+"""Category K2 — near-duplicate detection + bucketed ANN (SURVEY.md §2.K2).
+
+Completes the dedup family from llm.py (exact, minhash-LSH) with the
+remaining standard techniques: SimHash, n-gram Jaccard, and
+embedding-cosine near-dup, plus the IVF-bucketed ANN variant whose
+exact per-bucket step is sim_knn_join.
+
+Cross-engine determinism: token hashes go through the verified
+md5-hex→int64 path (Spark ``conv(substr(md5(t),1,15),16,10)`` ==
+DuckDB ``('0x'||substring(md5(t),1,15))::BIGINT``); bit ops (>>, &,
+xor, bit_count) are identical on int64 in both engines; cosines use
+the dim-sequential float64 accumulation that bit-matches DuckDB's
+list_cosine_similarity pipeline built from list_dot_product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .llm import _shingles
+
+_SIMHASH_BITS = 16
+_SIMHASH_BANDS = 2  # 2 bands x 8 bits
+_JACCARD_MAX_DF = 5  # shingles rarer than this generate candidate pairs
+_JACCARD_MIN = 0.4
+_EMB_DUP_MIN_COS = 0.4
+_IVF_N_CENTROIDS = 16
+_IVF_NPROBE = 2
+
+_H_SQL = "('0x' || substring(md5(token), 1, 15))::BIGINT"
+_H_SPARK = "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)"
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_H_SQL} AS h
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+), sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM toks GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {combine} AS simhash FROM sums
+), bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS nibble
+  FROM sh, (SELECT UNNEST(generate_series(0, {_SIMHASH_BANDS - 1})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit term-frequency simhash, 2×8-bit
+    LSH bands, candidates sharing a band kept when hamming ≤ 4.
+
+    The per-doc signature is 16 SUM aggregates over one token explode —
+    map-side partial agg collapses each partition to ≤ #docs rows before
+    the single shuffle (the same single-shuffle shape as the minhash
+    key). The band self-join buckets on 8 bits; at 100 TB you widen the
+    hash to 64/128 bits and the bands to 16+ bits so bucket sizes stay
+    bounded — the plan shape is unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).select("doc_id", F.expr(_H_SPARK).alias("h"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = sums.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(_SIMHASH_BITS)
+        ).cast("bigint").alias("simhash"),
+    )
+    bands = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {8 * b}) & 255").alias("nibble"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bn"),
+    ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.nibble").alias("nibble"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        F.col("band").alias("band_a"), F.col("nibble").alias("nib_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        F.col("band").alias("band_b"), F.col("nibble").alias("nib_b"),
+    )
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        a.join(b, (a.band_a == b.band_b) & (a.nib_a == b.nib_b) & (a.doc_a < b.doc_b))
+        .where(hamming <= 4)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+), rsh AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM rsh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_MIN}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: similarity over DISCRIMINATIVE 3-word
+    shingles (document frequency ≤ 5), pairs kept at jaccard ≥ 0.4.
+
+    Dropping ubiquitous shingles before the inverted-index self-join is
+    what makes exact Jaccard shuffle-safe: a shingle with df=d emits
+    C(d,2) pairs, so capping df caps the join fan-out at any corpus
+    size (the classic stop-feature trick; boilerplate never generates
+    candidates). Three small shuffles: shingle-df, pair-count, sizes
+    broadcast back onto pairs.
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents")).distinct()
+    rare = sh.groupBy("shingle").count().where(F.col("count") <= _JACCARD_MAX_DF).select("shingle")
+    rsh = sh.join(rare, "shingle")
+    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rsh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rsh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_inter", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_O_COS_PAIR = (
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+)
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_O_COS_PAIR}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+WHERE ROUND({_O_COS_PAIR}, 6) >= {_EMB_DUP_MIN_COS}
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4, synthetic-corpus
+    calibrated — real pipelines use ~0.95).
+
+    Same Arrow/numpy pair-scan kernel as sim_knn_join (anchors = every
+    vector), emitting only above-threshold pairs with vec_a < vec_b, so
+    the Python→JVM return stream is the (sparse) duplicate set, not the
+    O(n²) pair matrix. At 100 TB the anchor side no longer broadcasts —
+    you LSH/IVF-bucket first and run this exact kernel per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a_pdf = e.select("vec_id", "embedding").toPandas()
+    a_ids = a_pdf["vec_id"].to_numpy()
+    A = np.vstack(a_pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = A.shape[1]
+
+    def _seq_norm2(M):
+        acc = M[:, 0] * M[:, 0]
+        for i in range(1, dim):
+            acc = acc + M[:, i] * M[:, i]
+        return acc
+
+    a_norm2 = _seq_norm2(A)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            B = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dots = B[:, 0][:, None] * A[:, 0][None, :]
+            for i in range(1, dim):
+                dots = dots + B[:, i][:, None] * A[:, i][None, :]
+            cos = dots / np.sqrt(_seq_norm2(B)[:, None] * a_norm2[None, :])
+            r = np.round(cos, 6)
+            keep = (r >= _EMB_DUP_MIN_COS) & (ids[:, None] > a_ids[None, :])
+            bi, ai = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": ids[bi], "cosine": cos[bi, ai]}
+            )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        scan, schema="vec_a bigint, vec_b bigint, cosine double"
+    )
+    return cand.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cen_id, embedding FROM embeddings WHERE vec_id < {_IVF_N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, cen_id FROM (
+    SELECT v.vec_id, c.cen_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.cen_id ASC) AS rk
+    FROM embeddings v, cents c
+  ) WHERE rk = 1
+), probe AS (
+  SELECT cen_id FROM (
+    SELECT c.cen_id,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.cen_id ASC) AS rk
+    FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ) WHERE rk <= {_IVF_NPROBE}
+)
+SELECT vec_id, cosine, rank_pos FROM (
+  SELECT v.vec_id,
+         ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                    v.vec_id ASC) AS rank_pos
+  FROM embeddings v
+  JOIN assign s ON s.vec_id = v.vec_id
+  JOIN probe p ON p.cen_id = s.cen_id
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE v.vec_id <> 0
+)
+WHERE rank_pos <= 10
+"""
+
+
+@query("sim_ann_ivf", oracle=_ivf_oracle())
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 for the query vector (vec_id=0).
+
+    The scale path for sim_cosine_topk: a deterministic coarse
+    quantizer (centroids = the first 16 vectors — a stand-in for
+    k-means, which would be engine-private state), every vector
+    assigned to its nearest centroid, and the query probes only its
+    nprobe=2 nearest buckets (~2/16 of the data) before the exact
+    top-10. Assignment cosines run through the JVM lambda dot — one
+    pass, 16 centroids broadcast as literals; at 100 TB assignment is
+    the write-path (stored as a partition column) and probing prunes
+    partitions, which is exactly Spark partition pruning.
+    """
+    from .llm import _dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("c_emb")
+    )
+    cos_vc = F.round(
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / F.sqrt(
+            _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("c_emb"), F.col("c_emb"))
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_vc").desc(), F.col("cen_id").asc())
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cen_id", cos_vc.alias("cos_vc"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cen_id")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos_qc = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")) * _dot(F.col("c_emb"), F.col("c_emb"))),
+        6,
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cen_id", cos_qc.alias("cos_qc"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.col("cos_qc").desc(), F.col("cen_id").asc())))
+        .where(F.col("rk") <= _IVF_NPROBE)
+        .select("cen_id")
+    )
+    cand = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(probe), "cen_id")
+        .where(F.col("vec_id") != 0)
+    )
+    cos_q = F.round(
+        _dot(F.col("embedding"), F.col("q_emb"))
+        / F.sqrt(
+            _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("q_emb"), F.col("q_emb"))
+        ),
+        6,
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", cos_q.alias("cosine"))
+        .withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= 10)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    )

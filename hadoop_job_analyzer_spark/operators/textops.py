@@ -1,0 +1,253 @@
+"""Category K2 — text analysis for training-data pipelines (SURVEY.md §2.K2).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting over ``documents`` — the per-document featurizers that
+run in front of dedup/filtering in an LLM data pipeline. All four are
+pure built-in-expression pipelines (no Python in the hot path) and
+hash-match a DuckDB oracle.
+
+Cross-engine determinism rules reused from llm.py: counting substring
+occurrences uses the replace-length trick (both engines implement
+replace as greedy left-to-right non-overlapping); hex→int goes through
+15 md5 hex chars (60 bits, fits int64: Spark ``conv(h,16,10)`` ==
+DuckDB ``('0x'||h)::BIGINT``, verified); float ratios are computed with
+identical double expressions and rounded per the §5.3 policy.
+
+The synthetic corpus's ``lang`` column is uncorrelated with its token
+stream (all docs draw the same vocabulary), so language-ID is graded as
+a deterministic scoring function against its SQL mirror, not against
+the label — exactly how the driver's oracle sees it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# Marker-word profiles (space-padded, counted in ' '||text||' ').
+_LANG_MARKERS: dict[str, list[str]] = {
+    "de": [" der ", " und "],
+    "en": [" the ", " a "],
+    "es": [" el ", " y "],
+    "fr": [" le ", " et "],
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_STOPWORDS = [" the ", " a ", " of "]
+
+
+def _occ_spark(padded, marker: str):
+    """Non-overlapping occurrence count of marker via replace-length."""
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("int")
+
+
+def _occ_sql(padded: str, marker: str) -> str:
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{marker}', '')))"
+        f" / {len(marker)} AS INT)"
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: " + ".join(_occ_sql("' ' || text || ' '", m) for m in ms)
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    score_cols = ",\n       ".join(f"{s} AS score_{lang}" for lang, s in score.items())
+    # argmax with alphabetic tie-break, unrolled to a CASE chain (== the
+    # Spark side's (-score, lang) struct sort).
+    langs = sorted(_LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, lang,
+       score_de, score_en, score_es, score_fr,
+       {case_sql} AS lang_guess
+FROM scored
+"""
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via marker-word n-gram scoring (arg-max over profiles).
+
+    Per doc: count each language's marker words (replace-length trick,
+    one codegen'd pass per marker — no tokenize/explode/shuffle at all;
+    at 100 TB this is a pure map stage). Guess = highest score, ties to
+    the alphabetically first language, picked by sorting (-score, lang)
+    structs — the identical tuple-sort both engines define.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            sum(_occ_spark(padded, m) for m in ms).alias(f"score_{lang}")
+            for lang, ms in _LANG_MARKERS.items()
+        ],
+    )
+    guess = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"score_{lang}")).alias("neg"), F.lit(lang).alias("lang")
+                )
+                for lang in _LANG_MARKERS
+            ]
+        )
+    )[0]["lang"]
+    return scored.select(
+        "doc_id", "lang", "score_de", "score_en", "score_es", "score_fr",
+        guess.alias("lang_guess"),
+    )
+
+
+_QUALITY_SQL_STOPS = " + ".join(_occ_sql("' ' || text || ' '", m) for m in _STOPWORDS)
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       n_tokens,
+       n_distinct_tokens,
+       ROUND(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(
+         0.4 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+         + 0.3 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality_score
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         {_QUALITY_SQL_STOPS} AS n_stop
+  FROM documents
+)
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: type-token ratio, length credit,
+    stopword penalty → composite score.
+
+    The standard pre-training quality gate shape (Gopher/C4-style rule
+    scoring): one projection, no shuffle — a pure map stage at any
+    scale. All ratios are double expressions written identically in
+    both engines, rounded per the float policy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        sum(_occ_spark(padded, m) for m in _STOPWORDS).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    length_credit = F.least(F.lit(1.0), F.col("n_tokens").cast("double") / 100.0)
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(0.4 * ttr + 0.3 * length_credit + 0.3 * (1.0 - stop_ratio), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       n_chars,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+       ROUND(CAST(n_chars AS DOUBLE)
+             / len(regexp_extract_all(text, '{_BPE_PAT}')), 6) AS chars_per_bpe_token
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokens.
+
+    The regex is the GPT-2-style pre-tokenizer shape (letter runs /
+    digit runs / punctuation singletons) restricted to a class-only
+    pattern that Java regex and RE2 interpret identically. Pure map
+    stage; chars-per-token is the usual compression-ratio proxy for
+    tokenizer cost estimation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.col("n_chars").cast("double") / F.size(bpe), 6).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       MIN(gram_md5) AS fp_min,
+       MAX(gram_md5) AS fp_max,
+       COUNT(DISTINCT gram_md5) AS n_distinct_grams,
+       ('0x' || substring(MIN(gram_md5), 1, 15))::BIGINT AS fingerprint64
+FROM (
+  SELECT doc_id, md5(substring(text, i, 8)) AS gram_md5
+  FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+  WHERE length(text) >= 8
+)
+GROUP BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling char-8-gram hashing.
+
+    The Karp-Rabin/winnowing shape: slide an 8-char window, hash every
+    gram (md5 for cross-engine determinism), keep the min/max sketch +
+    a 60-bit integer fingerprint of the min gram. Shuffle carries only
+    (doc_id, 32-byte hash) pairs after map-side partial MIN/MAX —
+    O(docs), not O(chars), at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    # Explode window positions FIRST, hash after: md5-in-a-transform-
+    # lambda evaluates interpreted (higher-order fns sit outside
+    # whole-stage codegen; measured 4×), while md5 over an exploded row
+    # stream is codegen'd.
+    grams = d.select(
+        "doc_id", "text", F.explode(F.expr("sequence(1, length(text) - 7)")).alias("i")
+    ).select("doc_id", F.expr("md5(substr(text, i, 8))").alias("gram_md5"))
+    return grams.groupBy("doc_id").agg(
+        F.min("gram_md5").alias("fp_min"),
+        F.max("gram_md5").alias("fp_max"),
+        F.countDistinct("gram_md5").alias("n_distinct_grams"),
+        F.conv(F.substring(F.min("gram_md5"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fingerprint64"),
+    )

@@ -1,0 +1,120 @@
+"""Self-checks for the K2 extension keys (beyond the oracle hash-match):
+semantic properties the differential test can't see — ANN recall vs the
+exact baseline, metric bounds, plumbing round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_job_analyzer_spark.registry import queries
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF top-10 must substantially agree with the exact top-10 (the
+    probe covers 2/16 buckets chosen for the query's neighborhood)."""
+    exact = {r.vec_id for r in queries()["sim_cosine_topk"](spark, sf_dir).collect()}
+    approx = {r.vec_id for r in queries()["sim_ann_ivf"](spark, sf_dir).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 3, (exact, approx)
+
+
+def test_simhash_pairs_are_bounded_and_symmetric_free(spark, sf_dir):
+    rows = queries()["dedup_simhash"](spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 4
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
+
+
+def test_jaccard_bounds(spark, sf_dir):
+    rows = queries()["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.4 <= r.jaccard <= 1.0
+        assert r.n_inter >= 1
+
+
+def test_embedding_dup_agrees_with_knn_kernel(spark, sf_dir):
+    """Every near-dup pair's cosine must equal the kNN kernel's value
+    for the same pair when it appears there (shared numpy kernel)."""
+    dup = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in queries()["dedup_embedding"](spark, sf_dir).collect()
+    }
+    assert dup, "calibrated threshold should yield pairs"
+    knn = queries()["sim_knn_join"](spark, sf_dir).collect()
+    for r in knn:
+        pair = tuple(sorted((r.anchor_id, r.neighbor_id)))
+        if pair in dup:
+            assert dup[pair] == r.cosine, (pair, dup[pair], r.cosine)
+
+
+def test_langid_scores_consistent(spark, sf_dir):
+    df = queries()["text_langid"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # recompute argmax with alphabetic tie-break
+        scores = {lang: getattr(r, f"score_{lang}") for lang in ("de", "en", "es", "fr")}
+        m = max(scores.values())
+        expect = min(lang for lang, s in scores.items() if s == m)
+        assert r.lang_guess == expect, (r.doc_id, scores, r.lang_guess)
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    for r in queries()["text_quality"](spark, sf_dir).collect():
+        assert 0.0 <= r.type_token_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_fingerprint_is_stable_and_discriminative(spark, sf_dir):
+    df = queries()["text_fingerprint"](spark, sf_dir)
+    rows = df.collect()
+    # fingerprint64 alone is a SIMILARITY sketch (shared-vocabulary docs
+    # legitimately share a min-gram); the full (min, max, n_grams)
+    # sketch must separate distinct texts
+    from hadoop_job_analyzer_spark.catalog import load_table
+
+    n_texts = load_table(spark, sf_dir, "documents").select("text").distinct().count()
+    triples = {(r.fp_min, r.fp_max, r.n_distinct_grams) for r in rows}
+    assert len(triples) >= int(0.99 * n_texts), (len(triples), n_texts)
+    for r in rows:
+        assert 0 <= r.fingerprint64 < (1 << 60)
+        assert r.fp_min <= r.fp_max
+
+
+def test_mm_payload_roundtrip(spark, sf_dir):
+    """The Python-side byte parse must agree with a JVM-side hex parse —
+    proves the binary column survives the Arrow path byte-for-byte."""
+    got = {r.doc_id: r for r in queries()["mm_decode_meta"](spark, sf_dir).collect()}
+    from hadoop_job_analyzer_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.concat(
+        F.md5("text"),
+        F.md5(F.concat(F.col("text"), F.lit("#1"))),
+        F.md5(F.concat(F.col("text"), F.lit("#2"))),
+        F.md5(F.concat(F.col("text"), F.lit("#3"))),
+    )
+    jvm = d.select(
+        "doc_id",
+        F.substring(hx, 1, 4).alias("magic"),
+        (F.conv(F.substring(hx, 5, 4), 16, 10).cast("int") % 1920 + 1).alias("width"),
+    ).collect()
+    assert len(jvm) == len(got)
+    for r in jvm:
+        assert got[r.doc_id].magic == r.magic
+        assert got[r.doc_id].width == r.width
+        assert got[r.doc_id].n_bytes == 64
+
+
+def test_mm_frame_sample_shape(spark, sf_dir):
+    df = queries()["mm_frame_sample"](spark, sf_dir)
+    n_docs = df.select("doc_id").distinct().count()
+    assert df.count() == 4 * n_docs
+    for r in df.where(F.col("doc_id") == 0).collect():
+        assert len(r.frame_hex) == 32
+        assert 0 <= r.luma <= 255
