@@ -335,9 +335,13 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue.alias("revenue"))
     )
+    # Top-10 FIRST (TakeOrderedAndProject = distributed per-partition
+    # top-k + driver merge), THEN rank the 10 survivors — same rows and
+    # ranks as rank-then-limit (identical total order), but the global
+    # row_number never sees more than 10 rows in its single partition.
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
     return (
-        agg.withColumn("rank_pos", F.row_number().over(w))
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
+        .withColumn("rank_pos", F.row_number().over(w))
     )

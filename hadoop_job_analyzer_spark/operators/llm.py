@@ -211,11 +211,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", F.round(cos, 6).alias("cosine"))
     )
+    # limit-then-rank: TakeOrdered top-10 distributed, window only over
+    # the survivors (same total order ⇒ identical rows + ranks)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank_pos", F.row_number().over(w))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
+        .withColumn("rank_pos", F.row_number().over(w))
     )
 
 

@@ -355,11 +355,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    # limit-then-rank (see sim_cosine_topk): top-10 distributed, then
+    # row_number over the 10 survivors only
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         cand.crossJoin(F.broadcast(q))
         .select("vec_id", cos_q.alias("cosine"))
-        .withColumn("rank_pos", F.row_number().over(w))
-        .where(F.col("rank_pos") <= 10)
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .withColumn("rank_pos", F.row_number().over(w))
     )

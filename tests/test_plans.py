@@ -1,0 +1,95 @@
+"""Physical-plan audits (SURVEY.md §4): structural guards that the
+plans Catalyst produces are the plans we designed for 100 TB.
+
+These don't execute anything — they assert on the pre-execution
+physical plan string, so a refactor that silently breaks predicate
+pushdown, column pruning, a broadcast, or map-side partial
+aggregation fails here even while values stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_job_analyzer_spark.registry import queries
+
+
+@pytest.fixture(scope="module")
+def plan(spark, sf_dir):
+    def _plan(key: str, mode: str = "simple") -> str:
+        df = queries()[key](spark, sf_dir)
+        return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+    return _plan
+
+
+def test_column_pruning_reaches_scan(plan):
+    p = plan("scan_column_prune", "formatted")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>" in p
+
+
+def test_filter_pushdown_reaches_scan(plan):
+    p = plan("filter_range_date")
+    assert "PushedFilters: [" in p
+    assert "IsNotNull" in p or "GreaterThan" in p
+
+
+def test_flagship_agg_is_partial_and_codegen(plan):
+    p = plan("agg_group_pricing")
+    # two-level exact-sum scheme: the DATA-facing partial agg sums
+    # FLOOR(x*1e6) longs (codegen primitive adds); decimal sums appear
+    # only in the combine over the tiny (group, partition_id) partials.
+    assert "partial_sum(FLOOR(" in p
+    data_agg = p.split("partial_sum(FLOOR(")[1]
+    assert "decimal(38" not in data_agg.split("Exchange")[0]
+    # both shuffles move partial rows (#groups x #partitions), never data
+    assert p.count("Exchange") == 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+
+
+def test_star_join_broadcasts_dimensions(plan):
+    p = plan("join_star_multiway")
+    assert "BroadcastHashJoin" in p  # customer dim never shuffles
+    # top-k computed distributed (TakeOrdered), not via a global-window sort
+    assert "TakeOrderedAndProject(limit=10" in p
+
+
+def test_explicit_join_strategies_materialize(plan):
+    assert "BroadcastHashJoin" in plan("join_broadcast_hint")
+    assert "SortMergeJoin" in plan("join_sort_merge")
+    assert "ShuffledHashJoin" in plan("join_shuffle_hash")
+
+
+def test_pure_map_keys_have_no_shuffle(plan):
+    for key in ("text_langid", "text_quality", "text_token_stats", "mm_decode_meta",
+                "mm_frame_sample", "project_compute", "fn_string_basic"):
+        p = plan(key)
+        assert "Exchange" not in p, f"{key} should be shuffle-free:\n{p[:800]}"
+
+
+def test_single_shuffle_aggregations(plan):
+    # partial-agg keys must shuffle exactly once (map-side combine first)
+    for key in ("dedup_exact",):
+        p = plan(key)
+        assert p.count("Exchange hashpartitioning") == 1, f"{key}:\n{p[:800]}"
+        assert p.count("HashAggregate") >= 2, key
+
+
+def test_minhash_shuffles_docs_not_shingles(plan):
+    p = plan("dedup_near_minhash")
+    # one partial+final agg pair on doc_id before the band self-join;
+    # no groupBy on (doc, seed) (the exploded-seed shape would show a
+    # hashpartitioning on doc_id AND seed)
+    assert "hashpartitioning(doc_id" in p
+    assert "seed" not in p
+
+
+def test_topk_is_take_ordered(plan):
+    p = plan("limit_topk_global")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_knn_kernel_stays_in_arrow(plan):
+    p = plan("sim_knn_join")
+    assert "MapInPandas" in p or "mapInPandas" in p
+    assert "BroadcastNestedLoopJoin" not in p  # the interpreted path we removed
