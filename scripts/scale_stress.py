@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scale-stress validation: do the headline plans scale the way the
+100 TB design story claims?
+
+Inflates sf0.1 by 4x and 16x into /tmp/hja_scale/x{K}/ (key-shifted
+copies, so join keys stay 1:1, dimensions stay fixed-size like real
+TPC-H scaling, and duplicated documents model the real duplicate mass
+a crawl corpus has), then times the headline queries at each scale on
+the SAME registered implementations — nothing is special-cased, the
+sf_dir just points at the inflated data.
+
+Pass/fail intuition recorded in BASELINE.md: data-path-bound queries
+should scale ~linearly in rows (constant scheduling floor amortizes);
+anything super-linear is a design bug (pair blow-up, driver collect,
+broadcast of a growing side).
+
+Usage: python scripts/scale_stress.py [--scales 1,4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hadoop_job_analyzer_spark.catalog import COLUMNS, TABLES, table_path
+from hadoop_job_analyzer_spark.registry import queries
+from hadoop_job_analyzer_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/hja_scale"
+
+# key column to shift per inflated copy (tables absent here replicate
+# UNshifted exactly once = fixed-size dimensions)
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+QUERIES = [
+    "agg_group_pricing",
+    "join_star_multiway",
+    "win_topk_per_group",
+    "win_sessionize",
+    "dedup_exact",
+    "text_wordcount",
+    "text_quality",
+    "sim_knn_join",
+    "dedup_near_minhash",
+]
+SKIP_AT_16 = {"dedup_near_minhash"}  # 16x duplicate mass → 256x bucket pairs by design
+
+
+def inflate(spark, k: int) -> str:
+    out_dir = f"{OUT}/x{k}"
+    if os.path.exists(f"{out_dir}/_DONE"):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        raw = spark.read.parquet(table_path(SRC, t))
+        if t in SHIFT_KEYS and k > 1:
+            keys = SHIFT_KEYS[t]
+            offs = {c: raw.agg(F.max(c)).collect()[0][0] + 1 for c in keys}
+            parts = [raw]
+            for i in range(1, k):
+                shifted = raw
+                for c in keys:
+                    shifted = shifted.withColumn(c, F.col(c) + F.lit(i * offs[c]))
+                parts.append(shifted)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        else:
+            df = raw
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    open(f"{out_dir}/_DONE", "w").close()
+    return out_dir
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,16")
+    scales = [int(s) for s in ap.parse_args().scales.split(",")]
+    spark = get_spark("hja-scale-stress")
+    reg = queries()
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    for k in scales:
+        sf_dir = inflate(spark, k)
+        for q in QUERIES:
+            if k >= 16 and q in SKIP_AT_16:
+                continue
+            results[q][k] = round(time_query(reg[q], spark, sf_dir), 3)
+            print(f"x{k} {q}: {results[q][k]}s", flush=True)
+    print(json.dumps({"metric": "scale_stress", "base": SRC, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
