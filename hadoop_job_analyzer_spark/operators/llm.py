@@ -33,6 +33,7 @@ from ..registry import query
 
 _N_HASHES = 16  # minhash signature length
 _BAND_ROWS = 2  # rows per LSH band → 8 bands
+_BUCKET_CAP = 64  # max docs per band bucket that generate pairs
 
 
 @query(
@@ -104,9 +105,12 @@ WITH toks AS (
          md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
   FROM minhash
   GROUP BY doc_id, seed // {_BAND_ROWS}
+), capped AS (
+  SELECT doc_id, band, band_sig FROM bands
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) <= {_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+FROM capped a JOIN capped b ON a.band = b.band AND a.band_sig = b.band_sig
 WHERE a.doc_id < b.doc_id
 """,
 )
@@ -123,9 +127,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ≤ #docs rows before the single shuffle. (The naive alternative —
     explode shingles × seeds then groupBy(doc, seed) — shuffles
     #shingles × 16 rows; measured 9× slower at sf0.1.) Band signatures
-    and the band self-join then touch only #docs × #bands 32-byte rows,
-    never O(n²); at 100 TB skewed mega-buckets (boilerplate docs) would
-    be length-capped or salted before pairing.
+    and the band self-join then touch only #docs × #bands 32-byte rows.
+
+    Mega-bucket guard: only the 64 smallest doc_ids per band bucket
+    generate pairs (window rank, mirrored by QUALIFY in the oracle) —
+    a bucket of b identical boilerplate docs otherwise emits C(b,2)
+    pairs, the one quadratic blow-up LSH doesn't protect against. Caps
+    the self-join fan-out at C(64,2) per bucket at ANY corpus size; a
+    production pipeline would union a representative-edges pass so
+    capped members still cluster transitively.
     """
     d = load_table(spark, sf_dir, "documents")
     minhash = _shingles(d).groupBy("doc_id").agg(
@@ -147,6 +157,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     bands = minhash.select("doc_id", F.explode(F.array(*band_sigs)).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig")
+    )
+    cap_w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    bands = (
+        bands.withColumn("_rn", F.row_number().over(cap_w))
+        .where(F.col("_rn") <= _BUCKET_CAP)
+        .drop("_rn")
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("band_sig").alias("sig_a")

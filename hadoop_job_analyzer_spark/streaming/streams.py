@@ -27,7 +27,7 @@ import os
 import shutil
 from itertools import count
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table_path
@@ -211,6 +211,66 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
     return run_to_memory(spark, agg, "stream_dedup", "complete")
+
+
+@query("stream_stateful_counter")
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the
+    PySpark-native arbitrary-state API (SURVEY.md §2.I note).
+
+    Per event_type, user state (count, running max value) persists in
+    the state store across micro-batches; the source is staged as two
+    files with maxFilesPerTrigger=1, so availableNow runs exactly two
+    batches and the second PROVABLY resumes from restored state (counts
+    double — asserted in tests against the batch twin). Update-mode
+    memory sink keeps every emission; the final row per key is the one
+    with the highest n_events (monotone per key). At scale state lives
+    in the per-partition state store (RocksDB), keyed and partitioned
+    by the group key — identical semantics on 1000 executors.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = os.path.join(_ARTIFACTS, f"stateful_src_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    batch = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(table_path(sf_dir, "events"))
+    batch.where(F.expr("event_id % 2 = 0")).coalesce(1).write.parquet(os.path.join(src, "f0"))
+    batch.where(F.expr("event_id % 2 = 1")).coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def track(key, pdfs, state: GroupState):
+        (etype,) = key
+        cnt, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            cnt += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((cnt, mx))
+        yield pd.DataFrame(
+            {"event_type": [etype], "n_events": [cnt], "max_value": [mx]}
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        track,
+        "event_type string, n_events long, max_value double",
+        "cnt long, mx double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(spark, out, "stream_stateful_counter", "update")
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("event_type", "n_events", "max_value")
+    )
 
 
 @query("stream_foreach_batch")

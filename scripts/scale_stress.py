@@ -57,7 +57,7 @@ QUERIES = [
     "sim_knn_join",
     "dedup_near_minhash",
 ]
-SKIP_AT_16 = {"dedup_near_minhash"}  # 16x duplicate mass → 256x bucket pairs by design
+SKIP_AT_16: set[str] = set()  # minhash is safe since the 64-doc bucket cap
 
 
 def inflate(spark, k: int) -> str:

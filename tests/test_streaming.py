@@ -94,6 +94,19 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     assert _rows(got) == _rows(want)
 
 
+def test_stream_stateful_counter_equals_batch(spark, sf_dir):
+    """applyInPandasWithState: final per-key state == batch agg, and the
+    two-batch split means state provably carried across micro-batches
+    (each key's final count covers BOTH source files)."""
+    got = queries()["stream_stateful_counter"](spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_stream_foreach_batch_roundtrip(spark, sf_dir):
     got = queries()["stream_foreach_batch"](spark, sf_dir)
     want = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
