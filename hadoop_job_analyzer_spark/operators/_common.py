@@ -80,3 +80,22 @@ def unscale(sum_col: Column) -> Column:
 def lsum(col: Column | str) -> Column:
     """Exact money sum for BOUNDED groups (single shuffle, long-typed)."""
     return unscale(F.sum(ulong(col)))
+
+
+# --- Shuffle-before-explode ------------------------------------------
+#
+# Explode-then-aggregate pipelines keyed by a row id (shingling,
+# gramming, tokenizing) should shuffle the COMPACT row, not the exploded
+# stream: hash(doc_id) partitioning established before the explode
+# satisfies every downstream groupBy/distinct clustered on doc_id(+x),
+# so the heavy map work runs fully parallel and the aggregations compile
+# with zero further exchanges. Explicit N (from shuffle.partitions) is
+# deliberate: AQE coalesces small implicit shuffles to 1 partition
+# (64 MB advisory), which serialized 1.45 M md5s + a SortAggregate sort
+# onto one thread (measured 9x on text_fingerprint at sf0.1).
+
+
+def spread(df, *cols):
+    """Repartition by key cols, explicit-N (AQE-coalesce-proof)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._common import spread
 
 # ---------------------------------------------------------------- dedup
 
@@ -68,9 +69,13 @@ def _shingles(d: DataFrame) -> DataFrame:
     the whole text on every element_at (3 × ~100 positions per doc —
     measured 13× slower). Duplicate shingles are kept: the only
     consumer takes per-doc MINs, which are multiset-invariant, so an
-    array_distinct pass would be pure overhead.
+    array_distinct pass would be pure overhead. Input rows are spread
+    by doc_id BEFORE the explode (see _common.spread): consumers all
+    re-aggregate on doc_id, so this is their inevitable shuffle done on
+    the compact representation, and it parallelizes the shingle+hash
+    map work regardless of source file splits.
     """
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    toks = spread(d, "doc_id").select("doc_id", F.split(F.col("text"), " ").alias("t"))
     idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
         F.array().cast("array<int>")
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._common import spread
 from .llm import _shingles
 
 _SIMHASH_BITS = 16
@@ -72,11 +73,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-doc signature is 16 SUM aggregates over one token explode —
     map-side partial agg collapses each partition to ≤ #docs rows before
     the single shuffle (the same single-shuffle shape as the minhash
-    key). The band self-join buckets on 8 bits; at 100 TB you widen the
-    hash to 64/128 bits and the bands to 16+ bits so bucket sizes stay
-    bounded — the plan shape is unchanged.
+    key). Doc rows are spread by doc_id before the token explode
+    (_common.spread) so the 16-bit hashing map stage is parallel and
+    the signature groupBy needs no further exchange. The band self-join
+    buckets on 8 bits; at 100 TB you widen the hash to 64/128 bits and
+    the bands to 16+ bits so bucket sizes stay bounded — the plan shape
+    is unchanged.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).select("doc_id", F.expr(_H_SPARK).alias("h"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._common import spread
 
 # Marker-word profiles (space-padded, counted in ' '||text||' ').
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -231,11 +232,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Karp-Rabin/winnowing shape: slide an 8-char window, hash every
     gram (md5 for cross-engine determinism), keep the min/max sketch +
-    a 60-bit integer fingerprint of the min gram. Shuffle carries only
-    (doc_id, 32-byte hash) pairs after map-side partial MIN/MAX —
-    O(docs), not O(chars), at any scale.
+    a 60-bit integer fingerprint of the min gram.
+
+    Plan shape (measured 9× over the naive groupBy at sf0.1):
+    repartition the SMALL doc rows by doc_id first — one shuffle of
+    #docs rows — so gram explode + md5 run fully parallel AND
+    hash(doc_id) satisfies every downstream aggregation distribution:
+    dedup groupBy(doc_id, gram), then doc-level agg where
+    distinct-count is plain COUNT(*), compile with ZERO further
+    exchanges. Two traps this dodges, both found via explain+measure:
+    (1) countDistinct mixed with min/max in one groupBy forces
+    Catalyst's Expand plan (input duplicated per aggregate class, two
+    wide shuffles of gram rows); (2) without the explicit repartition,
+    the one-file scan (and, post-shuffle, AQE's 64 MB coalescing) ran
+    1.45 M md5s + a SortAggregate sort single-threaded. min(string)
+    always plans as SortAggregate (string agg buffers aren't
+    hash-mutable), so the sort must be parallel. Explicit-N repartition
+    (_common.spread) is AQE-coalesce-proof.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(F.length("text") >= 8), "doc_id"
+    )
     # Explode window positions FIRST, hash after: md5-in-a-transform-
     # lambda evaluates interpreted (higher-order fns sit outside
     # whole-stage codegen; measured 4×), while md5 over an exploded row
@@ -243,10 +260,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id", "text", F.explode(F.expr("sequence(1, length(text) - 7)")).alias("i")
     ).select("doc_id", F.expr("md5(substr(text, i, 8))").alias("gram_md5"))
-    return grams.groupBy("doc_id").agg(
+    distinct_grams = grams.groupBy("doc_id", "gram_md5").agg(F.lit(1))
+    return distinct_grams.groupBy("doc_id").agg(
         F.min("gram_md5").alias("fp_min"),
         F.max("gram_md5").alias("fp_max"),
-        F.countDistinct("gram_md5").alias("n_distinct_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
         F.conv(F.substring(F.min("gram_md5"), 1, 15), 16, 10)
         .cast("bigint")
         .alias("fingerprint64"),
