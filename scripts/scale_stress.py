@@ -56,7 +56,12 @@ QUERIES = [
     "text_quality",
     "sim_knn_join",
     "dedup_near_minhash",
+    "text_fingerprint",
+    "sim_ann_ivf",
 ]
+# dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
+# pushes every shingle's df past the <=5 rarity filter, so its inflated
+# result is trivially empty — a meaningless (and meaninglessly fast) run.
 SKIP_AT_16: set[str] = set()  # minhash is safe since the 64-doc bucket cap
 
 
