@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._common import lsum, o_dsum
+from ._common import dsum, lsum, o_dsum
 
 _JOIN3_ORACLE = """
 SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
@@ -344,4 +344,52 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
         .withColumn("rank_pos", F.row_number().over(w))
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join: identical result to the plain equi-join
+    (the oracle IS the plain join), executed with an R=4 salt.
+
+    The 100 TB skew recipe made first-class: the probe side gets a
+    deterministic salt pmod(l_linenumber, 4); the build side is
+    exploded ×4 (sequence 0..3) so every (key, salt) combination
+    exists; the join runs on (key, salt), splitting any hot key's rows
+    across 4 reducers instead of one straggler. Salting is the portable
+    fallback for what AQE's skew-join split handles adaptively — you
+    reach for it when the skew survives AQE (e.g. a skewed key feeding
+    a downstream groupBy on the same key) or when the salt can be
+    baked into the table layout at write time. The salt is derived
+    from a DATA column (l_linenumber), not rand(): deterministic under
+    retries — a task re-run after executor loss must salt identically
+    or rows migrate between reducers mid-query. The join is hinted
+    shuffle_hash: a broadcast would make salting moot (no shuffle to
+    skew) and at real scale the build side doesn't broadcast.
+    """
+    _R = 4
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_R)).cast("int")
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_R - 1)))
+    )
+    joined = l.join(
+        o.hint("shuffle_hash"),
+        (l["l_orderkey"] == o["o_orderkey"]) & (l["salt"] == o["salt"]),
+        "inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
