@@ -93,3 +93,32 @@ def test_knn_kernel_stays_in_arrow(plan):
     p = plan("sim_knn_join")
     assert "MapInPandas" in p or "mapInPandas" in p
     assert "BroadcastNestedLoopJoin" not in p  # the interpreted path we removed
+
+
+def test_fingerprint_has_no_expand_and_parallel_map(plan):
+    p = plan("text_fingerprint")
+    # countDistinct folded into dedup-first => no Expand plan
+    assert "Expand" not in p
+    # spread-before-explode: the only exchange is the compact doc-row
+    # repartition, which sits BELOW the Generate (explode) in the plan
+    assert p.count("Exchange") == 1
+    assert p.index("Generate") < p.index("Exchange")
+
+
+def test_simhash_spreads_before_tokenize(plan):
+    p = plan("dedup_simhash")
+    gen = p.index("Generate explode(split(text")
+    rep = p.index("REPARTITION_BY_NUM")
+    assert rep > gen  # tree prints top-down: repartition below/before explode
+
+
+def test_jaccard_persists_inverted_index(plan):
+    p = plan("dedup_ngram_jaccard")
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_skew_salted_join_is_shuffled_hash_on_salt(plan):
+    p = plan("join_skew_salted")
+    assert "ShuffledHashJoin" in p
+    assert "salt" in p  # join keys include the salt
+    assert "BroadcastHashJoin" not in p
