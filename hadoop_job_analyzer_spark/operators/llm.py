@@ -164,10 +164,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig")
     )
     cap_w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    # persist: both self-join legs replay the whole shingle+minhash
+    # pipeline otherwise (no exchange reuse across the differently-
+    # keyed window and join shuffles; measured 3×). #docs × #bands
+    # 40-byte rows — at 100 TB persist MEMORY_AND_DISK, same plan.
     bands = (
         bands.withColumn("_rn", F.row_number().over(cap_w))
         .where(F.col("_rn") <= _BUCKET_CAP)
         .drop("_rn")
+        .persist()
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("band_sig").alias("sig_a")
@@ -422,13 +427,20 @@ WHERE term_rank <= 3
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, top-3 terms per doc — pure DataFrame math (tf and df are
-    exact ints; only the final ln() is rounded)."""
+    exact ints; only the final ln() is rounded).
+
+    tf is spread-before-explode (parallel tokenize, exchange-free
+    groupBy — _common.spread) and persisted: both consumers (the df
+    aggregation and the scoring join) would replay the token pipeline
+    otherwise."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar dimension; at scale: a 1-row broadcast instead
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        spread(d, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     score = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
