@@ -265,7 +265,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_a": a_ids[ai], "vec_b": ids[bi], "cosine": cos[bi, ai]}
             )
 
-    cand = e.select("vec_id", "embedding").mapInPandas(
+    # spread: each of the N partitions scans its slice against the
+    # broadcast anchor matrix in its own Arrow worker (2.3× at sf0.1;
+    # at scale this is the per-bucket parallelism the docstring plans).
+    cand = spread(e.select("vec_id", "embedding"), "vec_id").mapInPandas(
         scan, schema="vec_a bigint, vec_b bigint, cosine double"
     )
     return cand.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
@@ -341,8 +344,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_vc").desc(), F.col("cen_id").asc())
+    # spread: parallelizes the 16-dots-per-vector assignment map (the
+    # interpreted lambda dot is the cost) and pre-satisfies the argmax
+    # window's vec_id clustering. Measured 0.9 s -> 0.6 s at sf0.1.
     assign = (
-        e.crossJoin(F.broadcast(cents))
+        spread(e, "vec_id").crossJoin(F.broadcast(cents))
         .select("vec_id", "cen_id", cos_vc.alias("cos_vc"))
         .withColumn("rk", F.row_number().over(w_assign))
         .where(F.col("rk") == 1)
