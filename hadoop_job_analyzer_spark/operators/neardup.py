@@ -114,6 +114,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bn"),
     ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.nibble").alias("nibble"))
+    # persist: both self-join legs replay the tokenize+16-sum pipeline
+    # otherwise (same lesson as minhash's bands). #docs × 2 small rows.
+    bands = bands.persist()
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
         F.col("band").alias("band_a"), F.col("nibble").alias("nib_a"),
