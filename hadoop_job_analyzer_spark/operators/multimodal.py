@@ -153,3 +153,65 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payload(load_table(spark, sf_dir, "documents")).mapInPandas(
         sample, schema="doc_id bigint, frame_idx int, frame_hex string, luma int"
     )
+
+
+_N_SAMPLES = 32  # 64-byte payload = 32 x 16-bit big-endian PCM samples
+
+
+def _audio_oracle() -> str:
+    # 16-bit unsigned from hex, then two's-complement to signed.
+    return f"""
+WITH samples AS (
+  SELECT doc_id, i,
+         (('0x' || substring({_HEX_SQL}, 4 * i + 1, 4))::INT + 32768) % 65536 - 32768 AS s
+  FROM documents, (SELECT UNNEST(generate_series(0, {_N_SAMPLES - 1})) AS i) t
+), lagged AS (
+  SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM samples
+)
+SELECT doc_id,
+       COUNT(*)::INT AS n_samples,
+       SUM(ABS(s))::BIGINT AS sum_abs,
+       MAX(ABS(s))::INT AS peak,
+       SUM(CASE WHEN prev IS NOT NULL AND ((s >= 0) <> (prev >= 0))
+                THEN 1 ELSE 0 END)::INT AS zero_crossings
+FROM lagged
+GROUP BY doc_id
+"""
+
+
+@query("mm_audio_features", oracle=_audio_oracle())
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over a binary audio column (stub codec).
+
+    The payload is interpreted as 32 signed 16-bit big-endian PCM
+    samples (struct.unpack in Python — real byte parsing, the exact
+    shape a torchaudio/librosa front-end has after resampling); the
+    features are the classic integer-exact VAD trio: total absolute
+    energy, peak amplitude, zero-crossing count. All-integer math so
+    the DuckDB oracle (hex pairs → two's-complement → window lag for
+    crossings) hash-matches exactly. One map stage, one row per doc,
+    no shuffle — embarrassingly parallel at 100 TB; a real pipeline
+    swaps _decode_real in and emits float MFCCs instead.
+    """
+    import struct
+
+    import pandas as pd
+
+    def features(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sum_abs": [], "peak": [], "zero_crossings": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = struct.unpack(f">{_N_SAMPLES}h", bytes(payload))
+                zc = sum(1 for i in range(1, _N_SAMPLES) if (s[i] >= 0) != (s[i - 1] >= 0))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(_N_SAMPLES)
+                out["sum_abs"].append(sum(abs(x) for x in s))
+                out["peak"].append(max(abs(x) for x in s))
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return _payload(load_table(spark, sf_dir, "documents")).mapInPandas(
+        features,
+        schema="doc_id bigint, n_samples int, sum_abs bigint, peak int, zero_crossings int",
+    )
