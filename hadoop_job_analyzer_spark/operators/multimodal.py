@@ -215,3 +215,63 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         features,
         schema="doc_id bigint, n_samples int, sum_abs bigint, peak int, zero_crossings int",
     )
+
+
+_IMG_W = 8  # payload = 8x8 single-channel 8-bit "image"
+
+
+def _resize_oracle() -> str:
+    # output pixel p (0..15): r=p//4, c=p%4; avg-pool the 2x2 input
+    # block at (2r, 2c). byte k of the payload = hex chars 2k+1..2k+2.
+    def px(k: str) -> str:
+        return f"('0x' || substring({_HEX_SQL}, 2 * ({k}) + 1, 2))::INT"
+
+    tl = px("(p // 4) * 16 + (p % 4) * 2")
+    tr = px("(p // 4) * 16 + (p % 4) * 2 + 1")
+    bl = px("(p // 4) * 16 + (p % 4) * 2 + 8")
+    br = px("(p // 4) * 16 + (p % 4) * 2 + 9")
+    return f"""
+SELECT doc_id, p AS pixel_idx,
+       ({tl} + {tr} + {bl} + {br}) // 4 AS px
+FROM documents, (SELECT UNNEST(generate_series(0, 15)) AS p) t
+"""
+
+
+@query("mm_image_resize", oracle=_resize_oracle())
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over a binary image column (stub codec): the 64-byte
+    payload as an 8×8 single-channel 8-bit image, 2×2 average-pooled to
+    4×4 — floor division keeps every output pixel integer-exact, so the
+    oracle (hex-extracted bytes, same index arithmetic) hash-matches.
+
+    The Python side is the real thing a thumbnailer does: numpy
+    reshape(8,8) → blockwise mean — swap _decode_real in and this
+    becomes PIL.resize. Emitted per-pixel (doc_id, pixel_idx, px) so a
+    mangled byte anywhere in the Arrow path is localized by the oracle
+    diff. Pure map stage, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def resize(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "pixel_idx": [], "px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(_IMG_W, _IMG_W)
+                pooled = (
+                    img.reshape(_IMG_W // 2, 2, _IMG_W // 2, 2)
+                    .astype(np.int32)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(_IMG_W // 2, _IMG_W // 2, 4)
+                    .sum(axis=2)
+                    // 4
+                )
+                for p in range(16):
+                    out["doc_id"].append(doc_id)
+                    out["pixel_idx"].append(p)
+                    out["px"].append(int(pooled[p // 4, p % 4]))
+            yield pd.DataFrame(out)
+
+    return _payload(load_table(spark, sf_dir, "documents")).mapInPandas(
+        resize, schema="doc_id bigint, pixel_idx int, px int"
+    )
