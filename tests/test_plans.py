@@ -62,7 +62,8 @@ def test_explicit_join_strategies_materialize(plan):
 
 def test_pure_map_keys_have_no_shuffle(plan):
     for key in ("text_langid", "text_quality", "text_token_stats", "mm_decode_meta",
-                "mm_frame_sample", "project_compute", "fn_string_basic"):
+                "mm_frame_sample", "mm_audio_features", "mm_image_resize",
+                "project_compute", "fn_string_basic"):
         p = plan(key)
         assert "Exchange" not in p, f"{key} should be shuffle-free:\n{p[:800]}"
 
