@@ -91,9 +91,8 @@ def _shingles(d: DataFrame) -> DataFrame:
     return toks.select("doc_id", F.explode(sh).alias("shingle"))
 
 
-@query(
-    "dedup_near_minhash",
-    oracle=f"""
+# Shared with dedup_components' oracle (which wraps it as a CTE body).
+MINHASH_PAIRS_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), shingles AS (
@@ -117,8 +116,10 @@ WITH toks AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM capped a JOIN capped b ON a.band = b.band AND a.band_sig = b.band_sig
 WHERE a.doc_id < b.doc_id
-""",
-)
+"""
+
+
+@query("dedup_near_minhash", oracle=MINHASH_PAIRS_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs.
 

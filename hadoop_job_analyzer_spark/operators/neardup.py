@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 from ._common import spread
-from .llm import _shingles
+from .llm import MINHASH_PAIRS_ORACLE, _shingles, dedup_near_minhash
 
 _SIMHASH_BITS = 16
 _SIMHASH_BANDS = 2  # 2 bands x 8 bits
@@ -391,4 +391,95 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
         .withColumn("rank_pos", F.row_number().over(w))
+    )
+
+
+def _components_oracle() -> str:
+    # Recursive min-reachability over the undirected minhash pair graph:
+    # component(v) = MIN(u reachable from v), singletons included.
+    return f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_PAIRS_ORACLE}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id,
+       MIN(dst) AS component,
+       CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS is_keeper
+FROM reach
+GROUP BY src
+"""
+
+
+@query("dedup_components", oracle=_components_oracle())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash candidate-pair graph — the
+    keeper-selection stage every dedup pipeline ends with: near-dup
+    PAIRS are not deletable units, transitive CLUSTERS are (A~B, B~C
+    must collapse to one keeper even when A~C was never emitted).
+
+    Iterative min-label propagation (the classic Spark connected-
+    components shape): every doc starts labeled with its own id; each
+    round takes the min of its own and its neighbors' labels; converges
+    in graph-diameter rounds (near-dup clusters are shallow — measured
+    3 rounds at sf0.1). Driver-side loop control with a per-round
+    changed-count action is the documented exception to the no-collect
+    rule: iterative algorithms need a convergence test, and each round
+    is a bounded pair of small shuffles over (id, label) pairs. Labels
+    are re-persisted per round to cut lineage growth; at 100 TB this is
+    GraphX/GraphFrames connected components — same algorithm, same
+    shuffle pattern, checkpointed every few rounds.
+
+    The oracle is a recursive CTE computing min-reachability — a fully
+    independent formulation (closure vs propagation) that must agree
+    exactly: is_keeper marks the component representative (min doc_id).
+    """
+    pairs = dedup_near_minhash(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .persist()
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges["a"] == labels["doc_id"])
+            .select(F.col("b").alias("doc_id"), "component")
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "component",
+        F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0).alias("is_keeper"),
     )
