@@ -1,0 +1,419 @@
+"""Category K3 — corpus-construction operators (SURVEY.md §2.K3).
+
+The stages that turn a raw crawl into a training corpus, downstream of
+the K/K2 featurizers and dedup: deterministic sampling and data mixing,
+train/val/test splitting, benchmark decontamination, sequence packing,
+stopword scrubbing, and applying dedup verdicts to produce the final
+corpus. All are pure built-in-expression pipelines hash-matched against
+DuckDB oracles.
+
+Determinism rules (shared with llm.py/textops.py):
+
+- "Random" sampling is md5-keyed: bucket = first 15 hex chars of
+  md5(doc_id) → int64 (Spark ``conv(h,16,10)`` == DuckDB
+  ``('0x'||h)::BIGINT``, verified in textops) mod 100. Reproducible
+  across engines, runs, AND cluster sizes — the property a production
+  pipeline actually wants from its sampler (re-runs select the same
+  rows; adding executors doesn't change the sample), which
+  ``df.sample()``/TABLESAMPLE cannot give.
+- All counts/ratios stay in integer math until a final exact cast.
+
+Scale notes are per-operator; the common theme is that every one of
+these is either a pure map (sampling, splitting, scrubbing) that
+pipelines into the scan with full predicate pushdown, or a single
+bounded shuffle (packing: one per-stratum window; decon: one join on
+gram hashes with a broadcastable benchmark side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ._common import spread
+from .llm import MINHASH_PAIRS_ORACLE
+from .neardup import dedup_components
+
+# --------------------------------------------------------- hash sampling
+
+# Per-language keep rates (percent) — a data-mixing config: downsample
+# the over-represented language, keep the rest.
+_RATES = {"en": 25, "de": 50, "es": 50, "fr": 50, "zh": 75}
+_DEFAULT_RATE = 100
+
+
+def _bucket(col: Column, mod: int) -> Column:
+    """Deterministic uniform bucket in [0, mod) from any int/string col."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % mod
+
+
+def _o_bucket(expr: str, mod: int) -> str:
+    return f"('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT % {mod}"
+
+
+_O_RATE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _RATES.items()
+) + f" ELSE {_DEFAULT_RATE} END"
+
+
+@query(
+    "sample_hash_stratified",
+    oracle=f"""
+SELECT doc_id, lang, source, {_o_bucket('doc_id', 100)} AS bucket
+FROM documents
+WHERE {_o_bucket('doc_id', 100)} < {_O_RATE}
+""",
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsample with per-language keep rates (data mixing).
+
+    keep iff md5-bucket(doc_id) < rate(lang). A pure map-side filter:
+    no shuffle, no state, pipelines into the parquet scan, and the
+    selection is stable under re-runs and repartitioning — at 100 TB
+    this is a zero-cost pushdown stage in front of everything else,
+    and changing the mixture weights re-selects a superset/subset of
+    the previous sample (nested samples: rate 25 ⊂ rate 50), which is
+    how mixture-ablation corpora are built without re-shuffling data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATES.items()],
+        F.lit(_DEFAULT_RATE),
+    )
+    return (
+        d.withColumn("bucket", _bucket(F.col("doc_id"), 100))
+        .where(F.col("bucket") < rate)
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+@query(
+    "sample_fixed_per_stratum",
+    oracle="""
+SELECT doc_id, lang, samp_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS samp_rank
+  FROM documents
+)
+WHERE samp_rank <= 20
+""",
+)
+def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per stratum: exactly k=20 docs per
+    language, the docs with the 20 smallest md5(doc_id) values.
+
+    Hash-ordering makes "reservoir sampling" a deterministic top-k:
+    uniform over the stratum, reproducible, and mergeable — per-
+    partition top-20s combine to the global top-20, so Spark computes
+    it with partial TakeOrdered partials, never materializing a full
+    sort. At 100 TB: one shuffle of ≤ k rows per partition per
+    stratum. (A true reservoir needs sequential state; hash-top-k is
+    the order-free equivalent used in distributed samplers.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("samp_rank", F.row_number().over(w))
+        .where(F.col("samp_rank") <= 20)
+    )
+
+
+# ------------------------------------------------------ train/test split
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM (SELECT lang, n_chars, {_o_bucket('doc_id', 100)} AS b FROM documents)
+GROUP BY 1, 2
+""",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment + per-split stats.
+
+    Same md5-bucket primitive as the sampler, so membership is a pure
+    function of doc_id: any job (training, eval, decontamination) can
+    recompute the split locally without a membership table or a join —
+    the property that matters at 100 TB, where a split-assignment JOIN
+    would be a full-corpus shuffle but this is a free map expression.
+    Stats aggregate with map-side partials into 15 groups.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 90, F.lit("train")).when(b < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )
+
+
+# -------------------------------------------------------- decontamination
+
+_DECON_N = 5  # gram width
+
+
+def _grams(d: DataFrame, n: int) -> DataFrame:
+    """doc_id → exploded DISTINCT n-word grams (built-in lambdas only).
+
+    Same materialize-tokens-first + spread-before-explode shape as
+    llm._shingles (see its docstring for why); distinct-per-doc here
+    because decon counts each shared gram once.
+    """
+    toks = spread(d, "doc_id").select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    idx = F.when(F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(n)]),
+    )
+    return toks.select("doc_id", F.explode(F.array_distinct(gram)).alias("gram"))
+
+
+_O_GRAMS = f"""
+  SELECT DISTINCT doc_id, source,
+         concat_ws(' ', {', '.join(f't[i+{j}]' for j in range(_DECON_N))}) AS gram
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       UNNEST(CASE WHEN len(t) >= {_DECON_N}
+                   THEN generate_series(1, len(t)-{_DECON_N - 1}) ELSE [] END) AS u(i)
+"""
+
+
+@query(
+    "decon_ngram_overlap",
+    oracle=f"""
+WITH grams AS ({_O_GRAMS}),
+bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+train AS (SELECT doc_id, gram FROM grams WHERE source <> 'src0'),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared_grams
+  FROM train t JOIN bench b ON t.gram = b.gram
+  GROUP BY t.doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id)
+SELECT h.doc_id, h.n_shared_grams, tot.n_grams,
+       CASE WHEN h.n_shared_grams * 10 >= tot.n_grams THEN 1 ELSE 0 END AS is_contaminated
+FROM hits h JOIN tot USING (doc_id)
+""",
+)
+def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing 5-gram
+    spans with the held-out set (source='src0' stands in for the
+    benchmark suite), with a 10%-of-grams contamination threshold.
+
+    The standard n-gram decon pipeline (GPT-3 appendix-C shape):
+    distinct 5-grams per doc on both sides, inner join train grams
+    against the benchmark gram SET, count hits per doc. Threshold
+    math stays in integers (n_shared*10 >= n_grams) — no float, no
+    rounding policy needed. Shuffle shape at 100 TB: the benchmark
+    side is ~fixed-size (eval suites are MBs, not TBs) → Spark
+    broadcast-joins it automatically under AQE size stats; the train
+    side streams through map-side, so decon costs one scan plus a
+    per-doc count. The gram join key at scale would be md5(gram)
+    (32 bytes bounded) rather than the raw span; kept raw here to
+    keep the oracle dialect-free, noted for the 100 TB plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = _grams(d.select("doc_id", "source", "text"), _DECON_N).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    bench = grams.where(F.col("source") == "src0").select("gram").distinct()
+    train = grams.where(F.col("source") != "src0").select("doc_id", "gram")
+    # spread established partitioning on doc_id; the per-doc total is
+    # exchange-free, and both consumers share the persisted gram stream.
+    train = train.persist()
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return hits.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shared_grams",
+        "n_grams",
+        F.when(F.col("n_shared_grams") * 10 >= F.col("n_grams"), 1)
+        .otherwise(0)
+        .alias("is_contaminated"),
+    )
+
+
+# -------------------------------------------------------- sequence packing
+
+_PACK_CAP = 2048  # tokens per packed sequence bin
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH sized AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), offs AS (
+  SELECT lang, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_off
+  FROM sized
+)
+SELECT lang, start_off // {_PACK_CAP} AS bin,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM offs
+GROUP BY lang, start_off // {_PACK_CAP}
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each language's docs in doc_id
+    order into a token stream and cut it into 2048-token bins; report
+    per-bin doc count, token mass, and doc range.
+
+    bin = start-offset // capacity (offset packing: a doc belongs to
+    the bin its first token lands in) — the deterministic, shuffle-
+    friendly packing used when documents stream in a fixed order, as
+    opposed to bin-packing heuristics that need global state. One
+    window (running sum per stratum) + one partial agg. At 100 TB the
+    per-stratum ORDER BY is the real cost: Spark range-partitions
+    within lang for the window sort; production packers do exactly
+    this per input shard rather than globally (the order just has to
+    be *fixed*, not *global*), which drops the sort to per-partition.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select("lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sized.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        offs.groupBy("lang", (F.col("start_off") / _PACK_CAP).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# -------------------------------------------------------- stopword scrub
+
+_STOPWORDS = ("a", "the")
+
+
+@query(
+    "text_remove_stopwords",
+    oracle=f"""
+WITH cleaned AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS t,
+         list_filter(string_split(text, ' '),
+                     x -> x NOT IN ({', '.join(repr(s) for s in _STOPWORDS)})) AS kept
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_before,
+       len(kept) AS n_after,
+       md5(array_to_string(kept, ' ')) AS clean_hash
+FROM cleaned
+""",
+)
+def text_remove_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword scrub: drop stoplist tokens, return before/after token
+    counts and the md5 of the cleaned text (the hash proves the full
+    reconstructed string matches the oracle byte-for-byte without
+    shipping megabytes of text through the comparison).
+
+    Pure map over array built-ins (split → filter → array_join) —
+    whole-stage-codegen'd, zero shuffle, scales embarrassingly. The
+    cleaning transform every pipeline runs before tokenization; the
+    same filter-lambda shape extends to boilerplate line removal.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    kept = F.filter(t, lambda x: ~x.isin(*_STOPWORDS))
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_before"),
+        F.size(kept).alias("n_after"),
+        F.md5(F.array_join(kept, " ")).alias("clean_hash"),
+    )
+
+
+# ------------------------------------------------- apply dedup verdicts
+
+
+@query(
+    "corpus_dedup_apply",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_PAIRS_ORACLE}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+), comp AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+)
+SELECT d.lang, d.source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN d.doc_id = c.component THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN d.doc_id = c.component THEN 0 ELSE 1 END) AS n_removed,
+       SUM(CASE WHEN d.doc_id = c.component THEN d.n_chars ELSE 0 END) AS chars_kept
+FROM documents d JOIN comp c USING (doc_id)
+GROUP BY d.lang, d.source
+""",
+)
+def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply near-dup verdicts to the corpus: per lang×source, how many
+    docs survive keeper-selection (doc == its component representative)
+    and how much text mass is kept — the accounting report every dedup
+    run ends with, and the stage that turns dedup_components' labels
+    into the actual filtered corpus.
+
+    One equi-join of the label table (doc_id, component — two bigints)
+    back to documents, then a 100-group partial agg. At 100 TB the
+    label table is ~16 bytes/doc; it joins either broadcast (labels of
+    a 1 B-doc corpus ≈ 16 GB → shuffle) or sort-merge on doc_id, and
+    the heavy side streams map-side. Reuses dedup_components verbatim
+    (same iterative propagation), so the two keys cannot drift.
+    """
+    labels = dedup_components(spark, sf_dir).select("doc_id", "component")
+    d = load_table(spark, sf_dir, "documents")
+    kept = F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0)
+    return (
+        d.join(labels, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(1 - kept).alias("n_removed"),
+            F.sum(F.col("n_chars") * kept).alias("chars_kept"),
+        )
+    )
