@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "sim_ann_ivf",
+    "decon_ngram_overlap",
+    "pack_sequences",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]

@@ -235,11 +235,16 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the oracle dialect-free, noted for the 100 TB plan.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = _grams(d.select("doc_id", "source", "text"), _DECON_N).join(
-        d.select("doc_id", "source"), "doc_id"
+    # Filter by source BEFORE gramming: each leg's predicate pushes down
+    # to its scan and no join is needed to recover `source` afterwards
+    # (first cut joined the gram stream back to documents for the source
+    # column — 10-exchange plan; this shape has 3).
+    bench = (
+        _grams(d.where(F.col("source") == "src0").select("doc_id", "text"), _DECON_N)
+        .select("gram")
+        .distinct()
     )
-    bench = grams.where(F.col("source") == "src0").select("gram").distinct()
-    train = grams.where(F.col("source") != "src0").select("doc_id", "gram")
+    train = _grams(d.where(F.col("source") != "src0").select("doc_id", "text"), _DECON_N)
     # spread established partitioning on doc_id; the per-doc total is
     # exchange-free, and both consumers share the persisted gram stream.
     train = train.persist()

@@ -118,6 +118,44 @@ def test_jaccard_persists_inverted_index(plan):
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p
 
 
+def test_hash_sampling_is_pure_map(plan):
+    # md5-bucket sampling/splitting/scrubbing must pipeline into the
+    # scan: no shuffle anywhere (sampling), or exactly the one partial-
+    # agg exchange (split stats).
+    p = plan("sample_hash_stratified")
+    assert "Exchange" not in p, p[:800]
+    assert "Exchange" not in plan("text_remove_stopwords")
+    p = plan("split_train_test")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_decon_pushes_source_filter_and_broadcasts_bench(plan):
+    p = plan("decon_ngram_overlap", "formatted")
+    # each leg's source predicate reaches its parquet scan
+    assert "PushedFilters: [IsNotNull(source), Not(EqualTo(source,src0))]" in p
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src0)]" in p
+    # the benchmark gram set joins broadcast, never shuffling the train side
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_single_stratum_window(plan):
+    # one exchange for the per-lang window; the (lang, bin) agg rides
+    # the same partitioning with map-side partials
+    p = plan("pack_sequences")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "Window" in p
+
+
+def test_fixed_sample_topk_filters_before_full_sort(plan):
+    # per-stratum rank ≤ 20: the window filter must appear (no
+    # unbounded materialization of the full ranked corpus downstream)
+    p = plan("sample_fixed_per_stratum")
+    assert "samp_rank" in p
+    assert p.count("Exchange hashpartitioning") == 1  # the lang partition
+
+
 def test_skew_salted_join_is_shuffled_hash_on_salt(plan):
     p = plan("join_skew_salted")
     assert "ShuffledHashJoin" in p
