@@ -517,3 +517,35 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@query(
+    "emb_centroid_per_label",
+    oracle="""
+SELECT label, i - 1 AS pos,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+GROUP BY label, i
+""",
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the vector-average
+    verb (class prototypes; the training step of the IVF index
+    sim_ann_ivf probes, here as a first-class keyed result).
+
+    posexplode → groupBy(label, pos) avg: the shuffle carries only
+    partial (sum, count) pairs per (label, dim) — #labels × 64 cells
+    regardless of corpus size — so a 100 TB embedding table reduces in
+    one pass with map-side partials. Input rows are spread first so
+    the explode map parallelizes off single-split files (the lesson
+    every heavy map over these tables keeps re-teaching). The mean is
+    float-policy rounded (H~): double accumulation order differs
+    across engines by ~1e-13 against a 1e-6 rounding grid.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        spread(e, "vec_id")
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )

@@ -336,3 +336,100 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
     )
+
+
+@query(
+    "win_fill_forward",
+    oracle="""
+WITH masked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN value < 10 THEN NULL ELSE value END AS val_masked
+  FROM events
+)
+SELECT user_id, event_id, ts, val_masked,
+       LAST_VALUE(val_masked IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS val_filled
+FROM masked
+""",
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) per user: gaps (masked low readings) carry
+    the last observed value forward — the time-series imputation verb
+    (`last_value IGNORE NULLS` == Spark `last(ignorenulls=True)` over a
+    running frame). One shuffle on user_id + per-partition sort; the
+    fill itself is a streaming frame, never materializing the
+    partition. Values pass through unmasked (no arithmetic), so the
+    match is exact, not float-policy."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("val_masked"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.withColumn(
+        "val_filled", F.last("val_masked", ignorenulls=True).over(w)
+    )
+
+
+@query(
+    "ts_gapfill_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events
+), grid AS (
+  SELECT t.event_type, u.hr
+  FROM (SELECT DISTINCT event_type FROM events) t, b,
+       UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS u(hr)
+)
+SELECT g.event_type, g.hr,
+       COALESCE(h.n_events, 0) AS n_events,
+       COALESCE(h.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value,
+       CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM grid g LEFT JOIN hourly h USING (event_type, hr)
+""",
+)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup with gap filling — the hypertable/timeseries
+    rollup shape: aggregate to hour × type, then LEFT-join a generated
+    dense hour grid so silent hours appear as explicit zero rows
+    (`is_gap` marks them).
+
+    The grid is `sequence(min_hour, max_hour, 1 hour)` exploded from a
+    1-row bound aggregate crossed with the distinct types — hours ×
+    types rows total (tiny at any corpus scale: 1 year × 1000 types =
+    8.8 M), so Catalyst broadcast-joins it against the shuffled hourly
+    partials; the fact table is touched exactly once, by the partial
+    agg. Money sums follow the decimal policy."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(F.col("event_type"), hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr")
+    ).crossJoin(ev.select("event_type").distinct())
+    return grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
+    )

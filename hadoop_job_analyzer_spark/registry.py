@@ -38,6 +38,7 @@ _OP_MODULES = (
     "hadoop_job_analyzer_spark.operators.textops",
     "hadoop_job_analyzer_spark.operators.neardup",
     "hadoop_job_analyzer_spark.operators.corpus",
+    "hadoop_job_analyzer_spark.operators.sketches",
     "hadoop_job_analyzer_spark.operators.multimodal",
     "hadoop_job_analyzer_spark.operators.udfs",
     "hadoop_job_analyzer_spark.functions.scalars",
