@@ -144,12 +144,25 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped members still cluster transitively.
     """
     d = load_table(spark, sf_dir, "documents")
-    minhash = _shingles(d).groupBy("doc_id").agg(
+    return _lsh_pairs(_minhash_sigs(_shingles(d)))
+
+
+def _minhash_sigs(shingles: DataFrame) -> DataFrame:
+    """(doc_id, shingle) stream → doc_id + mh0..mh15 signature columns.
+
+    Shared by dedup_near_minhash and neardup.minhash_jaccard_estimate
+    (the latter persists the shingle stream and reuses the sigs for
+    its agreement count — computing the pipeline once, not twice)."""
+    return shingles.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(s))))).alias(f"mh{s}")
             for s in range(_N_HASHES)
         ]
     )
+
+
+def _lsh_pairs(minhash: DataFrame) -> DataFrame:
+    """Signature matrix → capped LSH band buckets → candidate pairs."""
     band_sigs = [
         F.struct(
             F.lit(b).alias("band"),

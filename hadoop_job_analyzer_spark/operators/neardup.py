@@ -432,9 +432,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed-count action is the documented exception to the no-collect
     rule: iterative algorithms need a convergence test, and each round
     is a bounded pair of small shuffles over (id, label) pairs. Labels
-    are re-persisted per round to cut lineage growth; at 100 TB this is
-    GraphX/GraphFrames connected components — same algorithm, same
-    shuffle pattern, checkpointed every few rounds.
+    are localCheckpoint'ed per round: persist alone keeps the logical
+    plan growing each iteration (the final plan tree is exponential in
+    rounds and OOMs the driver just STRINGIFYING it — observed at x1
+    inflation), while checkpointing truncates lineage to the
+    materialized partitions. At 100 TB this is GraphX/GraphFrames
+    connected components — same algorithm, same shuffle pattern, with
+    reliable checkpoint() to HDFS instead of local.
 
     The oracle is a recursive CTE computing min-reachability — a fully
     independent formulation (closure vs propagation) that must agree
@@ -449,7 +453,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.col("doc_id").alias("component"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(20):
         nbr = (
@@ -466,7 +470,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -474,7 +478,6 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -482,4 +485,110 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "component",
         F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0).alias("is_keeper"),
+    )
+
+
+_MJ_N = 16  # minhash signature length (mirrors llm._N_HASHES)
+
+
+def _mj_oracle() -> str:
+    return f"""
+WITH pairs AS (
+{MINHASH_PAIRS_ORACLE}
+), toks2 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh2 AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks2, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+), seeds2 AS (
+  SELECT UNNEST(generate_series(0, {_MJ_N - 1})) AS seed
+), mh AS (
+  SELECT doc_id, seed, MIN(md5(shingle || '#' || seed)) AS mh
+  FROM sh2 CROSS JOIN seeds2 GROUP BY doc_id, seed
+), agree AS (
+  SELECT p.doc_a, p.doc_b, SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_agree
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.doc_a
+  JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed
+  GROUP BY 1, 2
+), nsh AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh2 a ON a.doc_id = p.doc_a
+  JOIN sh2 b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(g.n_agree AS DOUBLE) / {_MJ_N} AS est_jaccard,
+       CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS exact_jaccard
+FROM pairs p
+JOIN agree g ON g.doc_a = p.doc_a AND g.doc_b = p.doc_b
+JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN nsh na ON na.doc_id = p.doc_a
+JOIN nsh nb ON nb.doc_id = p.doc_b
+"""
+
+
+@query("minhash_jaccard_estimate", oracle=_mj_oracle())
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation for the minhash dedup family: for
+    every LSH candidate pair, the signature-estimated Jaccard
+    (agreeing minhashes / 16) next to the EXACT shingle-set Jaccard —
+    the measurement a pipeline operator runs to tune band/threshold
+    settings before trusting the sketch at 100 TB.
+
+    Both columns are hash-exact, not float-policy: the estimate is a
+    /16 dyadic fraction and the exact Jaccard is one IEEE division of
+    exact integers, identical in both engines. Shuffle shape: the
+    signature matrix (docs × 16 hex strings) joins to the pair list
+    twice — the pair list is the small side (LSH-capped) and joins on
+    doc id; the intersection count re-joins the distinct-shingle
+    stream (persisted — three consumers: per-doc sizes and both pair
+    legs) on (doc, shingle). At scale every join key is either a doc
+    id or (doc, shingle) — no quadratic term beyond the already-capped
+    candidate set.
+    """
+    from .llm import _lsh_pairs, _minhash_sigs
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).distinct().persist()
+    # one shingle pipeline feeds sigs, pairs, sizes, AND both
+    # intersection legs (distinct is minhash-invariant: mins over a
+    # multiset equal mins over its support)
+    sigs = _minhash_sigs(sh).persist()
+    pairs = _lsh_pairs(sigs).persist()
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(_MJ_N)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(_MJ_N)]
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(_MJ_N)
+    )
+    est = pairs.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a", "doc_b", n_agree.alias("n_agree")
+    )
+    nsh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(nsh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(nsh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_agree").cast("double") / _MJ_N).alias("est_jaccard"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("exact_jaccard"),
+        )
     )

@@ -100,3 +100,150 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+_KMV_K = 16  # k smallest hashes retained
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT token
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+), fracs AS (
+  SELECT CAST(('0x' || substring(md5(token), 1, 15))::BIGINT AS DOUBLE)
+         / 1152921504606846976 AS frac
+  FROM vocab
+), kth AS (
+  SELECT MAX(frac) AS kth_frac, COUNT(*) AS k
+  FROM (SELECT frac FROM fracs ORDER BY frac ASC LIMIT {_KMV_K})
+), exact AS (SELECT COUNT(*) AS n_exact FROM vocab)
+SELECT k.k, e.n_exact, k.kth_frac,
+       (k.k - 1) / k.kth_frac AS est_distinct
+FROM kth k CROSS JOIN exact e
+""",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch: keep the k=16 smallest
+    md5 fractions of the token vocabulary; estimate |vocab| as
+    (k-1)/kth_min. The H-matched companion to `agg_approx_distinct`
+    (Spark's HLL, rows-only by necessity — HLL internals are
+    engine-specific, but KMV over md5 is pure arithmetic both engines
+    agree on bit-for-bit: hex→int64 is exact, /2^60 is an exact
+    power-of-two scale, and the estimator is one IEEE division).
+
+    Scale shape: distinct collapses the token stream to the vocab with
+    map-side partials; the k smallest then flow through TakeOrdered
+    (per-partition top-k partials merge on the driver — k rows per
+    partition cross the wire, which is the whole point of KMV as a
+    DISTRIBUTED sketch: it composes by union+truncate).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = d.select(F.explode(F.split("text", " ")).alias("token")).distinct()
+    frac = (
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    ).alias("frac")
+    kmin = vocab.select(frac).orderBy("frac").limit(_KMV_K)
+    kth = kmin.agg(F.max("frac").alias("kth_frac"), F.count(F.lit(1)).alias("k"))
+    exact = vocab.agg(F.count(F.lit(1)).alias("n_exact"))
+    return kth.crossJoin(exact).select(
+        "k",
+        "n_exact",
+        "kth_frac",
+        ((F.col("k") - 1) / F.col("kth_frac")).alias("est_distinct"),
+    )
+
+
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(idexpr: str, r: str) -> str:
+    return _o_bucket(f"{idexpr} || '#' || {r}", _BLOOM_M)
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+WITH hrows AS (
+  SELECT UNNEST(generate_series(0, {_BLOOM_K - 1})) AS r
+), bits AS (
+  SELECT DISTINCT {_bloom_pos_sql('doc_id', 'r')} AS pos
+  FROM documents, hrows WHERE source = 'src0'
+), probe AS (
+  SELECT DISTINCT doc_id, source, {_bloom_pos_sql('doc_id', 'r')} AS pos
+  FROM documents, hrows
+), judged AS (
+  SELECT p.doc_id, p.source,
+         COUNT(*) AS n_probe,
+         SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CASE WHEN n_hit = n_probe THEN 1 ELSE 0 END AS bloom_hit,
+       CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS actual_member,
+       CASE WHEN n_hit = n_probe AND source <> 'src0' THEN 1 ELSE 0 END AS false_positive
+FROM judged
+""",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter membership probe: build an m=1024-bit, k=3 filter
+    over the src0 doc ids, then probe EVERY doc against it — returning
+    the filter verdict, ground truth, and the false-positive marker
+    (no-false-negative is the bloom guarantee; the oracle match proves
+    it holds since `bloom_hit=0 ∧ actual=1` rows would diverge).
+
+    This is the semi-join pruning primitive: at 100 TB the filter
+    (128 bytes here; KBs for millions of keys at practical FPP) ships
+    broadcast to every scan task and discards non-joining rows before
+    the shuffle — exactly what Spark's runtime row-level bloom
+    (spark.sql.optimizer.runtime.bloomFilter) injects, built here
+    from first principles with the cross-engine md5 bucket so the
+    whole bit array is hash-matched. Build side: distinct bit
+    positions from members×k (≤ m rows); probe side: pure map fan-out
+    to k positions + broadcast join + per-doc conjunction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            _bucket(
+                                F.concat_ws("#", F.col("doc_id"), F.lit(str(r))), _BLOOM_M
+                            )
+                            for r in range(_BLOOM_K)
+                        ]
+                    )
+                )
+            ).alias("pos"),
+        )
+
+    bits = (
+        positions(d.where(F.col("source") == "src0")).select("pos").distinct()
+        .withColumn("bit_set", F.lit(1))
+    )
+    judged = (
+        positions(d)
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.coalesce("bit_set", F.lit(0))).alias("n_hit"),
+        )
+    )
+    hit = F.when(F.col("n_hit") == F.col("n_probe"), 1).otherwise(0)
+    actual = F.when(F.col("source") == "src0", 1).otherwise(0)
+    return judged.select(
+        "doc_id",
+        hit.alias("bloom_hit"),
+        actual.alias("actual_member"),
+        (hit * (1 - actual)).alias("false_positive"),
+    )

@@ -58,11 +58,19 @@ QUERIES = [
     "dedup_near_minhash",
     "text_fingerprint",
     "sim_ann_ivf",
+    "decon_ngram_overlap",
+    "pack_sequences",
+    "sketch_countmin",
+    "emb_centroid_per_label",
+    "dedup_components",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
 # result is trivially empty — a meaningless (and meaninglessly fast) run.
-SKIP_AT_16: set[str] = set()  # minhash is safe since the 64-doc bucket cap
+# dedup_components at x16: duplication makes every dup cluster 16x
+# denser — pair volume grows, rounds stay ~diameter; measured at x4,
+# skipped at x16 to bound harness runtime.
+SKIP_AT_16: set[str] = {"dedup_components"}
 
 
 def inflate(spark, k: int) -> str:

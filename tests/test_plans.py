@@ -156,6 +156,24 @@ def test_fixed_sample_topk_filters_before_full_sort(plan):
     assert p.count("Exchange hashpartitioning") == 1  # the lang partition
 
 
+def test_sketch_probes_are_broadcast(plan):
+    # CMS cell probe and bloom bit probe must broadcast the (tiny,
+    # constant-size) sketch side — a shuffled join here would mean the
+    # sketch is being treated as data, defeating its purpose
+    for key in ("sketch_countmin", "sketch_bloom_membership"):
+        p = plan(key)
+        assert "BroadcastHashJoin" in p, f"{key}:\n{p[:800]}"
+        assert "SortMergeJoin" not in p, key
+
+
+def test_kmv_topk_is_take_ordered(plan):
+    # the k smallest hash fractions must flow through TakeOrdered
+    # (k rows per partition), never a global sort
+    p = plan("sketch_kmv_distinct")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [frac" not in p
+
+
 def test_skew_salted_join_is_shuffled_hash_on_salt(plan):
     p = plan("join_skew_salted")
     assert "ShuffledHashJoin" in p
