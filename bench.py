@@ -58,6 +58,7 @@ HEADLINE = [
     "sim_ann_ivf",
     "decon_ngram_overlap",
     "pack_sequences",
+    "corpus_pipeline_e2e",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]

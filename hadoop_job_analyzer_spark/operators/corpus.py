@@ -422,3 +422,113 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars") * kept).alias("chars_kept"),
         )
     )
+
+
+@query(
+    "corpus_pipeline_e2e",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), q AS (
+  SELECT * FROM base WHERE n_chars BETWEEN 50 AND 2000 AND n_tokens >= 10
+), mixed AS (
+  SELECT * FROM q WHERE {_o_bucket('doc_id', 100)} < {_O_RATE}
+), dd AS (
+  SELECT * FROM mixed
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), bgrams AS (
+  SELECT DISTINCT concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS gram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE source = 'src0'),
+       UNNEST(CASE WHEN len(t) >= 5 THEN generate_series(1, len(t)-4) ELSE [] END) AS u(i)
+), tgrams AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dd WHERE source <> 'src0'),
+       UNNEST(CASE WHEN len(t) >= 5 THEN generate_series(1, len(t)-4) ELSE [] END) AS u(i)
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM tgrams GROUP BY 1
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM tgrams t JOIN bgrams b USING (gram) GROUP BY 1
+), contam AS (
+  SELECT h.doc_id FROM hits h JOIN tot USING (doc_id)
+  WHERE h.n_shared * 10 >= tot.n_grams
+), clean AS (
+  SELECT * FROM dd
+  WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT CASE WHEN {_o_bucket('doc_id', 100)} < 90 THEN 'train'
+            WHEN {_o_bucket('doc_id', 100)} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       SUM(n_tokens) AS sum_tokens
+FROM clean
+GROUP BY 1, 2
+""",
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP corpus build — the full training-data pipeline in one
+    declarative plan: quality filter → language-mixing downsample →
+    exact dedup (keep min doc_id per content hash) → benchmark
+    decontamination (drop docs sharing ≥10% of 5-grams with the src0
+    held-out set) → train/val/test split → per-split accounting.
+
+    Every stage reuses the primitives its standalone key verifies
+    (md5-bucket sampling/splitting, content-hash dedup, distinct-gram
+    overlap), composed as ONE DataFrame expression — Catalyst sees the
+    whole pipeline, so the quality+mixing predicates fuse into the
+    scan, the dedup window and the gram explode operate on the already-
+    thinned stream, and nothing materializes between stages. That
+    composition (filter early, dedup before the expensive gram stage,
+    broadcast the benchmark) is exactly the stage ordering a 100 TB
+    corpus build wants; at that scale each arrow stays the same plan,
+    only the persist/checkpoint boundaries between pipeline RUNS would
+    be added (each stage's output is also a natural parquet sink).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.withColumn("n_tokens", F.size(F.split("text", " ")))
+    q = base.where(
+        F.col("n_chars").between(50, 2000) & (F.col("n_tokens") >= 10)
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATES.items()],
+        F.lit(_DEFAULT_RATE),
+    )
+    mixed = q.where(_bucket(F.col("doc_id"), 100) < rate)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (
+        mixed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    bench = (
+        _grams(d.where(F.col("source") == "src0").select("doc_id", "text"), _DECON_N)
+        .select("gram")
+        .distinct()
+    )
+    train = dd.where(F.col("source") != "src0")
+    tg = _grams(train.select("doc_id", "text"), _DECON_N).persist()
+    tot = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    contam = (
+        hits.join(tot, "doc_id")
+        .where(F.col("n_shared") * 10 >= F.col("n_grams"))
+        .select("doc_id")
+    )
+    clean = train.join(contam, "doc_id", "left_anti")
+    b = _bucket(F.col("doc_id"), 100)
+    split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    return (
+        clean.select(split.alias("split"), "lang", "n_chars", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )

@@ -103,3 +103,37 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
     return spark.read.parquet(out).select("event_type", "n_events", "total_value")
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+GROUP BY lang, source
+""",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a source AND sink: write documents to ORC (Spark-native
+    columnar writer), read it back, aggregate. The oracle computes the
+    same aggregate from the original parquet table — so the hash match proves
+    the parquet→ORC→scan roundtrip is LOSSLESS, a stronger check than
+    a rows-only sink key (DuckDB never needs to read ORC).
+
+    Scale notes: ORC gets the same vectorized reader, predicate
+    pushdown, and column pruning treatment as parquet in Spark; the
+    sink partitions by nothing here (500-row fixture) but inherits the
+    partitioned-sink layout story of sink_parquet_partitioned.
+    """
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_ARTIFACTS, f"orc_documents_{sf_tag}")
+    d = load_table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
