@@ -12,7 +12,7 @@ included.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -246,4 +246,98 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.alias("bloom_hit"),
         actual.alias("actual_member"),
         (hit * (1 - actual)).alias("false_positive"),
+    )
+
+
+_HQ_WIDTH = 50  # chars per histogram bucket
+_HQ_PROBES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "sketch_histogram_quantile",
+    oracle=f"""
+WITH hist AS (
+  SELECT n_chars // {_HQ_WIDTH} AS b, COUNT(*) AS cnt FROM documents GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS total FROM documents
+), cum AS (
+  SELECT b, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM hist
+), probes AS (
+  SELECT UNNEST([{', '.join(str(p) for p in _HQ_PROBES)}]::DOUBLE[]) AS p
+), sel AS (
+  SELECT p.p, CAST(CEIL(p.p * t.total) AS BIGINT) AS target_rank,
+         c.b, c.cnt, c.cum_before
+  FROM probes p CROSS JOIN tot t JOIN cum c
+    ON c.cum_before < CEIL(p.p * t.total)
+   AND CEIL(p.p * t.total) <= c.cum_before + c.cnt
+), ex AS (
+  SELECT ROUND(QUANTILE_CONT(n_chars, 0.5), 4) AS q50,
+         ROUND(QUANTILE_CONT(n_chars, 0.9), 4) AS q90,
+         ROUND(QUANTILE_CONT(n_chars, 0.99), 4) AS q99
+  FROM documents
+)
+SELECT s.p, s.target_rank,
+       s.b * {_HQ_WIDTH} + {_HQ_WIDTH}.0 * (s.target_rank - s.cum_before) / s.cnt
+         AS est_quantile,
+       CASE s.p WHEN 0.5 THEN ex.q50 WHEN 0.9 THEN ex.q90 ELSE ex.q99 END
+         AS exact_quantile
+FROM sel s CROSS JOIN ex
+""",
+)
+def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based quantile sketch: a fixed-width counting
+    histogram over n_chars (the mergeable constant-space summary),
+    read back at p50/p90/p99 by rank-interpolation within the covering
+    bucket — next to the exact sorted-data percentile so the result
+    carries its own error bar.
+
+    The distributed-quantile recipe when a full sort is off the table:
+    the histogram aggregates with map-side partials into ≤ #buckets
+    cells (mergeable across executors by plain addition, unlike exact
+    percentile state which grows with distinct values); the rank walk
+    is a window over those few cells. All arithmetic is exact-int
+    until one shared IEEE interpolation per probe — hash-exact, no
+    float policy needed. At 100 TB this is the shape of
+    approx_percentile's KLL sketch with the bucket layout made
+    explicit (and cross-engine-reproducible, which KLL internals are
+    not — same trade the CMS/KMV keys make vs HLL).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.groupBy(F.expr(f"n_chars div {_HQ_WIDTH}").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _HQ_PROBES])).alias("p")
+    )
+    target = F.ceil(F.col("p") * F.col("total"))
+    sel = (
+        probes.crossJoin(tot)
+        .join(
+            cum,
+            (F.col("cum_before") < target) & (target <= F.col("cum_before") + F.col("cnt")),
+        )
+        .select("p", target.alias("target_rank"), "b", "cnt", "cum_before")
+    )
+    ex = d.agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("q50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("q90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("q99"),
+    )
+    est = (
+        F.col("b") * _HQ_WIDTH
+        + F.lit(float(_HQ_WIDTH)) * (F.col("target_rank") - F.col("cum_before")) / F.col("cnt")
+    )
+    exact = (
+        F.when(F.col("p") == 0.5, F.col("q50"))
+        .when(F.col("p") == 0.9, F.col("q90"))
+        .otherwise(F.col("q99"))
+    )
+    return sel.crossJoin(ex).select(
+        "p", "target_rank", est.alias("est_quantile"), exact.alias("exact_quantile")
     )

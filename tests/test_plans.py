@@ -174,6 +174,18 @@ def test_kmv_topk_is_take_ordered(plan):
     assert "Sort [frac" not in p
 
 
+def test_bucketed_join_is_exchange_free(plan):
+    # the layout key: both scans read bucketed (co-located) files, the
+    # SMJ needs no exchange on either leg — the ONLY exchange in the
+    # plan is the final tiny agg partial. Sorts are bucket-local (see
+    # the key's docstring on the legacy outputOrdering conf).
+    p = plan("join_bucketed")
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in plan("join_bucketed", "formatted")
+    assert p.count("Exchange") == 1, p[:1200]
+    assert "Exchange hashpartitioning(o_orderpriority" in p
+
+
 def test_skew_salted_join_is_shuffled_hash_on_salt(plan):
     p = plan("join_skew_salted")
     assert "ShuffledHashJoin" in p
