@@ -137,3 +137,59 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+_JOBS_JSONL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "jobs.jsonl",
+)
+
+
+@query(
+    "scan_custom_datasource",
+    oracle=f"""
+SELECT framework, status,
+       COUNT(*) AS n_jobs,
+       SUM(duration_ms) AS sum_duration_ms,
+       SUM(map_tasks) AS sum_map_tasks,
+       MAX(counters.hdfs_bytes_read) AS max_hdfs_read
+FROM read_json('{_JOBS_JSONL}', format='newline_delimited', columns={{
+  'framework': 'VARCHAR', 'status': 'VARCHAR', 'duration_ms': 'BIGINT',
+  'map_tasks': 'BIGINT',
+  'counters': 'STRUCT(hdfs_bytes_read BIGINT, hdfs_bytes_written BIGINT, map_input_records BIGINT, spilled_records BIGINT)'
+}})
+GROUP BY 1, 2
+""",
+)
+def scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jobs-log ingest through a CUSTOM Python DataSource (PySpark 4
+    DataSource API, sources/jobs_datasource.py) — the reference's
+    JobTracker scraping re-expressed as a first-class pluggable source:
+    declared schema, partitioned reads in executors, counters map
+    flattened to typed columns at ingest, then ordinary relational agg
+    on top. The DuckDB oracle reads the same JSONL independently, so
+    the match covers the whole custom-parse path.
+
+    Scale: each InputPartition is an independent fetch (here a
+    line-stripe of the file; against a live JobTracker, a pagination
+    range) — source parallelism is declared, not hand-scheduled, and
+    everything above the scan is ordinary Catalyst territory.
+    """
+    from ..sources.fixtures import ensure_jobs_jsonl
+    from ..sources.jobs_datasource import JobsLogDataSource
+
+    path = ensure_jobs_jsonl()
+    spark.dataSource.register(JobsLogDataSource)
+    df = (
+        spark.read.format("hja_jobslog")
+        .option("path", path)
+        .option("numpartitions", "4")
+        .load()
+    )
+    return df.groupBy("framework", "status").agg(
+        F.count(F.lit(1)).alias("n_jobs"),
+        F.sum("duration_ms").alias("sum_duration_ms"),
+        F.sum("map_tasks").alias("sum_map_tasks"),
+        F.max("hdfs_bytes_read").alias("max_hdfs_read"),
+    )

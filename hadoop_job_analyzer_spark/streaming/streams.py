@@ -289,3 +289,47 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ev.writeStream.foreachBatch(emit).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@query("stream_stream_join")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join — click→purchase attribution within 30
+    minutes per user, both sides unbounded streams.
+
+    The canonical stateful two-stream op: each side buffers rows in
+    the state store keyed by user_id; the time-range predicate plus
+    BOTH watermarks let Spark evict state older than the bound (the
+    thing a hand-rolled join of two polled sources — the reference's
+    world — can never do safely). Equi key user_id keeps the join
+    hash-partitioned; the range condition only gates within a key's
+    buffered rows. Append mode (inner join emits exactly-once as
+    matches form). Batch twin: the identical join over the static
+    table, asserted equal in tests (the driver sees rows-only).
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+    ).select("c_user", "click_id", "click_ts", "buy_id", "buy_ts")
+    return run_to_memory(spark, joined, "stream_stream_join", "append")

@@ -111,3 +111,25 @@ def test_stream_foreach_batch_roundtrip(spark, sf_dir):
     got = queries()["stream_foreach_batch"](spark, sf_dir)
     want = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     assert _rows(got) == _rows(want)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    got = queries()["stream_stream_join"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    want = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+    ).select("c_user", "click_id", "click_ts", "buy_id", "buy_ts")
+    assert _rows(got) == _rows(want)
