@@ -350,3 +350,61 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot_wide",
+    oracle=f"""
+SELECT user_id,
+       {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pivot VERB (long→wide): per-user event counts, one column
+    per event type — `groupBy().pivot(col, values)` with the value
+    list PINNED (passing explicit values skips the extra
+    distinct-collection pass Spark otherwise runs, and makes the
+    output schema deterministic — both essential at 100 TB where the
+    pivot column could have stragglers). Nulls from absent
+    combinations are coalesced to 0 to match the relational
+    conditional-agg equivalent the oracle states. One shuffle on
+    user_id; the pivot is map-side conditional counting underneath.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "agg_unpivot_melt",
+    oracle=f"""
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events
+WHERE event_type IN ({', '.join(f"'{t}'" for t in _EVENT_TYPES)})
+GROUP BY user_id, event_type
+""",
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unpivot VERB (wide→long): melt the pivoted per-user counts
+    back to (user_id, event_type, n) rows via DataFrame.unpivot —
+    dropping the zero fills — and land exactly back on the plain
+    groupBy distribution (the oracle). Pivot ∘ unpivot == identity is
+    the roundtrip guarantee reshaping pipelines rely on; unpivot
+    itself is a zero-shuffle row expansion (an Expand node), so the
+    only exchange in the whole plan is the pivot's groupBy.
+    """
+    wide = agg_pivot_wide(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["user_id"], values=_EVENT_TYPES, variableColumnName="event_type", valueColumnName="n"
+    )
+    return long.where(F.col("n") > 0)

@@ -471,3 +471,45 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) o
+""",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (correlated table subquery) join: each customer's top-2
+    orders by price — the SQL-surface twin of win_topk_per_group,
+    included because users of the reference wrote per-entity drill-ins
+    exactly this way and Spark SQL's LATERAL support is the direct
+    translation target.
+
+    Catalyst decorrelates the subquery into a window-over-join plan —
+    same shuffle shape as the window formulation (one exchange on the
+    correlation key), NOT a per-customer re-scan of orders: the
+    lateral is syntax, the plan is relational. Both engines run the
+    identical SQL text.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) o
+        """
+    )
