@@ -433,3 +433,104 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+WITH c AS (
+  SELECT user_id, MIN(ts) AS t_click FROM events WHERE event_type = 'click' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, MIN(e.ts) AS t_view
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'view' AND e.ts > c.t_click
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT COUNT(*) FROM c) AS n_click,
+  (SELECT COUNT(*) FROM v) AS n_click_view,
+  (SELECT COUNT(*) FROM p) AS n_click_view_purchase
+""",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis — users progressing click → view → purchase IN
+    ORDER: stage 2 counts only views after the user's first click,
+    stage 3 only purchases after that first qualifying view. The
+    conversion report every event pipeline ships (and the ordered-
+    sequence semantics a naive 3-way distinct-join gets wrong).
+
+    Three chained min-aggregations, each joining the previous stage's
+    (user, ts) frontier — every stage is one partial-agg shuffle on
+    user_id and the frontier tables only shrink. At 100 TB: identical
+    plan, with the event scan pruned to the 3 funnel types by the
+    pushed-down IN filter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        c.agg(F.count(F.lit(1)).alias("n_click"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_click_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_click_view_purchase")))
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM activity
+GROUP BY cohort_day, day_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users bucketed by first-seen day, then
+    counted by how many days later they came back (the DAU-retention
+    triangle). Two shuffles total: the per-user first-day aggregate,
+    then a distinct+count on (cohort, offset) after an equi-join that
+    broadcasts-or-colocates on user_id; the date arithmetic is exact
+    integer day math in both engines (UTC session pins the CAST).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
