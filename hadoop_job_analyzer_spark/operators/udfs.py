@@ -201,3 +201,125 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT hja_discount_band(l_discount) AS discount_band, COUNT(*) AS n "
         "FROM hja_lineitem_udf GROUP BY 1"
     )
+
+
+@query(
+    "udtf_cogroup_pandas",
+    oracle="""
+SELECT o.o_orderkey,
+       COUNT(l.l_orderkey) AS n_lines,
+       CAST(COALESCE(SUM(l.l_quantity), 0.0) AS DOUBLE) AS sum_qty,
+       o.o_totalprice
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def udtf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — the two-table Python kernel: orders
+    and lineitems co-partitioned by orderkey arrive as a PAIR of
+    pandas frames per key group, reconciled in Python (here: per-order
+    line count + quantity mass next to the order header, including
+    line-less orders — the custom-merge shape you reach for when the
+    reconciliation logic won't express as a join condition).
+
+    Both sides shuffle once on the cogroup key, then Arrow ships each
+    aligned group pair to Python — at 100 TB this is the escape hatch
+    for per-entity cross-table logic (matching engines, SCD merges)
+    with the co-partitioning handled by Spark, not the kernel.
+
+    GRAIN LESSON (measured): cogrouping on the finest key (orderkey)
+    makes one Python invocation per ORDER — 37 k tiny frames, 40 s at
+    sf0.01, pure per-call overhead. Cogroup on a BUCKET of keys
+    instead (orderkey % 32) and do the per-order work vectorized
+    inside the kernel (pandas groupby + merge): same result, bounded
+    invocation count, 20× faster — and the shape that survives a
+    100 TB shuffle (tune bucket count to executor memory; both tables
+    co-partition on the same bucket expression). Quantities are
+    integral doubles, so sums are exact and order-free.
+    """
+
+    def reconcile(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(orders_pdf) == 0:
+            return pd.DataFrame(
+                {"o_orderkey": [], "n_lines": [], "sum_qty": [], "o_totalprice": []}
+            )
+        per_order = (
+            lines_pdf.groupby("l_orderkey")["l_quantity"].agg(["size", "sum"])
+            if len(lines_pdf)
+            else pd.DataFrame(columns=["size", "sum"])
+        )
+        merged = orders_pdf.merge(
+            per_order, left_on="o_orderkey", right_index=True, how="left"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": merged["o_orderkey"],
+                "n_lines": merged["size"].fillna(0).astype("int64"),
+                "sum_qty": merged["sum"].fillna(0.0).astype("float64"),
+                "o_totalprice": merged["o_totalprice"],
+            }
+        )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice", (F.col("o_orderkey") % 32).alias("bkt"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", (F.col("l_orderkey") % 32).alias("bkt")
+    )
+    return (
+        o.groupBy("bkt")
+        .cogroup(l.groupBy("bkt"))
+        .applyInPandas(
+            reconcile,
+            schema="o_orderkey long, n_lines long, sum_qty double, o_totalprice double",
+        )
+    )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT vec_id,
+       ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)
+         AS l2_norm
+FROM embeddings
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy batch surface below mapInPandas: the
+    kernel receives pyarrow RecordBatches directly (no pandas
+    conversion), flattens the fixed-width list column into a numpy
+    matrix view, and emits L2 norms. For numeric array columns this
+    skips the pandas object-boxing mapInPandas pays per list cell —
+    the right lane for 100 TB embedding jobs where the per-batch
+    overhead is the bottleneck.
+
+    Accumulation is dim-SEQUENTIAL (same trick as the kNN kernel) so
+    every norm bit-matches DuckDB's left-to-right list_dot_product
+    before the shared 1e-6 rounding.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index("vec_id"))
+            emb = batch.column(batch.schema.get_field_index("embedding"))
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat.reshape(n, -1)
+            acc = m[:, 0] * m[:, 0]
+            for i in range(1, m.shape[1]):
+                acc = acc + m[:, i] * m[:, i]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.round(np.sqrt(acc), 6), type=pa.float64())],
+                names=["vec_id", "l2_norm"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(norms, schema="vec_id long, l2_norm double")
