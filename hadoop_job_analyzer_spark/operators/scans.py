@@ -193,3 +193,45 @@ def scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("map_tasks").alias("sum_map_tasks"),
         F.max("hdfs_bytes_read").alias("max_hdfs_read"),
     )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {o_dsum('value')} AS total_value,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every large
+    lake runs: a fragmented landing zone (events deliberately written
+    as 64 splinter files, the streaming-ingest pathology) is rewritten
+    to 4 right-sized files, and the aggregate over the COMPACTED copy
+    must hash-match the original table — proving compaction moved
+    bytes, not values. A test additionally pins the before/after file
+    counts.
+
+    repartition(4) (round-robin, balanced outputs) not coalesce(4):
+    coalesce merges in-place without a shuffle but inherits upstream
+    skew and, scheduled upstream, can throttle the read's parallelism
+    to 4 tasks; at 100 TB you compact with a shuffle sized to the
+    target file size (maxRecordsPerFile bounds the tail). Listing +
+    scan of 64 vs 4 files is the real cost difference at scale: file
+    metadata ops dominate fragmented reads.
+    """
+    frag = os.path.join(_ARTIFACTS, "compact_fragmented")
+    tidy = os.path.join(_ARTIFACTS, "compact_tidy")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(tidy)
+    back = spark.read.parquet(tidy)
+    # n.b. ts survives both hops as µs-timestamps; aggregate on the
+    # compacted copy must equal the source-of-truth oracle
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

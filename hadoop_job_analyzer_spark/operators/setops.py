@@ -78,3 +78,82 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     click = ev.where(F.col("event_type") == "click").select("user_id")
     purchase = ev.where(F.col("event_type") == "purchase").select("user_id")
     return click.subtract(purchase)
+
+
+_SCD_BUCKET = (
+    "('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 10"
+)
+
+
+@query(
+    "merge_scd2",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+), changes AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS new_bal
+  FROM dim WHERE {_SCD_BUCKET} = 0
+), inserts AS (
+  SELECT c_custkey + 1000000 AS c_custkey, 'NEW ' || c_name AS c_name,
+         c_acctbal + 0.5 AS c_acctbal
+  FROM dim WHERE {_SCD_BUCKET} = 1
+)
+SELECT d.c_custkey, d.c_name, d.c_acctbal, 1 AS version, 1 AS is_current
+FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changes)
+UNION ALL
+SELECT d.c_custkey, d.c_name, d.c_acctbal, 1 AS version, 0 AS is_current
+FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changes)
+UNION ALL
+SELECT c_custkey, c_name, new_bal, 2 AS version, 1 AS is_current FROM changes
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, 1 AS version, 1 AS is_current FROM inserts
+""",
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, SCD-type-2 flavor, as pure DataFrame algebra: apply
+    a deterministic change batch (10% balance updates, 10% new
+    customers — md5-bucket selected; the deltas are exact-in-double
+    (+100.0, +0.5 = integer/power-of-two shifts) so no rounding policy
+    is needed — ROUND(x/2, 2) here landed on half-cent ties the two
+    engines break differently, the exact failure _common.DEC warns of) to the customer dimension,
+    producing history-preserving output: unchanged rows stay current,
+    superseded rows close (is_current=0), new versions open (v2), and
+    inserts arrive at v1 — the dimension-maintenance verb warehouse
+    pipelines run nightly, without requiring a table format with
+    native MERGE (the same plan feeds Delta/Iceberg writers when one
+    is attached).
+
+    Shuffle shape: one anti-join and one semi-join against the change
+    keyset (broadcast — change batches are small relative to the
+    dimension by construction) plus two map-only legs, unioned. At
+    100 TB the dim never shuffles: every leg is either map-only or a
+    broadcast probe.
+    """
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    b = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10
+    )
+    changes = dim.where(b == 0).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("new_bal")
+    )
+    inserts = dim.where(b == 1).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        (F.col("c_acctbal") + 0.5).alias("c_acctbal"),
+    )
+    ckeys = changes.select("c_custkey")
+    unchanged = dim.join(F.broadcast(ckeys), "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal", F.lit(1).alias("version"), F.lit(1).alias("is_current")
+    )
+    closed = dim.join(F.broadcast(ckeys), "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal", F.lit(1).alias("version"), F.lit(0).alias("is_current")
+    )
+    opened = changes.select(
+        "c_custkey", "c_name", F.col("new_bal").alias("c_acctbal"),
+        F.lit(2).alias("version"), F.lit(1).alias("is_current"),
+    )
+    arrived = inserts.select(
+        "c_custkey", "c_name", "c_acctbal", F.lit(1).alias("version"), F.lit(1).alias("is_current")
+    )
+    return unchanged.unionByName(closed).unionByName(opened).unionByName(arrived)

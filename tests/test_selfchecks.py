@@ -60,3 +60,13 @@ def test_fn_map_ops_matches_generator(spark, sf_dir):
         assert r.hdfs_read == rec["counters"]["hdfs_bytes_read"]
         assert r.n_counters == len(rec["counters"])
         assert r.counter_total == sum(rec["counters"].values())
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    from hadoop_job_analyzer_spark.registry import queries
+    import glob, os
+    queries()["sink_compact_small_files"](spark, sf_dir).count()
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_artifacts")
+    n_frag = len(glob.glob(os.path.join(art, "compact_fragmented", "*.parquet")))
+    n_tidy = len(glob.glob(os.path.join(art, "compact_tidy", "*.parquet")))
+    assert n_frag == 64 and n_tidy == 4, (n_frag, n_tidy)
