@@ -63,6 +63,10 @@ QUERIES = [
     "sketch_countmin",
     "emb_centroid_per_label",
     "dedup_components",
+    "corpus_pipeline_e2e",
+    "funnel_stages",
+    "cohort_retention",
+    "join_bucketed",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
