@@ -592,3 +592,54 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+), stats AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY i
+), q AS (
+  SELECT e.vec_id, e.x, s.mn, (s.mx - s.mn) / 255.0 AS scl,
+         CAST(ROUND((e.x - s.mn) / ((s.mx - s.mn) / 255.0), 0) AS BIGINT) AS code
+  FROM e JOIN stats s USING (i)
+)
+SELECT vec_id,
+       SUM(code) AS code_sum,
+       ROUND(MAX(ABS(code * scl + mn - x)), 6) AS max_abs_err
+FROM q GROUP BY vec_id
+""",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization — the 4× storage/bandwidth op every
+    large ANN index applies before sharding: per-DIMENSION min/max
+    calibration over the corpus, affine quantize to 0..255, and per-
+    vector quality accounting (code checksum + max reconstruction
+    error — max, not sum, because MAX is accumulation-order-free and
+    needs no float policy).
+
+    Shuffle shape: the calibration stats are 64 rows (one partial-agg
+    pass — this IS the scan at 100 TB, everything else broadcasts);
+    codes are integer math on identically-computed doubles, and the
+    per-vector reduce carries (vec_id, code partials) only. The codes
+    themselves would be the written artifact in production; here the
+    checksum pins them exactly against the oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = spread(e, "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    stats = ex.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scl = (F.col("mx") - F.col("mn")) / 255.0
+    code = F.round((F.col("x") - F.col("mn")) / scl, 0).cast("long")
+    q = ex.join(F.broadcast(stats), "i").select(
+        "vec_id", "x", "mn", scl.alias("scl"), code.alias("code")
+    )
+    err = F.abs(F.col("code") * F.col("scl") + F.col("mn") - F.col("x"))
+    return q.groupBy("vec_id").agg(
+        F.sum("code").alias("code_sum"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+    )

@@ -269,3 +269,61 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fingerprint64"),
     )
+
+
+@query(
+    "text_lm_unigram_score",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+), vocab AS (
+  SELECT token, SUM(tf) AS n FROM tf GROUP BY token
+), tot AS (SELECT SUM(n) AS total FROM vocab)
+SELECT tf.doc_id,
+       SUM(tf.tf) AS n_tokens,
+       CAST(SUM(CAST(tf.tf * LN(CAST(v.n AS DOUBLE) / t.total) AS DECIMAL(38,12))) AS DOUBLE)
+         AS lm_score
+FROM tf JOIN vocab v USING (token) CROSS JOIN tot t
+GROUP BY tf.doc_id
+""",
+)
+def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style quality signal:
+    each document's log-likelihood under the corpus's own unigram
+    distribution (Σ tf·ln p(token)), the statistic perplexity filters
+    threshold on.
+
+    Float-sum determinism via the DECIMAL-GRID trick (an extension of
+    the money policy to irrational addends): each per-token term
+    tf·ln(p) is computed identically in both engines (same doubles in,
+    same ln out), snapped to the 1e-12 decimal grid, then summed
+    EXACTLY — decimal addition is associative, so partial-agg order
+    can't perturb the total, and ties can't occur because ln() values
+    are irrational (never half-way on the grid). One tf shuffle + a
+    broadcast vocab join; the vocab table is the LM (at 100 TB: train
+    on a sample, broadcast the model — same plan).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    term = (
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("total"))
+    ).cast("decimal(38,12)")
+    return (
+        tf.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(term).cast("double").alias("lm_score"),
+        )
+    )
