@@ -142,15 +142,17 @@ WITH toks AS (
 ), sh AS (
   SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
   FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+), hsh AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h FROM sh
 ), rare AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+  SELECT h FROM hsh GROUP BY h HAVING COUNT(*) <= {_JACCARD_MAX_DF}
 ), rsh AS (
-  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+  SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM rsh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, n_inter,
@@ -178,22 +180,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay the whole shingle pipeline otherwise (ReusedExchange doesn't
     apply: each consumer re-shuffles it differently). Spark's
     CacheManager dedups by canonicalized plan, so repeated calls share
-    one cache entry; the index is (doc_id, shingle) pairs only — at
-    100 TB you'd persist to MEMORY_AND_DISK with the same plan.
+    one cache entry; the index is (doc_id, shingle-hash) pairs only —
+    at 100 TB you'd persist to MEMORY_AND_DISK with the same plan.
+
+    Shingles are md5-hashed to int64 BEFORE the window/join: every
+    downstream sort, exchange, and join key becomes 8 fixed bytes
+    instead of a ~25-char string — no measurable win at sf0.1 (the
+    stage cost there is scheduling floor, measured ~1.0 s either way)
+    but ~3× less shuffle key volume at corpus scale, where these
+    exchanges are data-path-bound. The 60-bit hash can collide, but
+    both engines hash identically, so any collision perturbs both
+    sides the same way — the comparison stays exact (and at 2^60 the
+    expected collision count is ~0 below trillions of shingles).
     """
     rsh = (
         _shingles(load_table(spark, sf_dir, "documents"))
         .distinct()
-        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .where(F.col("_df") <= _JACCARD_MAX_DF)
         .drop("_df")
         .persist()
     )
     sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = rsh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = rsh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = rsh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = rsh.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
-        a.join(b, ["shingle"])
+        a.join(b, ["h"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
