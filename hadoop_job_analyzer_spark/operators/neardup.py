@@ -659,3 +659,98 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("code").alias("code_sum"),
         F.round(F.max(err), 6).alias("max_abs_err"),
     )
+
+
+_PR_ROUNDS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    # 5 unrolled iterations (recursive CTEs disallow the aggregate in
+    # the recursive term); every per-node SUM goes through the 1e-12
+    # decimal grid so accumulation order can't perturb the doubles.
+    steps = []
+    prev = "pr0"
+    for i in range(1, _PR_ROUNDS + 1):
+        steps.append(f"""
+pr{i} AS (
+  SELECT d.node,
+         0.15 / n.cnt + {_PR_DAMP} * CAST(COALESCE(SUM(
+           CAST(p.r / CAST(pd.deg AS DOUBLE) AS DECIMAL(38,12))
+         ), 0) AS DOUBLE) AS r
+  FROM deg d CROSS JOIN n
+  LEFT JOIN edges e ON e.b = d.node
+  LEFT JOIN {prev} p ON p.node = e.a
+  LEFT JOIN deg pd ON pd.node = e.a
+  GROUP BY d.node, n.cnt
+)""")
+        prev = f"pr{i}"
+    return f"""
+WITH pairs AS (
+{MINHASH_PAIRS_ORACLE}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), deg AS (
+  SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a
+), n AS (SELECT COUNT(*) AS cnt FROM deg),
+pr0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / n.cnt AS r FROM deg CROSS JOIN n
+),{','.join(steps)}
+SELECT node AS doc_id, r AS pagerank FROM {prev}
+"""
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup adjacency graph (nodes = docs with
+    ≥1 candidate edge), 5 fixed rounds, damping 0.85 — centrality over
+    the duplicate graph ranks the most-copied boilerplate, and is the
+    second iterative-algorithm shape (numeric fixpoint) next to
+    dedup_components' label propagation.
+
+    HASH-EXACT iterative float math: the only order-dependent step in
+    a PageRank round is the per-node contribution sum, so each
+    contribution r/deg snaps to the 1e-12 decimal grid and the sum is
+    exact decimal addition (associative — executor count can't change
+    it); everything else is identical IEEE double ops on identical
+    inputs, so after 5 rounds the doubles are bit-equal to the
+    oracle's unrolled-CTE evaluation. Per round: one join-groupBy pair
+    of shuffles over (node, rank) rows + localCheckpoint to stop plan
+    growth — GraphX's Pregel loop in DataFrame algebra.
+    """
+    pairs = dedup_near_minhash(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = deg.count()
+    r = deg.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r")).localCheckpoint(True)
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "a"), "a")
+            .join(deg.select(F.col("node").alias("a"), "deg"), "a")
+            .select(
+                F.col("b").alias("node"),
+                (F.col("r") / F.col("deg").cast("double")).cast("decimal(38,12)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        r = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / float(n))
+                    + F.lit(_PR_DAMP)
+                    * F.coalesce(F.col("csum"), F.lit(0).cast("decimal(38,12)")).cast("double")
+                ).alias("r"),
+            )
+            .localCheckpoint(True)
+        )
+    return r.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank"))
