@@ -59,6 +59,9 @@ HEADLINE = [
     "decon_ngram_overlap",
     "pack_sequences",
     "corpus_pipeline_e2e",
+    "funnel_stages",
+    "cohort_retention",
+    "sketch_countmin",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]
