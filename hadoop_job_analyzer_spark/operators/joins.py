@@ -513,3 +513,61 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o
         """
     )
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle="""
+WITH dim AS (
+  SELECT * FROM (VALUES ('click', 1.0), ('purchase', 5.0)) AS t(event_type, weight)
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value * d.weight AS DECIMAL(38,6))) AS DOUBLE) AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+""",
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is a parquet layout
+    PARTITIONED BY event_type (written once per sf under _artifacts);
+    joining it to a 2-row dimension makes Catalyst inject a runtime
+    `dynamicpruning` subquery into the fact scan — only the 2 matching
+    partitions (of 5) are read, decided at RUN time from the dim's
+    values, not at plan time. The plan audit asserts the pruning
+    expression; at 100 TB this is the difference between scanning the
+    whole fact table and scanning the partitions the query touches.
+
+    The weighted sum follows the decimal policy (value × small exact
+    weight per row, decimal-summed).
+    """
+    import os as _os
+
+    art = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    sf_tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    path = _os.path.join(art, f"events_by_type_{sf_tag}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+    ev = spark.read.parquet(path)
+    # the filter on the dim side is what convinces the DPP heuristic
+    # (pruningHasBenefit) that a runtime subquery will actually skip
+    # partitions — an unfiltered dim is assumed to cover all of them
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("error", -1.0)],
+        "event_type string, weight double",
+    ).where(F.col("weight") > 0)
+    return (
+        ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") * F.col("weight")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )

@@ -333,3 +333,31 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
     ).select("c_user", "click_id", "click_ts", "buy_id", "buy_ts")
     return run_to_memory(spark, joined, "stream_stream_join", "append")
+
+
+@query("stream_static_join")
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the streaming lookup pattern:
+    the unbounded event stream joins a STATIC dimension (a per-type
+    weight table) with no state store involvement at all (the static
+    side is just re-read per micro-batch; at scale, a broadcast that
+    refreshes per batch). Complete-mode weighted rollup; batch twin
+    asserted in tests. Together with stream_stream_join this covers
+    both join regimes Structured Streaming distinguishes.
+    """
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.join(weights, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") * F.col("weight")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )
+    return run_to_memory(spark, agg, "stream_static_join", "complete")

@@ -186,6 +186,13 @@ def test_bucketed_join_is_exchange_free(plan):
     assert "Exchange hashpartitioning(o_orderpriority" in p
 
 
+def test_dpp_injects_runtime_partition_filter(plan):
+    # the partitioned fact scan must carry a dynamicpruningexpression —
+    # partitions to read are decided at RUN time from the dim's values
+    p = plan("join_dpp_partitioned", "formatted")
+    assert "dynamicpruning" in p.lower(), p[:1200]
+
+
 def test_skew_salted_join_is_shuffled_hash_on_salt(plan):
     p = plan("join_skew_salted")
     assert "ShuffledHashJoin" in p

@@ -133,3 +133,23 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
     ).select("c_user", "click_id", "click_ts", "buy_id", "buy_ts")
     assert _rows(got) == _rows(want)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    got = queries()["stream_static_join"](spark, sf_dir)
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .join(weights, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") * F.col("weight")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )
+    assert _rows(got) == _rows(want)
