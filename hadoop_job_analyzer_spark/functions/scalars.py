@@ -388,3 +388,34 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "counter_total"
         ),
     )
+
+
+@query(
+    "fn_variant_semistructured",
+    oracle="""
+SELECT k_value, COUNT(*) AS n_events
+FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+  FROM events
+)
+GROUP BY k_value
+""",
+)
+def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT path for semi-structured data: props parses
+    ONCE into the binary variant encoding (`parse_json`), then typed
+    extraction (`variant_get`) — versus fn_json's per-access string
+    re-parse (`get_json_object`). Same result as the string path (the
+    oracle is identical SQL), different physical story: at 100 TB a
+    props column accessed by k fields parses k times as strings but
+    once as variant, and variant's binary form pushes through shuffles
+    without re-serialization. This is the modern answer to the
+    reference's open-ended JSON conf blobs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.parse_json("props").alias("v"))
+        .select(F.variant_get("v", "$.k", "int").alias("k_value"))
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
