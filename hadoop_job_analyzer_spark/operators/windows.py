@@ -534,3 +534,38 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "win_trailing_hour",
+    oracle="""
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ) AS n_last_hour
+FROM events
+""",
+)
+def win_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, how many of their events fall
+    in the trailing hour (value-based frame over epoch seconds — peers
+    at the same second share a frame, unlike the ROWS frames
+    elsewhere). The rate-limiting/burst-detection window.
+
+    Both engines frame over the SAME integer key (epoch seconds) —
+    Spark's rangeBetween needs a numeric ORDER BY, and mirroring that
+    cast in the oracle dodges the subtle µs-vs-seconds boundary
+    semantics a native INTERVAL frame would introduce. One shuffle on
+    user_id; the running frame is streaming state, never a partition
+    materialization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
