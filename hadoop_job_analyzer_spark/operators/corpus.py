@@ -532,3 +532,65 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
+
+
+@query(
+    "assign_contiguous_ids",
+    oracle="""
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS new_id
+FROM documents
+""",
+)
+def assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign contiguous ids 0..N-1 to the corpus in a deterministic
+    (md5-shuffled) order — the renumbering step when corpora merge or
+    a new crawl lands, done the way it scales: NOT a global
+    row_number window (that is a single-partition sort — the one plan
+    shape this engine bans), but the textbook three-step:
+
+    1. range-partition by the sort key (each partition owns a
+       contiguous key range, sorted within — a distributed sort);
+    2. count rows per partition (32 longs to the driver — the
+       documented exception to no-collect, like the iterative keys'
+       convergence counts);
+    3. broadcast the prefix-sum offsets; each partition numbers its
+       rows offset+0,1,2… in a mapPartitions pass (category (c) of
+       the custom-operator ladder — per-partition imperative logic
+       that genuinely cannot express as DataFrame ops).
+
+    The oracle is the single-node formulation (global ROW_NUMBER);
+    identical output, opposite physical plan — that contrast is the
+    point of the key.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = d.repartitionByRange(n_parts, "k", "doc_id").sortWithinPartitions("k", "doc_id")
+    sizes = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_pid = {r["pid"]: r["n"] for r in sizes}
+    offsets, acc = {}, 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def number(pid: int, it):
+        base = b_offsets.value[pid]
+        for i, row in enumerate(it):
+            yield (row["doc_id"], base + i)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("new_id", LongType())]
+    )
+    return spark.createDataFrame(
+        ranged.rdd.mapPartitionsWithIndex(number, preservesPartitioning=True), schema
+    )
