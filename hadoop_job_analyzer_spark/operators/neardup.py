@@ -754,3 +754,42 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(True)
         )
     return r.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank"))
+
+
+def _recall_oracle() -> str:
+    # compose the two already-registered oracles: ANN result vs exact
+    from ..registry import _ORACLES
+
+    return f"""
+WITH ivf AS (
+{_ORACLES["sim_ann_ivf"]}
+), ex AS (
+{_ORACLES["sim_cosine_topk"]}
+)
+SELECT COUNT(*) AS n_overlap,
+       CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+FROM ivf JOIN ex USING (vec_id)
+"""
+
+
+@query("sim_ann_recall", oracle=_recall_oracle())
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the IVF-bucketed index
+    against the exact brute-force top-10 — the measurement loop every
+    approximate index ships with (the third eval-verb alongside
+    minhash_jaccard_estimate for LSH and sketch_countmin's overcount
+    column: the engine doesn't just run approximations, it QUANTIFIES
+    them). Both operands are the verified standalone keys; the oracle
+    composes their oracle texts the same way, so all three layers
+    (Spark ANN, Spark exact, both SQL twins) must agree for this to
+    hash-match. Join on 10-row sides — negligible cost beyond the two
+    searches themselves.
+    """
+    from .llm import sim_cosine_topk
+
+    ivf = sim_ann_ivf(spark, sf_dir).select("vec_id")
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    return ivf.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
+    )
