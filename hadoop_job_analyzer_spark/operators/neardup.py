@@ -793,3 +793,65 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
     )
+
+
+def _family_compare_oracle() -> str:
+    from ..registry import _ORACLES
+
+    return f"""
+WITH mh AS (
+{_ORACLES["dedup_near_minhash"]}
+), sh AS (
+{_ORACLES["dedup_simhash"]}
+), ja AS (
+{_ORACLES["dedup_ngram_jaccard"]}
+), em AS (
+{_ORACLES["dedup_embedding"]}
+), labeled AS (
+  SELECT doc_a, doc_b, 1 AS fam FROM mh
+  UNION ALL SELECT doc_a, doc_b, 2 FROM sh
+  UNION ALL SELECT doc_a, doc_b, 4 FROM ja
+  UNION ALL SELECT vec_a, vec_b, 8 FROM em
+), masks AS (
+  SELECT doc_a, doc_b, SUM(fam) AS fam_mask FROM labeled GROUP BY doc_a, doc_b
+)
+SELECT fam_mask, COUNT(*) AS n_pairs FROM masks GROUP BY fam_mask
+"""
+
+
+@query("dedup_family_compare", oracle=_family_compare_oracle())
+def dedup_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method Venn diagram: every candidate pair labeled with the
+    BITMASK of families that flagged it (1=minhash, 2=simhash,
+    4=rare-shingle jaccard, 8=embedding-cosine; embeddings share doc
+    ids via vec_id==doc_id) — the agreement analysis a pipeline runs
+    to choose/ensemble its dedup stack (pairs with mask 15 are
+    certain; mask-1-only pairs show where LSH is loosest).
+
+    Composes four verified standalone keys on the Spark side and
+    their four oracle texts on the DuckDB side — a 4-way consistency
+    check across both engines in one key. Each family's pair set is
+    LSH/df/threshold-bounded, so the union and the per-pair mask agg
+    stay candidate-sized at any corpus scale.
+    """
+    from .llm import dedup_near_minhash as _mh
+
+    mh = _mh(spark, sf_dir).select("doc_a", "doc_b").withColumn("fam", F.lit(1))
+    sh = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b").withColumn("fam", F.lit(2))
+    ja = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("fam", F.lit(4))
+    )
+    em = (
+        dedup_embedding(spark, sf_dir)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .withColumn("fam", F.lit(8))
+    )
+    labeled = mh.unionByName(sh).unionByName(ja).unionByName(em)
+    return (
+        labeled.groupBy("doc_a", "doc_b")
+        .agg(F.sum("fam").alias("fam_mask"))
+        .groupBy("fam_mask")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
