@@ -21,7 +21,7 @@ the label — exactly how the driver's oracle sees it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -326,4 +326,115 @@ def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tf").alias("n_tokens"),
             F.sum(term).cast("double").alias("lm_score"),
         )
+    )
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+WITH tf AS (
+  SELECT lang, token, COUNT(*) AS n
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY lang, token
+), tot AS (
+  SELECT lang, SUM(n) AS total FROM tf GROUP BY lang
+)
+SELECT tf.lang,
+       COUNT(*) AS n_types,
+       CAST(SUM(CAST(
+         -(CAST(tf.n AS DOUBLE) / t.total) * LN(CAST(tf.n AS DOUBLE) / t.total)
+       AS DECIMAL(38,12))) AS DOUBLE) AS entropy_nats
+FROM tf JOIN tot t USING (lang)
+GROUP BY tf.lang
+""",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token entropy (−Σ p·ln p, nats) — the corpus-
+    diversity statistic mixture tuning watches (a collapsing or
+    over-duplicated slice shows up as falling entropy before it shows
+    up in loss). Same decimal-grid exact-sum trick as the LM score:
+    each −p·ln p term is identical IEEE math in both engines, snapped
+    to 1e-12, then summed associatively — vocab-sized state per
+    language at any corpus scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        spread(d, "doc_id")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tf.groupBy("lang").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    term = (-p * F.log(p)).cast("decimal(38,12)")
+    return (
+        tf.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(term).cast("double").alias("entropy_nats"),
+        )
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+WITH tf AS (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk FROM tf
+), xy AS (
+  SELECT LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(n AS DOUBLE)) AS y FROM ranked
+), sums AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM xy
+)
+SELECT m AS n_types,
+       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+FROM sums
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: least-squares slope of ln(freq) on ln(rank) over
+    the vocabulary — natural corpora sit near −1, and a corpus whose
+    slope drifts (boilerplate floods, template spam) fails this
+    distributional health check before any model sees it.
+
+    The regression reduces to five sums over vocab-sized data; each
+    sum is decimal-grid snapped (exact, order-free) and the closed-
+    form slope is then one identical double expression, rounded 1e-6
+    (the two engines' division is IEEE-identical; the rounding guards
+    the decimal→double cast boundary only).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    xy = tf.withColumn("rnk", F.row_number().over(w)).select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    g = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        g(F.col("x")).alias("sx"),
+        g(F.col("y")).alias("sy"),
+        g(F.col("x") * F.col("y")).alias("sxy"),
+        g(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("m").alias("n_types"), F.round(slope, 6).alias("zipf_slope")
     )
