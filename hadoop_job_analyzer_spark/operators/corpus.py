@@ -594,3 +594,85 @@ def assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         ranged.rdd.mapPartitionsWithIndex(number, preservesPartitioning=True), schema
     )
+
+
+def _health_oracle() -> str:
+    from ..registry import _ORACLES
+
+    return f"""
+WITH zipf AS (
+{_ORACLES["text_zipf_fit"]}
+), base AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT md5(text)) AS n_unique_texts,
+         SUM(n_chars) AS total_chars
+  FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+), tot AS (SELECT SUM(n) AS total FROM tf),
+ent AS (
+  SELECT CAST(SUM(CAST(
+           -(CAST(tf.n AS DOUBLE) / t.total) * LN(CAST(tf.n AS DOUBLE) / t.total)
+         AS DECIMAL(38,12))) AS DOUBLE) AS entropy_nats,
+         MAX(t.total) AS total_tokens
+  FROM tf CROSS JOIN tot t
+)
+SELECT b.n_docs, b.n_langs, b.total_chars, e.total_tokens,
+       CAST(b.n_docs - b.n_unique_texts AS DOUBLE) / b.n_docs AS exact_dup_rate,
+       e.entropy_nats, z.zipf_slope
+FROM base b CROSS JOIN ent e CROSS JOIN zipf z
+"""
+
+
+@query("corpus_health_report", oracle=_health_oracle())
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus dashboard: size (docs/langs/chars/tokens),
+    exact-duplicate rate, token entropy, and Zipf slope — the summary
+    a data-quality review reads before anything trains on a snapshot.
+    Composes the verified standalone statistics (zipf via its key and
+    oracle text; entropy/dup-rate as their canonical expressions) into
+    one cross-joined row of scalar aggregates — every component is a
+    full-corpus reduce with constant-size output, so the report costs
+    one pass over documents at any scale.
+    """
+    from .llm import dedup_exact  # noqa: F401  (family documented; not re-run)
+    from .textops import text_zipf_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    tf = (
+        spread(d, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tf.agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    ent = tf.crossJoin(F.broadcast(tot)).agg(
+        F.sum((-p * F.log(p)).cast("decimal(38,12)")).cast("double").alias("entropy_nats"),
+        F.max("total").alias("total_tokens"),
+    )
+    zipf = text_zipf_fit(spark, sf_dir).select("zipf_slope")
+    return (
+        base.crossJoin(ent)
+        .crossJoin(zipf)
+        .select(
+            "n_docs",
+            "n_langs",
+            "total_chars",
+            "total_tokens",
+            (
+                (F.col("n_docs") - F.col("n_unique_texts")).cast("double") / F.col("n_docs")
+            ).alias("exact_dup_rate"),
+            "entropy_nats",
+            "zipf_slope",
+        )
+    )
