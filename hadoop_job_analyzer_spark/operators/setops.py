@@ -157,3 +157,42 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal", F.lit(1).alias("version"), F.lit(1).alias("is_current")
     )
     return unchanged.unionByName(closed).unionByName(opened).unionByName(arrived)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'click')
+EXCEPT ALL
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'view')
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each user_id survives (clicks −
+    views) times, not merely "clicked and never viewed" (the distinct-
+    semantics set_except). The multiplicity-aware difference is its
+    own physical operator (left-anti with counters, not a distinct);
+    surfaced because multiset accounting (e.g. imbalance of paired
+    events) needs it and dedup-style EXCEPT silently corrupts it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    return clicks.exceptAll(views)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'click')
+INTERSECT ALL
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'view')
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics twin: each user_id appears
+    min(clicks, views) times (matched-pair capacity per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    return clicks.intersectAll(views)

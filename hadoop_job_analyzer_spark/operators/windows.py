@@ -569,3 +569,31 @@ def win_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+SELECT user_id, event_id, ts,
+       NTH_VALUE(event_id, 3) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS third_event_id
+FROM events
+""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window: each row sees its user's 3rd event so far
+    (NULL until it exists) — the "milestone event" accessor
+    completing the first/last/lag/lead value-function family. Running
+    frame, streaming state, one user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.nth_value("event_id", 3).over(w).alias("third_event_id"),
+    )
