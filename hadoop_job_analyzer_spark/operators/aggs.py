@@ -408,3 +408,29 @@ def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids=["user_id"], values=_EVENT_TYPES, variableColumnName="event_type", valueColumnName="n"
     )
     return long.where(F.col("n") > 0)
+
+
+@query(
+    "agg_bool_count_if",
+    oracle="""
+SELECT event_type,
+       BOOL_AND(value >= 0) AS all_nonneg,
+       BOOL_OR(value > 99) AS any_gt99,
+       COUNT(*) FILTER (WHERE value > 50) AS n_gt50
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: every/any/count_if per group — the
+    assertion-style aggregates monitoring queries are built from
+    ("did ANY reading exceed the limit", "are ALL values sane",
+    "how many crossed the threshold"). Pure map-side partials; the
+    boolean lattice combines associatively, so these are the
+    cheapest aggregates in the engine."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_gt99"),
+        F.count_if(F.col("value") > 50).alias("n_gt50"),
+    )

@@ -9,7 +9,7 @@ decoded — the opposite of the reference's fetch-everything-then-filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -147,3 +147,70 @@ def filter_bool_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")) & (F.col("o_orderstatus") == "F")
     )
     return o.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice").where(cond)
+
+
+@query(
+    "filter_outlier_p99",
+    oracle="""
+SELECT event_id, event_type, value, ROUND(p99, 6) AS p99
+FROM (
+  SELECT event_id, event_type, value,
+         QUANTILE_CONT(value, 0.99) OVER (PARTITION BY event_type) AS p99
+  FROM events
+)
+WHERE value > p99
+""",
+)
+def filter_outlier_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p99 outlier isolation — the tail-trimming cleanup
+    stage (latency spikes, corrupt readings) done relative to each
+    group's own distribution, not a global constant. The quantile is
+    a window aggregate over the type partition: one shuffle on
+    event_type, every row compared against its group's threshold in
+    the same pass (no second scan, no join back). Rounded per the
+    float policy — both engines linear-interpolate the quantile.
+    At 100 TB with many groups the exact per-group sort gives way to
+    approx_percentile, same plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    p99 = F.percentile("value", F.lit(0.99)).over(w)
+    return (
+        ev.select("event_id", "event_type", "value", p99.alias("p99_raw"))
+        .where(F.col("value") > F.col("p99_raw"))
+        .select("event_id", "event_type", "value", F.round("p99_raw", 6).alias("p99"))
+    )
+
+
+@query(
+    "filter_exists_subquery",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+AND c_acctbal > 0
+""",
+)
+def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS predicate through the SQL surface — the query
+    users of the reference would write verbatim; Catalyst rewrites the
+    subquery to a left-semi join (same plan as join_left_semi's
+    DataFrame form — syntax vs plan, like join_lateral_topk). Both
+    engines run the identical SQL text.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        AND c_acctbal > 0
+        """
+    )
