@@ -597,3 +597,85 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts",
         F.nth_value("event_id", 3).over(w).alias("third_event_id"),
     )
+
+
+@query(
+    "win_transition_matrix",
+    oracle="""
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+FROM (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: counts of consecutive
+    (event → next event) pairs per user — the Markov-chain view of
+    behavior logs (what follows a click?) that funnels and session
+    stats are both built on. One lead() pass over the user partition,
+    then a 25-cell aggregate: the matrix is |types|² regardless of
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
+    "ts_ohlc_hourly",
+    oracle="""
+SELECT DISTINCT event_type, hr,
+       FIRST_VALUE(value) OVER w AS open,
+       MAX(value) OVER w AS high,
+       MIN(value) OVER w AS low,
+       LAST_VALUE(value) OVER w AS close,
+       COUNT(*) OVER w AS n_events
+FROM (SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id, value FROM events)
+WINDOW w AS (
+  PARTITION BY event_type, hr ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""",
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle rollup: per type × hour, the opening (first-by-
+    time), high, low, and closing (last-by-time) values — the
+    canonical timeseries downsample. Expressed as an unbounded window
+    + DISTINCT (rather than min_by/max_by aggregates) so open/close
+    carry an explicit, fully-tiebroken time order in BOTH engines; the
+    values pass through unchanged, so the match is exact. One shuffle
+    on (type, hour); at scale this is the continuous-aggregate shape
+    a stream would maintain incrementally (stream_tumbling's batch
+    twin with positional accessors).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", "ts")
+    w = (
+        Window.partitionBy("event_type", "hr")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select("event_type", hr.alias("hr"), "ts", "event_id", "value")
+        .select(
+            "event_type",
+            "hr",
+            F.first("value").over(w).alias("open"),
+            F.max("value").over(w).alias("high"),
+            F.min("value").over(w).alias("low"),
+            F.last("value").over(w).alias("close"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+        )
+        .distinct()
+    )
