@@ -419,3 +419,35 @@ def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_value")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "fn_levenshtein_fuzzy",
+    oracle="""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey <= 60 AND b.c_custkey <= 60
+  AND levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def fn_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical customer-name pairs by
+    Levenshtein distance ≤ 2 (both engines implement the identical
+    unit-cost edit distance) — the record-linkage primitive for dirty
+    dimension data. The candidate scope is bounded (first 60 keys)
+    because edit distance has no index: production record linkage
+    blocks candidates first (phonetic keys, q-gram LSH — this
+    engine's minhash machinery) and runs the quadratic distance only
+    within blocks; the cap stands in for that blocking step.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 60)
+    a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .where(dist <= 2)
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+    )

@@ -434,3 +434,30 @@ def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 99).alias("any_gt99"),
         F.count_if(F.col("value") > 50).alias("n_gt50"),
     )
+
+
+@query(
+    "agg_string_concat_ordered",
+    oracle="""
+SELECT o_orderpriority,
+       STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / STRING_AGG): the distinct
+    statuses per priority as one sorted comma-joined string — the
+    report-friendly rendering of a small set-valued aggregate.
+    Determinism requires BOTH distinct and an explicit order (an
+    unordered string_agg differs run to run — worse, differs per
+    partitioning); Spark spells it array_sort(collect_set) +
+    array_join, which also shows the collect-then-render shape stays
+    bounded: only set-valued (small-cardinality) columns belong here.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
