@@ -679,3 +679,108 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "ts_resample_interp",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events
+), grid AS (
+  SELECT t.event_type, u.hr
+  FROM (SELECT DISTINCT event_type FROM events) t, b,
+       UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS u(hr)
+), joined AS (
+  SELECT g.event_type, g.hr, h.v FROM grid g LEFT JOIN hourly h USING (event_type, hr)
+), bounded AS (
+  SELECT event_type, hr, v,
+         LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER wp AS ph,
+         FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER wf AS nh
+  FROM joined
+  WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hr,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv)
+                 * (CAST(date_part('epoch', hr) AS DOUBLE) - date_part('epoch', ph))
+                 / (CAST(date_part('epoch', nh) AS DOUBLE) - date_part('epoch', ph))
+            ELSE NULL END AS v_interp,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM bounded
+""",
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling: the hourly mean series per
+    type, with gap hours filled by interpolating between the nearest
+    real observations on either side (edges stay NULL) — the
+    imputation step between LOCF (win_fill_forward) and zero-fill
+    (ts_gapfill_hourly), completing the timeseries verb family.
+
+    Two running windows per type (LOCF forward for the previous
+    anchor, its mirror backward for the next) plus one lerp
+    expression: all streaming frames over the dense grid (hours ×
+    types rows — tiny at any corpus scale), no joins beyond the grid
+    construction. The lerp divides exact integer epoch gaps and
+    identically-derived doubles, so the match needs no rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr")
+    ).crossJoin(ev.select("event_type").distinct())
+    joined = grid.join(hourly, ["event_type", "hr"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("v").isNotNull(), F.col("hr"))
+    bounded = joined.select(
+        "event_type",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(marked, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(marked, ignorenulls=True).over(wf).alias("nh"),
+    )
+    # association mirrors the SQL's precedence EXACTLY:
+    # pv + ((nv - pv) * (hr - ph)) / (nh - ph) — computing the
+    # fraction first drifts a last-ulp on interpolated rows
+    dt = F.col("hr").cast("long").cast("double") - F.col("ph").cast("long")
+    den = F.col("nh").cast("long").cast("double") - F.col("ph").cast("long")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * dt / den,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return bounded.select(
+        "event_type",
+        "hr",
+        interp.alias("v_interp"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
