@@ -451,3 +451,33 @@ def fn_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 2)
         .select("key_a", "key_b", dist.alias("edit_dist"))
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+SELECT event_id,
+       value / NULLIF(value - value, 0) AS div_by_zero_is_null,
+       CASE WHEN value >= 0 THEN SQRT(value) END AS safe_sqrt,
+       TRY_CAST(props AS DOUBLE) AS bad_cast_is_null
+FROM events
+WHERE event_id <= 1000
+""",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: try_divide / conditional sqrt /
+    try_cast turn the would-be runtime errors of dirty data (division
+    by zero, domain errors, unparseable strings) into NULLs — the
+    difference between a 100 TB job that completes with a null-rate
+    metric and one that dies at hour nine on a single bad row. Spark's
+    try_* family maps to NULLIF/CASE/TRY_CAST guards in ANSI SQL.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("value") - F.col("value")).alias(
+            "div_by_zero_is_null"
+        ),
+        F.when(F.col("value") >= 0, F.sqrt("value")).alias("safe_sqrt"),
+        F.expr("try_cast(props AS DOUBLE)").alias("bad_cast_is_null"),
+    )

@@ -461,3 +461,55 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "agg_regr_slope_grouped",
+    oracle="""
+WITH xy AS (
+  SELECT event_type,
+         -- FLOOR matches Spark's truncating timestamp→long cast;
+         -- raw epoch keeps µs fractions and the regression's
+         -- cancellation amplifies that 1e-11 into a 1e-6 slope flip
+         CAST(FLOOR(date_part('epoch', ts)) AS DOUBLE) / 86400 AS x,
+         value AS y
+  FROM events
+), sums AS (
+  SELECT event_type,
+         COUNT(*) AS m,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, m AS n_points,
+       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope_per_day
+FROM sums
+""",
+)
+def agg_regr_slope_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: each event type's value drift in
+    units/day over the month — regr_slope as five decimal-grid-exact
+    sums per group plus one closed-form expression (the zipf-fit
+    pattern, grouped). The trend-detection aggregate monitoring
+    dashboards plot; a genuinely distributed regression (map-side
+    partials, one shuffle of 5 numbers per group) at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("ts").cast("long").cast("double") / 86400).alias("x")
+    xy = ev.select("event_type", x, F.col("value").alias("y"))
+    g = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    sums = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        g(F.col("x")).alias("sx"),
+        g(F.col("y")).alias("sy"),
+        g(F.col("x") * F.col("y")).alias("sxy"),
+        g(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "event_type", F.col("m").alias("n_points"), F.round(slope, 6).alias("slope_per_day")
+    )
