@@ -855,3 +855,36 @@ def dedup_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fam_mask")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def _cluster_hist_oracle() -> str:
+    from ..registry import _ORACLES
+
+    # reuse the components key's oracle (recursive min-reachability)
+    comp = _ORACLES["dedup_components"]
+    return f"""
+WITH comp AS (
+{comp}
+), sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       cluster_size * COUNT(*) AS n_docs_in
+FROM sizes GROUP BY cluster_size
+"""
+
+
+@query("dedup_cluster_sizes", oracle=_cluster_hist_oracle())
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup clusters
+    of each size exist and how much of the corpus they hold — the
+    histogram a dedup run is judged by (a long tail of pairs is
+    normal; one giant cluster means boilerplate leaked through the
+    band cap). Reuses dedup_components verbatim; the histogram is two
+    tiny aggregations over its (doc, component) labels."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs_in"),
+    )

@@ -438,3 +438,39 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.col("m").alias("n_types"), F.round(slope, 6).alias("zipf_slope")
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+WITH tf AS (
+  SELECT lang, token, COUNT(*) AS n
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY lang, token
+)
+SELECT lang,
+       COUNT(*) AS n_types,
+       SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_ratio
+FROM tf GROUP BY lang
+""",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena ratio per language (types appearing exactly
+    once / all types) — the lexical-richness companion to entropy and
+    the Zipf fit: natural corpora run ~40-60% hapax; template/spam
+    floods push it toward 0. Vocab-sized state; one exact integer
+    ratio per language."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        spread(d, "doc_id")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        hapax.alias("n_hapax"),
+        (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
+    )
