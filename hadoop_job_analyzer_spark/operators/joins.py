@@ -571,3 +571,44 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weighted_value"),
         )
     )
+
+
+@query(
+    "join_product_line_profit",
+    oracle=f"""
+SELECT n.n_name AS nation, p.p_brand,
+       COUNT(*) AS n_lines,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       SUM(l.l_quantity) AS sum_qty
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_retailprice > 1200
+GROUP BY n.n_name, p.p_brand
+""",
+)
+def join_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-line analysis: revenue by supplier
+    nation × part brand for premium parts — the 4-way star that
+    exercises every dimension in the catalog (part and supplier join
+    the fact by l_partkey/l_suppkey; nation stacks on supplier).
+    Catalyst broadcast-joins all three dims — the fact table shuffles
+    ONLY for the final 125-group partial agg; the part filter prunes
+    before its join. Revenue follows the decimal policy.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_retailprice") > 1200)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )

@@ -784,3 +784,58 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("v_interp"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         COUNT(*) AS m,
+         SUM(n) AS s1,
+         SUM(n * n) AS s2
+  FROM hourly GROUP BY event_type
+), scored AS (
+  SELECT h.event_type, h.hr, h.n,
+         (CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.m)
+           / SQRT((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.m) / (s.m - 1))
+           AS z
+  FROM hourly h JOIN stats s USING (event_type)
+)
+SELECT event_type, hr, n, ROUND(z, 6) AS zscore
+FROM scored WHERE ABS(z) >= 2
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly detection: hours whose event count sits ≥2
+    sample standard deviations from that type's hourly mean — the
+    alerting query every ops rollup feeds. The moments are EXACT
+    integer sums (counts and squared counts), so mean/std/z reduce to
+    one identical closed-form double expression per row — only the
+    final z is float-rounded. Two tiny aggregations (hourly counts →
+    per-type moments) plus a broadcast joinback; nothing touches raw
+    events twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("m")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("m")) / (
+        F.col("m") - 1
+    )
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select("event_type", "hr", "n", z.alias("z"))
+        .where(F.abs(F.col("z")) >= 2)
+        .select("event_type", "hr", "n", F.round("z", 6).alias("zscore"))
+    )
