@@ -513,3 +513,39 @@ def agg_regr_slope_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type", F.col("m").alias("n_points"), F.round(slope, 6).alias("slope_per_day")
     )
+
+
+_TYPE_BITS = {"click": 1, "view": 2, "purchase": 4, "signup": 8, "error": 16}
+
+
+@query(
+    "agg_bitmap_types",
+    oracle=f"""
+SELECT user_id,
+       BIT_OR(CASE event_type {' '.join(f"WHEN '{t}' THEN {b}" for t, b in _TYPE_BITS.items())} END)
+         AS type_bitmap,
+       BIT_AND(CASE event_type {' '.join(f"WHEN '{t}' THEN {b}" for t, b in _TYPE_BITS.items())} END)
+         AS only_type_or_zero,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_bitmap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates: each user's event-type BITMAP (bit_or of
+    per-type flags — the compact "which capabilities/types has this
+    entity touched" set representation bitmap indexes build on) and
+    its bit_and dual (non-zero only for single-type users). Bitmaps
+    combine associatively bit-by-bit, so these aggregate map-side like
+    counts but carry SET information in 8 bytes per entity —
+    dramatically cheaper than collect_set at 100 TB entity counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    flag = F.coalesce(
+        *[F.when(F.col("event_type") == t, F.lit(b)) for t, b in _TYPE_BITS.items()]
+    )
+    return ev.groupBy("user_id").agg(
+        F.bit_or(flag).alias("type_bitmap"),
+        F.bit_and(flag).alias("only_type_or_zero"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
