@@ -21,6 +21,7 @@ the label — exactly how the driver's oracle sees it.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -473,4 +474,34 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         hapax.alias("n_hapax"),
         (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
+    )
+
+
+@query("text_compression_ratio")  # rows-only: no SQL twin for zlib; self-check in tests
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the Gopher-rules quality
+    signal SQL cannot express: highly repetitive/boilerplate text
+    compresses far below natural prose, so ratio thresholds catch
+    template spam that token statistics miss. Arrow-batched pandas UDF
+    over the stdlib zlib at a PINNED level (6) — deterministic bytes
+    in, deterministic ratio out, so the self-check recomputes ratios
+    in plain Python and asserts exact equality (stronger than the
+    driver's rows-only check). Pure map: scales embarrassingly; the
+    only cost is the Python worker round-trip, batched by Arrow.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: round(len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t.encode("utf-8")), 1), 6)
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_bytes"),
+        comp_ratio(F.col("text")).alias("compression_ratio"),
     )

@@ -70,3 +70,19 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     n_frag = len(glob.glob(os.path.join(art, "compact_fragmented", "*.parquet")))
     n_tidy = len(glob.glob(os.path.join(art, "compact_tidy", "*.parquet")))
     assert n_frag == 64 and n_tidy == 4, (n_frag, n_tidy)
+
+
+def test_compression_ratio_matches_python(spark, sf_dir):
+    import zlib
+
+    from hadoop_job_analyzer_spark.catalog import load_table
+    from hadoop_job_analyzer_spark.registry import queries
+
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in queries()["text_compression_ratio"](spark, sf_dir).collect()
+    }
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 6)
+        assert got[r["doc_id"]] == want, r["doc_id"]
