@@ -888,3 +888,114 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs_in"),
     )
+
+
+@query(
+    "emb_label_separation",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+), cent AS (
+  SELECT label, pos, ROUND(AVG(x), 6) AS c FROM ex GROUP BY label, pos
+), between_ AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(a.c * a.c AS DECIMAL(38,12))) AS DOUBLE) AS na,
+         CAST(SUM(CAST(b.c * b.c AS DECIMAL(38,12))) AS DOUBLE) AS nb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+), vc AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM(CAST(e.x * c.c AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(e.x * e.x AS DECIMAL(38,12))) AS DOUBLE) AS nv,
+         CAST(SUM(CAST(c.c * c.c AS DECIMAL(38,12))) AS DOUBLE) AS nc
+  FROM ex e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+  GROUP BY e.vec_id, e.label
+), within_ AS (
+  SELECT label,
+         CAST(SUM(CAST(ROUND(dot / SQRT(nv * nc), 6) AS DECIMAL(38,12))) AS DOUBLE)
+           / COUNT(*) AS avg_cos,
+         COUNT(*) AS n
+  FROM vc GROUP BY label
+)
+SELECT label AS label_a, label AS label_b, ROUND(avg_cos, 6) AS cosine, n AS n_items
+FROM within_
+UNION ALL
+SELECT label_a, label_b, ROUND(dot / SQRT(na * nb), 6) AS cosine, 1 AS n_items
+FROM between_
+""",
+)
+def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space separation report: for each label, the mean
+    cosine of its members to their own centroid (cohesion — diagonal
+    rows, label_a == label_b); for each label pair, the centroid-to-
+    centroid cosine (separation — off-diagonal). Well-separated
+    spaces show high diagonal, low off-diagonal; this is the health
+    check run before trusting labels for IVF routing or classifier
+    training.
+
+    Everything reduces to per-(pair, pos) products summed through the
+    1e-12 decimal grid — the regression/pagerank exactness pattern
+    applied to vector geometry — with centroids quantized at 1e-6 in
+    BOTH engines first, so every layer is hash-exact. Shuffle shape:
+    one posexplode pass, centroid broadcast joins, and per-vec/per-
+    pair partial aggs; at 100 TB the vector stream is touched once.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        spread(e, "vec_id")
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "xf"))
+        .select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
+        .persist()
+    )
+    cent = (
+        ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c")).persist()
+    )
+    g = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    between = (
+        a.join(b, (a.pos == b.pos) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            g(F.col("ca") * F.col("cb")).alias("dot"),
+            g(F.col("ca") * F.col("ca")).alias("na"),
+            g(F.col("cb") * F.col("cb")).alias("nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
+            F.lit(1).cast("long").alias("n_items"),
+        )
+    )
+    vc = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            g(F.col("x") * F.col("c")).alias("dot"),
+            g(F.col("x") * F.col("x")).alias("nv"),
+            g(F.col("c") * F.col("c")).alias("nc"),
+        )
+    )
+    within = (
+        vc.select(
+            "label",
+            F.round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 6)
+            .cast("decimal(38,12)")
+            .alias("cos_q"),
+        )
+        .groupBy("label")
+        .agg(
+            (F.sum("cos_q").cast("double") / F.count(F.lit(1))).alias("avg_cos"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("label").alias("label_a"),
+            F.col("label").alias("label_b"),
+            F.round("avg_cos", 6).alias("cosine"),
+            F.col("n").alias("n_items"),
+        )
+    )
+    return within.unionByName(between)
