@@ -235,3 +235,49 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_with_extra,
+       SUM(CASE WHEN event_id % 2 = 0 THEN event_id ELSE 0 END) AS sum_extra
+FROM events
+GROUP BY event_type
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: the landing zone holds an OLD batch
+    (event_id, event_type) and a NEW batch that added a column
+    (extra_id) — `mergeSchema=true` unifies them, old rows surfacing
+    NULL for the added column. The lake reality every long-lived
+    pipeline hits: producers add fields; readers must take the union
+    of schemas without rewriting history. The aggregate proves the
+    merged read is lossless (counts per type; presence and sum of the
+    new column on exactly the new-batch rows) against the oracle's
+    view of the source table.
+
+    At 100 TB: mergeSchema is a planning-time footer merge (cheap);
+    the real discipline is keeping added columns NULLABLE and never
+    repurposing names — both demonstrated by the unified schema here.
+    """
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(_ARTIFACTS, f"schema_evo_{sf_tag}")
+    ev = load_table(spark, sf_dir, "events")
+    old_batch = ev.where(F.expr("event_id % 2 = 1")).select("event_id", "event_type")
+    new_batch = ev.where(F.expr("event_id % 2 = 0")).select(
+        "event_id", "event_type", F.col("event_id").alias("extra_id")
+    )
+    if not os.path.exists(os.path.join(base, "old", "_SUCCESS")):
+        old_batch.write.mode("overwrite").parquet(os.path.join(base, "old"))
+        new_batch.write.mode("overwrite").parquet(os.path.join(base, "new"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "old"), os.path.join(base, "new")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("extra_id").alias("n_with_extra"),
+        F.coalesce(F.sum("extra_id"), F.lit(0)).alias("sum_extra"),
+    )
