@@ -839,3 +839,91 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z")) >= 2)
         .select("event_type", "hr", "n", F.round("z", 6).alias("zscore"))
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+       ROUND(QUANTILE_CONT(n_events, 0.5) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 6) AS median_7d
+FROM daily
+""",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of daily event counts — the robust
+    smoother (win_moving_avg's outlier-resistant sibling: one spike
+    day moves the mean but not the median). Spark's `percentile`
+    aggregate runs as a window over the rows frame; both engines
+    linear-interpolate even-count frames, rounded per the float
+    policy. Daily rollup first, so the window state is days, not
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_events",
+        F.round(F.percentile("n_events", F.lit(0.5)).over(w), 6).alias("median_7d"),
+    )
+
+
+_EWMA_ALPHA = 0.3  # weight on the most recent day
+
+
+@query(
+    "ts_ewma_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+), weighted AS (
+  SELECT a.day, a.t,
+         CAST(SUM(CAST(b.v * POWER(1 - {_EWMA_ALPHA}, a.t - b.t) AS DECIMAL(38,12))) AS DOUBLE)
+           AS wsum,
+         CAST(SUM(CAST(POWER(1 - {_EWMA_ALPHA}, a.t - b.t) AS DECIMAL(38,12))) AS DOUBLE)
+           AS wnorm
+  FROM idx a JOIN idx b ON b.t <= a.t
+  GROUP BY a.day, a.t
+)
+SELECT day, ROUND(wsum / wnorm, 6) AS ewma
+FROM weighted
+""",
+)
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily value (α=0.3) —
+    the recency-weighted smoother. The textbook recursive form
+    (s_t = αx_t + (1−α)s_{t−1}) is order-dependent state no engine
+    pair reproduces bit-for-bit; rewritten as its CLOSED form — a
+    normalized sum of v·(1−α)^lag over the history — every term is an
+    identical IEEE product, snapped to the decimal grid and summed
+    exactly. The history join is days × days (≤ 30², trivial; at
+    longer horizons the (1−α)^lag terms underflow past any threshold
+    and the join truncates to a bounded lag window — same plan).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(dec("value")).cast("double").alias("v")
+    )
+    idx = daily.withColumn("t", F.row_number().over(Window.orderBy("day")))
+    a = idx.select(F.col("day"), F.col("t"))
+    b = idx.select(F.col("t").alias("s"), F.col("v").alias("bv"))
+    g = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    decay = F.pow(F.lit(1 - _EWMA_ALPHA), F.col("t") - F.col("s"))
+    return (
+        a.join(b, F.col("s") <= F.col("t"))
+        .groupBy("day", "t")
+        .agg(g(F.col("bv") * decay).alias("wsum"), g(decay).alias("wnorm"))
+        .select("day", F.round(F.col("wsum") / F.col("wnorm"), 6).alias("ewma"))
+    )
