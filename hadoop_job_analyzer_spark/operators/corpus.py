@@ -676,3 +676,84 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope",
         )
     )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, lang, md5(text) AS h FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_o_bucket('doc_id', 100)} = 1 THEN md5(text || ' v2') ELSE md5(text) END AS h
+  FROM documents
+  WHERE {_o_bucket('doc_id', 100)} <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, lang, md5(text) AS h
+  FROM documents WHERE {_o_bucket('doc_id', 100)} = 2
+)
+SELECT COALESCE(a.lang, b.lang) AS lang,
+       SUM(CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END) AS n_added,
+       SUM(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END) AS n_removed,
+       SUM(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL AND a.h <> b.h
+                THEN 1 ELSE 0 END) AS n_changed,
+       SUM(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL AND a.h = b.h
+                THEN 1 ELSE 0 END) AS n_same
+FROM a FULL JOIN b ON a.doc_id = b.doc_id
+GROUP BY COALESCE(a.lang, b.lang)
+""",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff: old corpus vs a deterministic 'next crawl'
+    (10% of docs dropped, 10% re-crawled with changed content, 10%
+    arriving new) → per-language added/removed/changed/unchanged
+    accounting — the report every recurring ingestion produces before
+    downstream jobs decide what to reprocess.
+
+    Content identity travels as md5 (32 bytes), never full text: the
+    full-outer join carries (id, lang, hash) only, so diffing two
+    100 TB snapshots shuffles GBs, not the corpora. Incremental
+    reprocessing (run dedup/decon only on added∪changed) is the
+    optimization this report unlocks.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bkt = _bucket(F.col("doc_id"), 100)
+    a = d.select("doc_id", "lang", F.md5("text").alias("h"))
+    b_kept = d.where(bkt != 0).select(
+        "doc_id",
+        "lang",
+        F.when(bkt == 1, F.md5(F.concat(F.col("text"), F.lit(" v2"))))
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    b_new = d.where(bkt == 2).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "lang", F.md5("text").alias("h")
+    )
+    b = b_kept.unionByName(b_new)
+    aj = a.select(
+        F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"), F.col("h").alias("a_h")
+    )
+    bj = b.select(
+        F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"), F.col("h").alias("b_h")
+    )
+    j = aj.join(bj, aj.a_id == bj.b_id, "full")
+    return j.groupBy(F.coalesce("a_lang", "b_lang").alias("lang")).agg(
+        F.sum(F.when(F.col("a_id").isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("b_id").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("a_id").isNotNull()
+                & F.col("b_id").isNotNull()
+                & (F.col("a_h") != F.col("b_h")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changed"),
+        F.sum(
+            F.when(
+                F.col("a_id").isNotNull()
+                & F.col("b_id").isNotNull()
+                & (F.col("a_h") == F.col("b_h")),
+                1,
+            ).otherwise(0)
+        ).alias("n_same"),
+    )

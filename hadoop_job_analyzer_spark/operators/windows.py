@@ -927,3 +927,42 @@ def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(g(F.col("bv") * decay).alias("wsum"), g(decay).alias("wnorm"))
         .select("day", F.round(F.col("wsum") / F.col("wnorm"), 6).alias("ewma"))
     )
+
+
+@query(
+    "win_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), grouped AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '1970-01-01', d)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, COUNT(*) AS streak_len FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id,
+       MAX(streak_len) AS longest_streak,
+       COUNT(*) AS n_streaks
+FROM streaks GROUP BY user_id
+""",
+)
+def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement metric, via the classic islands trick: for consecutive
+    dates, (day-number − row-number) is constant, so each run of
+    consecutive days collapses to one group key without any iterative
+    scan. Distinct days first (events-per-day don't matter), then two
+    cheap per-user aggregations; everything partitions by user."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) - F.row_number().over(w)
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("streak_len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
