@@ -20,7 +20,7 @@ constant memory), which is also declared here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -548,4 +548,48 @@ def agg_bitmap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(flag).alias("type_bitmap"),
         F.bit_and(flag).alias("only_type_or_zero"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_gini_user_activity",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i FROM per_user
+), sums AS (
+  SELECT COUNT(*) AS m, SUM(n) AS tot, SUM(i * n) AS iw FROM ranked
+)
+SELECT m AS n_users, tot AS n_events,
+       ROUND(CAST(2 * iw AS DOUBLE) / (m * tot) - CAST(m + 1 AS DOUBLE) / m, 6) AS gini
+FROM sums
+""",
+)
+def agg_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the traffic-
+    concentration index (0 = uniform usage, →1 = a few users generate
+    everything); capacity planning and abuse detection both read it.
+    Computed by the sorted-rank formula G = 2Σ(i·xᵢ)/(m·Σx) − (m+1)/m:
+    every sum is EXACT integer arithmetic (ranks × counts), so the
+    only float ops are two final divisions — identical in both
+    engines, rounded once. The rank window sorts users by count
+    (user-cardinality rows, partials everywhere else).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "user_id")
+    ranked = per_user.withColumn("i", F.row_number().over(w))
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("i") * F.col("n")).alias("iw"),
+    )
+    gini = (2 * F.col("iw")).cast("double") / (F.col("m") * F.col("tot")) - (
+        F.col("m") + 1
+    ).cast("double") / F.col("m")
+    return sums.select(
+        F.col("m").alias("n_users"),
+        F.col("tot").alias("n_events"),
+        F.round(gini, 6).alias("gini"),
     )

@@ -562,3 +562,37 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+_PREFIX_N = 20  # tokens
+
+
+@query(
+    "dedup_prefix",
+    oracle=f"""
+WITH pfx AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:{_PREFIX_N}], ' ')) AS p
+  FROM documents
+)
+SELECT p AS prefix_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+FROM pfx GROUP BY p HAVING COUNT(*) > 1
+""",
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: documents sharing their first 20 tokens — the
+    truncation-duplicate detector (web pages cut at different lengths
+    by different crawls share prefixes but fail exact AND shingle
+    dedup once tails diverge enough). Same keeper-selection shape as
+    dedup_exact, keyed on the prefix hash; only colliding groups
+    emit. Slice semantics pinned: Spark `slice(arr, 1, n)` == DuckDB
+    `arr[1:n]` (both 1-based, length-clamped).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.md5(F.array_join(F.slice(F.split("text", " "), 1, _PREFIX_N), " "))
+    return (
+        d.select("doc_id", pfx.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
