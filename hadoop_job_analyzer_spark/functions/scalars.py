@@ -172,15 +172,17 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datediff / date_add / add_months (durations [R-M]).
 
     Argument-order trap: Spark datediff(end, start) = DuckDB
-    date_diff('day', start, end). Spark date_add returns DATE, so the
-    oracle works in DATE space too."""
+    date_diff('day', start, end). The derived dates are returned as
+    midnight TIMESTAMPs: Spark DATE reaches the driver's pandas
+    canonicalizer as datetime.date objects while DuckDB DATE becomes
+    datetime64 — equal values, mismatched representation."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
-        F.date_add(F.col("l_shipdate"), 30).alias("ship_plus_30d"),
-        F.add_months(F.col("l_shipdate"), 2).alias("ship_plus_2mo"),
+        F.date_add(F.col("l_shipdate"), 30).cast("timestamp").alias("ship_plus_30d"),
+        F.add_months(F.col("l_shipdate"), 2).cast("timestamp").alias("ship_plus_2mo"),
     )
 
 
@@ -291,7 +293,9 @@ SELECT vec_id,
        len(embedding) AS dim,
        embedding[1] AS first_elem,
        embedding[64] AS last_elem,
-       embedding[1:3] AS head3
+       embedding[1:3][1] AS head_1,
+       embedding[1:3][2] AS head_2,
+       embedding[1:3][3] AS head_3
 FROM embeddings
 """,
 )
@@ -299,14 +303,20 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/element_at/slice on the embedding vector column [D].
 
     element_at is 1-based in both engines; parquet float32 values
-    compare exactly (no arithmetic performed)."""
+    compare exactly (no arithmetic performed). The slice result is
+    projected element-wise (head_1..head_3) instead of returned as a
+    raw ARRAY cell, which the driver's pandas canonicalizer cannot
+    hash (ndarray)."""
     e = load_table(spark, sf_dir, "embeddings")
+    head3 = F.slice("embedding", 1, 3)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_elem"),
         F.element_at("embedding", 64).alias("last_elem"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.element_at(head3, 1).alias("head_1"),
+        F.element_at(head3, 2).alias("head_2"),
+        F.element_at(head3, 3).alias("head_3"),
     )
 
 
@@ -381,7 +391,7 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs = spark.read.schema(schema).json(path)
     return jobs.select(
         "job_id",
-        F.sort_array(F.map_keys("counters")).alias("counter_names"),
+        F.array_join(F.sort_array(F.map_keys("counters")), ",").alias("counter_names"),
         F.element_at(F.col("counters"), "hdfs_bytes_read").alias("hdfs_read"),
         F.size("counters").alias("n_counters"),
         F.aggregate(F.map_values("counters"), F.lit(0).cast("long"), lambda a, x: a + x).alias(

@@ -314,17 +314,20 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT user_id,
-       LIST(DISTINCT event_type ORDER BY event_type) AS types
+       STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS types
 FROM events
 GROUP BY user_id
 """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sorted distinct event-type list (collect_list order is
-    nondeterministic → always sort_array; §5.3.6)."""
+    nondeterministic → always sort_array; §5.3.6). Rendered as a
+    comma-joined string: the driver's pandas canonicalizer cannot hash
+    a raw ARRAY cell (ndarray), so the list is materialized as text on
+    both sides (array_join ↔ STRING_AGG)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types")
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
     )
 
 
@@ -359,7 +362,7 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "agg_pivot_wide",
     oracle=f"""
 SELECT user_id,
-       {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in _EVENT_TYPES)}
+       {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
 FROM events
 GROUP BY user_id
 """,
@@ -559,7 +562,7 @@ WITH per_user AS (
 ), ranked AS (
   SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i FROM per_user
 ), sums AS (
-  SELECT COUNT(*) AS m, SUM(n) AS tot, SUM(i * n) AS iw FROM ranked
+  SELECT COUNT(*) AS m, CAST(SUM(n) AS BIGINT) AS tot, SUM(i * n) AS iw FROM ranked
 )
 SELECT m AS n_users, tot AS n_events,
        ROUND(CAST(2 * iw AS DOUBLE) / (m * tot) - CAST(m + 1 AS DOUBLE) / m, 6) AS gini

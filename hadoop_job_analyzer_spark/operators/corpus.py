@@ -136,7 +136,7 @@ def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM (SELECT lang, n_chars, {_o_bucket('doc_id', 100)} AS b FROM documents)
 GROUP BY 1, 2
@@ -282,8 +282,8 @@ WITH sized AS (
          ), 0) AS start_off
   FROM sized
 )
-SELECT lang, start_off // {_PACK_CAP} AS bin,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+SELECT lang, CAST(start_off // {_PACK_CAP} AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM offs
 GROUP BY lang, start_off // {_PACK_CAP}
@@ -388,9 +388,9 @@ WITH RECURSIVE pairs AS (
 )
 SELECT d.lang, d.source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN d.doc_id = c.component THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN d.doc_id = c.component THEN 0 ELSE 1 END) AS n_removed,
-       SUM(CASE WHEN d.doc_id = c.component THEN d.n_chars ELSE 0 END) AS chars_kept
+       CAST(SUM(CASE WHEN d.doc_id = c.component THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN d.doc_id = c.component THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN d.doc_id = c.component THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
 FROM documents d JOIN comp c USING (doc_id)
 GROUP BY d.lang, d.source
 """,
@@ -463,8 +463,8 @@ SELECT CASE WHEN {_o_bucket('doc_id', 100)} < 90 THEN 'train'
             ELSE 'test' END AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
-       SUM(n_tokens) AS sum_tokens
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
 FROM clean
 GROUP BY 1, 2
 """,
@@ -606,13 +606,13 @@ WITH zipf AS (
   SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT lang) AS n_langs,
          COUNT(DISTINCT md5(text)) AS n_unique_texts,
-         SUM(n_chars) AS total_chars
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
   FROM documents
 ), tf AS (
   SELECT token, COUNT(*) AS n
   FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
   GROUP BY token
-), tot AS (SELECT SUM(n) AS total FROM tf),
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf),
 ent AS (
   SELECT CAST(SUM(CAST(
            -(CAST(tf.n AS DOUBLE) / t.total) * LN(CAST(tf.n AS DOUBLE) / t.total)
@@ -693,12 +693,12 @@ WITH a AS (
   FROM documents WHERE {_o_bucket('doc_id', 100)} = 2
 )
 SELECT COALESCE(a.lang, b.lang) AS lang,
-       SUM(CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END) AS n_added,
-       SUM(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END) AS n_removed,
-       SUM(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL AND a.h <> b.h
-                THEN 1 ELSE 0 END) AS n_changed,
-       SUM(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL AND a.h = b.h
-                THEN 1 ELSE 0 END) AS n_same
+       CAST(SUM(CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL AND a.h <> b.h
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL AND a.h = b.h
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_same
 FROM a FULL JOIN b ON a.doc_id = b.doc_id
 GROUP BY COALESCE(a.lang, b.lang)
 """,

@@ -624,7 +624,7 @@ WITH e AS (
   FROM e JOIN stats s USING (i)
 )
 SELECT vec_id,
-       SUM(code) AS code_sum,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
        ROUND(MAX(ABS(code * scl + mn - x)), 6) AS max_abs_err
 FROM q GROUP BY vec_id
 """,
@@ -813,7 +813,7 @@ WITH mh AS (
   UNION ALL SELECT doc_a, doc_b, 4 FROM ja
   UNION ALL SELECT vec_a, vec_b, 8 FROM em
 ), masks AS (
-  SELECT doc_a, doc_b, SUM(fam) AS fam_mask FROM labeled GROUP BY doc_a, doc_b
+  SELECT doc_a, doc_b, CAST(SUM(fam) AS BIGINT) AS fam_mask FROM labeled GROUP BY doc_a, doc_b
 )
 SELECT fam_mask, COUNT(*) AS n_pairs FROM masks GROUP BY fam_mask
 """

@@ -76,7 +76,23 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "submit_ts TIMESTAMP, duration_ms BIGINT, map_tasks INT, reduce_tasks INT, "
         "counters MAP<STRING, BIGINT>"
     )
-    return spark.read.schema(schema).json(path)
+    raw = spark.read.schema(schema).json(path)
+    # The driver canonicalizes output via pandas and cannot hash a MAP
+    # cell (dict) — project it to deterministic JSON text instead. The
+    # map parse itself is still exercised; map_keys sorts for stability.
+    return raw.select(
+        "job_id", "user", "framework", "status", "submit_ts",
+        "duration_ms", "map_tasks", "reduce_tasks",
+        F.to_json(
+            F.map_from_arrays(
+                F.sort_array(F.map_keys("counters")),
+                F.transform(
+                    F.sort_array(F.map_keys("counters")),
+                    lambda k: F.element_at(F.col("counters"), k),
+                ),
+            )
+        ).alias("counters_json"),
+    )
 
 
 @query(
@@ -108,7 +124,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_orc_roundtrip",
     oracle="""
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
 FROM documents
 GROUP BY lang, source
@@ -151,8 +167,8 @@ _JOBS_JSONL = os.path.join(
     oracle=f"""
 SELECT framework, status,
        COUNT(*) AS n_jobs,
-       SUM(duration_ms) AS sum_duration_ms,
-       SUM(map_tasks) AS sum_map_tasks,
+       CAST(SUM(duration_ms) AS BIGINT) AS sum_duration_ms,
+       CAST(SUM(map_tasks) AS BIGINT) AS sum_map_tasks,
        MAX(counters.hdfs_bytes_read) AS max_hdfs_read
 FROM read_json('{_JOBS_JSONL}', format='newline_delimited', columns={{
   'framework': 'VARCHAR', 'status': 'VARCHAR', 'duration_ms': 'BIGINT',
@@ -242,8 +258,8 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_with_extra,
-       SUM(CASE WHEN event_id % 2 = 0 THEN event_id ELSE 0 END) AS sum_extra
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_extra,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN event_id ELSE 0 END) AS BIGINT) AS sum_extra
 FROM events
 GROUP BY event_type
 """,
@@ -270,9 +286,11 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = ev.where(F.expr("event_id % 2 = 0")).select(
         "event_id", "event_type", F.col("event_id").alias("extra_id")
     )
-    if not os.path.exists(os.path.join(base, "old", "_SUCCESS")):
-        old_batch.write.mode("overwrite").parquet(os.path.join(base, "old"))
-        new_batch.write.mode("overwrite").parquet(os.path.join(base, "new"))
+    # Always rewrite: skipping on a _SUCCESS marker would silently
+    # aggregate stale artifacts if the testdata at this sf path is ever
+    # regenerated (the batches are cheap derivations of current events).
+    old_batch.write.mode("overwrite").parquet(os.path.join(base, "old"))
+    new_batch.write.mode("overwrite").parquet(os.path.join(base, "new"))
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(base, "old"), os.path.join(base, "new")
     )

@@ -34,7 +34,7 @@ WITH cnt AS (
 ), hrows AS (
   SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS r
 ), cells AS (
-  SELECT r, {_o_bucket("token || '#' || r", _CMS_W)} AS b, SUM(exact_n) AS cell
+  SELECT r, {_o_bucket("token || '#' || r", _CMS_W)} AS b, CAST(SUM(exact_n) AS BIGINT) AS cell
   FROM cnt CROSS JOIN hrows
   GROUP BY 1, 2
 )

@@ -283,7 +283,7 @@ WITH tf AS (
   SELECT token, SUM(tf) AS n FROM tf GROUP BY token
 ), tot AS (SELECT SUM(n) AS total FROM vocab)
 SELECT tf.doc_id,
-       SUM(tf.tf) AS n_tokens,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
        CAST(SUM(CAST(tf.tf * LN(CAST(v.n AS DOUBLE) / t.total) AS DECIMAL(38,12))) AS DOUBLE)
          AS lm_score
 FROM tf JOIN vocab v USING (token) CROSS JOIN tot t
@@ -451,7 +451,7 @@ WITH tf AS (
 )
 SELECT lang,
        COUNT(*) AS n_types,
-       SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_ratio
 FROM tf GROUP BY lang
 """,

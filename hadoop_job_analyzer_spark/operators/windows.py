@@ -294,8 +294,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, event_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,
@@ -519,6 +519,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a distinct+count on (cohort, offset) after an equi-join that
     broadcasts-or-colocates on user_id; the date arithmetic is exact
     integer day math in both engines (UTC session pins the CAST).
+
+    cohort_day is returned as TIMESTAMP, not DATE: Spark DATE reaches
+    the driver's pandas canonicalizer as datetime.date objects while
+    DuckDB DATE becomes datetime64 — representation mismatch on equal
+    values. Midnight timestamps compare identically on both sides.
     """
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
@@ -531,8 +536,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return activity.groupBy("cohort_day", "day_offset").agg(
-        F.count(F.lit(1)).alias("n_users")
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("cohort_day", F.col("cohort_day").cast("timestamp"))
     )
 
 
