@@ -5,11 +5,15 @@ job metadata from the JobTracker HTTP API; SURVEY.md §0.1 [R-M]). Here
 ingest is columnar parquet scans — Spark's vectorized reader with
 predicate pushdown and column pruning supplied by Catalyst.
 
-The one genuine ingest gap Spark does not handle natively: events.ts is
-parquet timestamp[ns]; with ``spark.sql.legacy.parquet.nanosAsLong=true``
-it arrives as a long of epoch-nanoseconds and we convert with INTEGER
-division to microseconds (SURVEY.md §0.2 — float division corrupts the
-low bits: epoch-ns exceeds double's 53-bit exact range).
+The one genuine ingest gap Spark does not handle natively: events.ts
+has shipped as parquet timestamp[ns] in some fixture generations (with
+``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a long of
+epoch-nanoseconds, converted by INTEGER division to microseconds —
+float division corrupts the low bits, SURVEY.md §0.2) and as
+timestamp[us] in others (arrives TIMESTAMP_NTZ, cast to session-TZ
+timestamp). ``load_table`` branches on the observed dtype so a fixture
+regeneration can never crash every events consumer again (round-2
+post-mortem, VERDICT r2 #1).
 """
 
 from __future__ import annotations
@@ -74,6 +78,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts arrives as long epoch-ns (nanosAsLong). Integer-divide to µs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The fixture has shipped ts as either timestamp[ns] (arrives as a
+        # long of epoch-ns under nanosAsLong) or timestamp[us] (arrives as
+        # TIMESTAMP_NTZ). Normalize both to session-TZ TIMESTAMP; dtype
+        # branch so a fixture regeneration can't crash every consumer.
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            # Integer-divide ns→µs: float division corrupts the low bits
+            # (epoch-ns exceeds double's 53-bit exact range).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.select(*COLUMNS[name])

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.scans import _JOBS_DUCK_COLS, _JOBS_JSONL
 from ..registry import query
 from ..sources.fixtures import ensure_jobs_jsonl
 
@@ -374,13 +375,28 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_map_ops")  # rows-only: DuckDB map literals/ordering differ; self-check in tests
+@query(
+    "fn_map_ops",
+    oracle=f"""
+SELECT job_id,
+       'hdfs_bytes_read,hdfs_bytes_written,map_input_records,spilled_records'
+         AS counter_names,
+       counters.hdfs_bytes_read AS hdfs_read,
+       CAST(4 AS INTEGER) AS n_counters,
+       CAST(counters.hdfs_bytes_read + counters.hdfs_bytes_written
+            + counters.map_input_records + counters.spilled_records AS BIGINT)
+         AS counter_total
+FROM read_json('{_JOBS_JSONL}', format='newline_delimited', columns={_JOBS_DUCK_COLS})
+""",
+)
 def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface over the jobs fixture's counters (§1.1 counters map).
 
     The open-ended conf/counters maps of the reference land as MapType
-    columns; this key exercises keys/values/lookup/size. Self-check:
-    tests compare against the fixture generator records.
+    columns; this key exercises keys/values/lookup/size. Oracle: DuckDB
+    reads counters as a fixed STRUCT (the generator always emits the
+    same 4 keys) and computes the dynamic map results as static struct
+    expressions; tests additionally compare against the generator records.
     """
     path = ensure_jobs_jsonl()
     schema = (

@@ -99,3 +99,46 @@ def spread(df, *cols):
     """Repartition by key cols, explicit-N (AQE-coalesce-proof)."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n, *cols)
+
+
+# --- Distributed global rank -----------------------------------------
+#
+# ROW_NUMBER() OVER (ORDER BY ...) with no PARTITION BY funnels the whole
+# input through ONE partition — the textbook scale-killer. This is the
+# replacement: a global rank whose only single-partition step touches
+# #partitions rows (32 longs), everything else parallel and JVM-side.
+#
+#   1. range-partition by the sort key (total order across partitions;
+#      unique sort keys => deterministic placement);
+#   2. local row_number per range partition (parallel windows);
+#   3. prefix-sum the per-partition counts (a #partitions-row window)
+#      and broadcast-join the offsets back;
+#   4. global rank = offset + local rank.
+#
+# The input is persisted so the two consumers (counts, local ranks) see
+# the SAME range boundaries — RangePartitioner samples, and divergent
+# boundaries between the branches would corrupt ranks.
+
+
+def distributed_rank(df, *sort_cols, out_col: str = "rn"):
+    """Global 1-based row_number over sort_cols with no global funnel."""
+    from pyspark.sql import Window
+
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        ranged.withColumn("_local", local)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )

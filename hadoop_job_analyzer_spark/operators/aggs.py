@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._common import dec, dsum, o_dsum, ulong, unscale
+from ._common import dec, distributed_rank, dsum, o_dsum, ulong, unscale
 
 
 @query(
@@ -576,13 +576,15 @@ def agg_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computed by the sorted-rank formula G = 2Σ(i·xᵢ)/(m·Σx) − (m+1)/m:
     every sum is EXACT integer arithmetic (ranks × counts), so the
     only float ops are two final divisions — identical in both
-    engines, rounded once. The rank window sorts users by count
-    (user-cardinality rows, partials everywhere else).
+    engines, rounded once. The rank is a DISTRIBUTED row_number
+    (range-partition + local rank + broadcast offsets, _common.
+    distributed_rank) — a global ORDER BY window would funnel every
+    user through one partition, the one plan shape this engine bans
+    at billion-user scale.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("n", "user_id")
-    ranked = per_user.withColumn("i", F.row_number().over(w))
+    ranked = distributed_rank(per_user, F.col("n").asc(), F.col("user_id").asc(), out_col="i")
     sums = ranked.agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("n").alias("tot"),

@@ -378,19 +378,20 @@ LIMIT 20
 )
 def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens over the corpus (map-side partial agg keeps the
-    shuffle at vocabulary size, not token count)."""
+    shuffle at vocabulary size, not token count). Ranking is
+    distributed top-k FIRST (orderBy+limit compiles to TakeOrdered —
+    per-partition heaps, no global sort), THEN a row_number window
+    over the surviving 20 rows; ranking before limiting would funnel
+    the whole vocabulary through one WindowExec partition."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank_pos", F.row_number().over(w))
-        .orderBy(F.col("n").desc(), F.col("token").asc())
-        .limit(20)
-    )
+    return top.withColumn("rank_pos", F.row_number().over(w))
 
 
 @query(

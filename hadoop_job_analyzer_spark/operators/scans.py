@@ -51,7 +51,21 @@ def scan_column_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
 
 
-@query("scan_csv_schema")  # rows-only; self-check vs parquet twin in tests
+_NATION_CSV = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "nation.csv",
+)
+
+
+@query(
+    "scan_csv_schema",
+    oracle=f"""
+SELECT n_nationkey, n_name, n_regionkey
+FROM read_csv('{_NATION_CSV}', header=true,
+  columns={{'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'}})
+""",
+)
 def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV read with explicit DDL schema (no inference pass).
 
@@ -66,10 +80,36 @@ def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_jsonl")  # rows-only; self-check vs in-memory twin in tests
+_JOBS_JSONL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "jobs.jsonl",
+)
+
+# DuckDB column spec mirroring the Spark DDL schema for the jobs JSONL
+# fixture (counters as a fixed STRUCT — the generator always emits the
+# same 4 keys, FIXTURES.md table 11).
+_JOBS_DUCK_COLS = """{
+  'job_id':'VARCHAR','user':'VARCHAR','framework':'VARCHAR','status':'VARCHAR',
+  'submit_ts':'TIMESTAMP','duration_ms':'BIGINT','map_tasks':'INTEGER','reduce_tasks':'INTEGER',
+  'counters':'STRUCT(hdfs_bytes_read BIGINT, hdfs_bytes_written BIGINT, map_input_records BIGINT, spilled_records BIGINT)'
+}"""
+
+
+@query(
+    "scan_jsonl",
+    oracle=f"""
+SELECT job_id, "user", framework, status, submit_ts, duration_ms,
+       map_tasks, reduce_tasks, to_json(counters) AS counters_json
+FROM read_json('{_JOBS_JSONL}', format='newline_delimited', columns={_JOBS_DUCK_COLS})
+""",
+)
 def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines read with explicit schema — the jobs-log-shaped ingest
-    (FIXTURES.md table 11): the reference's job records as JSONL."""
+    (FIXTURES.md table 11): the reference's job records as JSONL.
+    Oracle: DuckDB read_json over the same fixture file; the counters
+    map is projected to sorted-key JSON text on both sides (a MAP cell
+    would crash the driver's canonicalizer)."""
     path = ensure_jobs_jsonl()
     schema = (
         "job_id STRING, user STRING, framework STRING, status STRING, "
@@ -153,13 +193,6 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
-
-
-_JOBS_JSONL = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "fixtures",
-    "jobs.jsonl",
-)
 
 
 @query(

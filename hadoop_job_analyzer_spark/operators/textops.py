@@ -22,12 +22,12 @@ the label — exactly how the driver's oracle sees it.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._common import spread
+from ._common import distributed_rank, spread
 
 # Marker-word profiles (space-padded, counted in ' '||text||' ').
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -420,8 +420,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    xy = tf.withColumn("rnk", F.row_number().over(w)).select(
+    ranked = distributed_rank(
+        tf, F.col("n").desc(), F.col("token").asc(), out_col="rnk"
+    )
+    xy = ranked.select(
         F.log(F.col("rnk").cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
     )

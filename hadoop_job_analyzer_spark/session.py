@@ -2,8 +2,9 @@
 
 Two confs are CORRECTNESS-critical (SURVEY.md §0.2, verified):
 
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet stores
-  ``ts`` as timestamp[ns]; Spark 4.1.2 hard-errors on it otherwise.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — some fixture
+  generations store events.ts as timestamp[ns]; Spark 4.1.2 hard-errors
+  on such files otherwise (harmless when the fixture is timestamp[us]).
 - ``spark.sql.session.timeZone=UTC`` — collected timestamps must be
   tz-naive-equal to the DuckDB oracle's.
 

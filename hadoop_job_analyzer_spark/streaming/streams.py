@@ -12,8 +12,11 @@ stronger batch-equivalence self-oracle (each streaming result ==
 its batch twin; SURVEY.md §5.4).
 
 Streaming reads declare the schema explicitly (file streams require
-it); ``ts`` arrives as epoch-ns LONG (nanosAsLong) and goes through
-the same integer-division recipe as batch.
+it); because a DDL schema is fixed at plan build, ``read_events_stream``
+inspects the fixture's physical ts type (pyarrow footer read) and
+declares BIGINT + ns→µs integer division or TIMESTAMP_NTZ + cast —
+the streaming twin of catalog.load_table's dtype guard. Self-staged
+sources re-write a normalized ts and use EVENTS_NORM_SCHEMA.
 
 Scale: in production these run continuously against arriving files/
 Kafka; state (windows, dedup keys, sessions) is partitioned by group
@@ -30,15 +33,18 @@ from itertools import count
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table_path
+from ..catalog import load_table, table_path
 from ..registry import query
 
 _ARTIFACTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_artifacts"
 )
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+# Self-staged stream sources (late_data, stateful_counter) are written by
+# US with a normalized session-TZ ts, so their read schema is stable no
+# matter which fixture generation is on disk.
+EVENTS_NORM_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 )
 
 _uid = count()
@@ -56,14 +62,39 @@ def events_stream_dir(sf_dir: str) -> str:
     return d
 
 
+def _events_ts_is_long(sf_dir: str) -> bool:
+    """True when the fixture stores ts as int64/timestamp[ns] (arrives as
+    a long of epoch-ns under nanosAsLong); False for timestamp[us].
+    Streaming DDL schemas are declared up front, so the branch has to
+    happen at plan-build time — same dtype guard as catalog.load_table."""
+    import pyarrow.parquet as pq
+
+    t = str(pq.read_schema(table_path(sf_dir, "events")).field("ts").type)
+    return t == "int64" or t.startswith("timestamp[ns")
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table as a file-source stream (ns→µs recipe applied)."""
+    """events table as a file-source stream, ts normalized to timestamp."""
+    if _events_ts_is_long(sf_dir):
+        raw = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING"
+            )
+            .format("parquet")
+            .load(events_stream_dir(sf_dir))
+        )
+        # Integer ns→µs division (float corrupts the low bits).
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
         .format("parquet")
         .load(events_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(spark: SparkSession, streamed: DataFrame, key: str, output_mode: str) -> DataFrame:
@@ -168,16 +199,15 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(src_dir, exist_ok=True)
 
-    batch = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(table_path(sf_dir, "events"))
-    cutoff_ns = 1704067200_000_000_000 + 3 * 86400 * 1_000_000_000  # 2024-01-04 UTC
+    batch = load_table(spark, sf_dir, "events")  # ts already normalized
+    cutoff = F.lit("2024-01-04 00:00:00").cast("timestamp")
     f1 = batch.where(F.expr("event_id % 2 = 1"))
-    f2 = batch.where(F.expr("event_id % 2 = 0").cast("boolean") & (F.col("ts") < cutoff_ns))
+    f2 = batch.where(F.expr("event_id % 2 = 0").cast("boolean") & (F.col("ts") < cutoff))
 
     def run_once() -> None:
         # parquet sink, not memory: only the file sink supports resuming
         # from a checkpoint, and the restored watermark is the whole point
-        raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(os.path.join(src_dir, "*"))
-        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = spark.readStream.schema(EVENTS_NORM_SCHEMA).parquet(os.path.join(src_dir, "*"))
         agg = (
             ev.withWatermark("ts", "2 hours")
             .groupBy(F.window("ts", "1 hour").alias("win"))
@@ -234,16 +264,15 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(_ARTIFACTS, f"stateful_src_{os.path.basename(os.path.normpath(sf_dir))}")
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
-    batch = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(table_path(sf_dir, "events"))
+    batch = load_table(spark, sf_dir, "events")  # ts already normalized
     batch.where(F.expr("event_id % 2 = 0")).coalesce(1).write.parquet(os.path.join(src, "f0"))
     batch.where(F.expr("event_id % 2 = 1")).coalesce(1).write.parquet(os.path.join(src, "f1"))
 
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    ev = (
+        spark.readStream.schema(EVENTS_NORM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(src, "*"))
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     def track(key, pdfs, state: GroupState):
         (etype,) = key

@@ -18,6 +18,8 @@ def test_scan_csv_schema_equals_parquet_twin(spark, sf_dir):
 
 
 def test_scan_jsonl_matches_generator(spark, sf_dir):
+    import json
+
     df = queries()["scan_jsonl"](spark, sf_dir)
     rows = {r.job_id: r for r in df.collect()}
     recs = jobs_records()
@@ -27,7 +29,9 @@ def test_scan_jsonl_matches_generator(spark, sf_dir):
         assert r.user == rec["user"]
         assert r.status == rec["status"]
         assert r.duration_ms == rec["duration_ms"]
-        assert dict(r.counters) == rec["counters"]
+        # counters is projected to sorted-key JSON text (a MAP cell
+        # would crash the driver's canonicalizer)
+        assert json.loads(r.counters_json) == rec["counters"]
     # no nulls anywhere = schema matched every line
     for c in df.columns:
         assert df.where(df[c].isNull()).count() == 0, c
@@ -56,7 +60,7 @@ def test_fn_map_ops_matches_generator(spark, sf_dir):
     assert len(rows) == len(recs)
     for rec in recs[:25]:
         r = rows[rec["job_id"]]
-        assert r.counter_names == sorted(rec["counters"].keys())
+        assert r.counter_names == ",".join(sorted(rec["counters"].keys()))
         assert r.hdfs_read == rec["counters"]["hdfs_bytes_read"]
         assert r.n_counters == len(rec["counters"])
         assert r.counter_total == sum(rec["counters"].values())
