@@ -62,6 +62,11 @@ HEADLINE = [
     "funnel_stages",
     "cohort_retention",
     "sketch_countmin",
+    # r3 additions: distributed_rank rewrites + new operators
+    "agg_gini_user_activity",
+    "text_zipf_fit",
+    "sketch_heavy_hitters",
+    "text_pii_scrub",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]

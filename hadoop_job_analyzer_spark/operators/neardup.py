@@ -999,3 +999,80 @@ def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return within.unionByName(between)
+
+
+@query("emb_pca_top_component")  # rows-only: iterative eigen-solve has no SQL twin
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud — the spectral
+    health check for an embedding corpus (a dominant component with a
+    huge variance share means collapsed/anisotropic embeddings; its
+    loadings drive whitening). The canonical iterative-algorithm shape
+    the oracle contract marks rows-only (driver checks rows+schema;
+    tests hold the result to numpy's eigendecomposition at |cos|>0.999).
+
+    Scale shape: ONE distributed pass accumulates the Gram matrix
+    X^T X and the column sums as per-partition numpy partials
+    (mapInPandas, Arrow-batched; d x d cells of mergeable state, the
+    sketch discipline — d=64 here, fine to d~2k at 100 TB). Only
+    #partitions rows of size-d² state reach the driver (the documented
+    metadata-sized collect, like assign_contiguous_ids' offsets); the
+    centered covariance and an exact dense eigh then run on the tiny
+    d x d matrix driver-side. No row-level shuffle anywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    def gram_partials(batches):
+        xtx = np.zeros((dim, dim), dtype=np.float64)
+        xsum = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            xtx += X.T @ X
+            xsum += X.sum(axis=0)
+            n += len(X)
+        yield pd.DataFrame(
+            {"xtx": [xtx.ravel().tolist()], "xsum": [xsum.tolist()], "n": [n]}
+        )
+
+    parts = emb.select("embedding").mapInPandas(
+        gram_partials, "xtx array<double>, xsum array<double>, n bigint"
+    )
+    rows = parts.collect()  # #partitions rows of d²-sized state (metadata-sized)
+    xtx = np.zeros((dim, dim))
+    xsum = np.zeros(dim)
+    n = 0
+    for r in rows:
+        xtx += np.array(r["xtx"]).reshape(dim, dim)
+        xsum += np.array(r["xsum"])
+        n += r["n"]
+    mean = xsum / n
+    cov = xtx / n - np.outer(mean, mean)
+
+    # Exact dense eigendecomposition of the tiny d×d matrix (power
+    # iteration stalls on near-isotropic clouds where λ2/λ1 ≈ 1 —
+    # exactly the healthy-corpus case this check exists to certify).
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    v = eigvecs[:, -1]
+    eigval = float(eigvals[-1])
+    if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign convention
+        v = -v
+    share = eigval / float(np.trace(cov))
+
+    out = pd.DataFrame(
+        {
+            "dim_idx": np.arange(dim, dtype=np.int32),
+            "loading": np.round(v, 6),
+            "eigenvalue": np.round(np.full(dim, eigval), 6),
+            "explained_share": np.round(np.full(dim, share), 6),
+        }
+    )
+    return spark.createDataFrame(
+        out,
+        "dim_idx int, loading double, eigenvalue double, explained_share double",
+    )

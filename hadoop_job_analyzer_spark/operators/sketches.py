@@ -341,3 +341,73 @@ def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.crossJoin(ex).select(
         "p", "target_rank", est.alias("est_quantile"), exact.alias("exact_quantile")
     )
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle="""
+WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+tf AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+SELECT tf.token, CAST(tf.cnt AS BIGINT) AS n_occurrences,
+       ROUND(CAST(tf.cnt AS DOUBLE) / tot.n, 6) AS freq_share
+FROM tf, tot
+WHERE tf.cnt * 100 > tot.n
+""",
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with frequency > N/k, k=100) via the
+    two-phase candidate+verify pattern — the scalable exact answer to
+    "which tokens dominate the corpus" (stopword discovery, boilerplate
+    detection, tokenizer-vocab seeding).
+
+    Phase 1 (candidates, NO shuffle): each partition counts its own
+    token stream locally (mapInPandas, Arrow-batched) and emits only
+    tokens that are heavy WITHIN the partition (local_cnt * k >
+    local_n). Pigeonhole guarantees the union of local-heavy sets is a
+    SUPERSET of the true heavy hitters: a token with global count >
+    N/k must exceed n_p/k in at least one partition. Emitted state is
+    <= k rows per partition — constant-size, like every sketch here.
+
+    Phase 2 (verify): broadcast the candidate set, semi-join the token
+    stream down to candidate occurrences only, exact-count those, and
+    keep cnt * k > N. Map-side partial aggregation bounds the shuffle
+    at #candidates x #partitions rows regardless of corpus size.
+
+    The DuckDB oracle computes the same thing the single-node way
+    (full GROUP BY + HAVING) — the hash match proves the two-phase
+    plan is exactly lossless, not approximate.
+    """
+    import pandas as pd
+
+    K = 100
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def local_heavy(batches):
+        counts: dict[str, int] = {}
+        n_local = 0
+        for pdf in batches:
+            n_local += len(pdf)
+            for tok, c in pdf["token"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+        out = [t for t, c in counts.items() if c * K > n_local]
+        yield pd.DataFrame({"token": out})
+
+    candidates = toks.mapInPandas(local_heavy, "token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * K > F.col("n"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences").cast("double") / F.col("n"), 6).alias(
+                "freq_share"
+            ),
+        )
+    )

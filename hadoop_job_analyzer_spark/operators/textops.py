@@ -507,3 +507,79 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_bytes"),
         comp_ratio(F.col("text")).alias("compression_ratio"),
     )
+
+
+# PII patterns shared by the Spark and DuckDB sides. Only constructs
+# valid in BOTH Java regex and RE2 (no backrefs, no lookaround).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_NUM = "\\d{7,}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@mail.example.com from 10.' || (doc_id % 256) ||
+         '.0.1 ref 99887766' || doc_id AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(raw, '{_PII_NUM}')) AS INTEGER) AS n_longnums,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+         '{_PII_NUM}', '<NUM>', 'g') AS scrubbed
+FROM aug
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus runs
+    before anything else sees the text: emails, IPv4 addresses, and
+    long digit runs (phone/account-number shaped) replaced by typed
+    placeholder tokens, with per-document match counts kept as the
+    audit trail.
+
+    The fixture text is synthetic word soup with no PII, so each doc
+    is first augmented with DETERMINISTIC PII-shaped tokens derived
+    from doc_id (identical construction in the oracle) — the hash
+    match then proves the scrub actually fires on real matches, not
+    that two engines agree on doing nothing.
+
+    All three passes are JVM-side regexp_replace inside whole-stage
+    codegen (pure map, no shuffle, no Python) — the shape survives any
+    corpus size; patterns are restricted to the Java∩RE2 dialect so
+    both engines compile the same automaton.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 ref 99887766"),
+        F.col("doc_id").cast("string"),
+    )
+    aug = d.select("doc_id", raw.alias("raw"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_NUM,
+        "<NUM>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_IP), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_NUM), 0)).alias("n_longnums"),
+        scrub.alias("scrubbed"),
+    )

@@ -67,6 +67,10 @@ QUERIES = [
     "funnel_stages",
     "cohort_retention",
     "join_bucketed",
+    # distributed_rank rewrites (r3): global rank with no single-partition
+    # window — curves must stay ~flat/linear or the rewrite lied
+    "agg_gini_user_activity",
+    "text_zipf_fit",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated

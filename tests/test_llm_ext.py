@@ -118,3 +118,27 @@ def test_mm_frame_sample_shape(spark, sf_dir):
     for r in df.where(F.col("doc_id") == 0).collect():
         assert len(r.frame_hex) == 32
         assert 0 <= r.luma <= 255
+
+
+def test_emb_pca_matches_numpy(spark, sf_dir):
+    """The distributed covariance + power iteration must agree with a
+    full numpy eigendecomposition of the same embeddings: |cos| of the
+    top component > 0.999 and the explained-variance share within 1e-3."""
+    import numpy as np
+
+    from hadoop_job_analyzer_spark.catalog import load_table
+
+    rows = sorted(
+        queries()["emb_pca_top_component"](spark, sf_dir).collect(),
+        key=lambda r: r.dim_idx,
+    )
+    v = np.array([r.loading for r in rows])
+    X = np.array(
+        [r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()]
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    top = V[:, -1]
+    cos = abs(float(v @ top)) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    assert abs(rows[0].explained_share - w[-1] / w.sum()) < 1e-3

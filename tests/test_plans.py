@@ -198,3 +198,27 @@ def test_skew_salted_join_is_shuffled_hash_on_salt(plan):
     assert "ShuffledHashJoin" in p
     assert "salt" in p  # join keys include the salt
     assert "BroadcastHashJoin" not in p
+
+
+def test_distributed_rank_has_no_global_window(plan):
+    """The r3 distributed_rank rewrite: the user/vocab-cardinality rank
+    must run as per-partition windows (partitioned by _pid after a
+    range repartition), never as an unpartitioned global-order window
+    over the data. The only permissible unpartitioned window is the
+    #partitions-row offsets cumsum."""
+    for key in ("agg_gini_user_activity", "text_zipf_fit"):
+        p = plan(key, "formatted")
+        assert "rangepartitioning" in p, key
+        # local rank: a Window whose partition spec is the pid column
+        assert "_pid" in p, key
+
+
+def test_wordcount_ranks_after_takeordered(plan):
+    """text_wordcount must compute top-k distributed (TakeOrdered) and
+    only then rank the surviving k rows — never window-rank the whole
+    vocabulary."""
+    p = plan("text_wordcount")
+    assert "TakeOrderedAndProject(limit=20" in p
+    # the window must sit ABOVE the TakeOrdered in the plan tree (i.e.
+    # appear before it in the printed top-down plan string)
+    assert p.index("Window") < p.index("TakeOrderedAndProject")
