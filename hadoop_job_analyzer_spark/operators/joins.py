@@ -408,10 +408,15 @@ GROUP BY o.o_orderpriority
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join — the pre-shuffled table LAYOUT that
     removes the join exchange entirely: both sides are written
-    bucketed (8 buckets, one file per bucket) and sorted on the join
-    key, so the sort-merge join reads bucket i of each side together
-    with NO Exchange on either leg (asserted by the plan audit: the
-    plan's only Exchange is the final 5-group agg partial).
+    bucketed (bucket count sized to the session's shuffle parallelism,
+    one file per bucket) and sorted on the join key, so the sort-merge
+    join reads bucket i of each side together with NO Exchange on
+    either leg (asserted by the plan audit: the plan's only Exchange
+    is the final 5-group agg partial). Bucket count == parallelism
+    matters at scale: a layout bucketed coarser than the cluster's
+    cores caps the join's task count at #buckets (measured 5.5× at
+    16× inflation with a fixed 8-bucket layout; at 100 TB the layout
+    buckets by thousands).
 
     This is the canonical 100 TB answer for a fact⋈fact join that
     recurs (e.g. lineitem⋈orders on every report): pay the shuffle
@@ -435,12 +440,14 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_artifacts",
     )
     sf_tag = _os.path.basename(_os.path.normpath(sf_dir))
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     specs = {
         "lineitem": ("l_orderkey", ["l_orderkey", "l_quantity"]),
         "orders": ("o_orderkey", ["o_orderkey", "o_orderpriority"]),
     }
+    sf_id = sf_tag.replace(".", "_")
     for t, (key, cols) in specs.items():
-        tbl = f"hja_bucketed_{t}_{sf_tag.replace('.', '_')}"
+        tbl = f"hja_bucketed_{t}_{sf_id}_b{n_buckets}"
         if not spark.catalog.tableExists(tbl):
             (
                 load_table(spark, sf_dir, t)
@@ -449,17 +456,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Spark only trusts sortBy order when a bucket is a
                 # single file, so this is what makes the join SORT-free
                 # as well as exchange-free
-                .repartition(8, F.col(key))
+                .repartition(n_buckets, F.col(key))
                 .write.format("parquet")
                 .mode("overwrite")
                 .option("path", _os.path.join(art, tbl))
-                .bucketBy(8, key)
+                .bucketBy(n_buckets, key)
                 .sortBy(key)
                 .saveAsTable(tbl)
             )
-    sf_id = sf_tag.replace(".", "_")
-    li = spark.table(f"hja_bucketed_lineitem_{sf_id}")
-    od = spark.table(f"hja_bucketed_orders_{sf_id}")
+    li = spark.table(f"hja_bucketed_lineitem_{sf_id}_b{n_buckets}")
+    od = spark.table(f"hja_bucketed_orders_{sf_id}_b{n_buckets}")
     # merge hint: at test SF the orders side fits the broadcast
     # threshold and Catalyst would (correctly) broadcast — which hides
     # the layout property this key exists to demonstrate. At 100 TB

@@ -411,3 +411,35 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("sketch_hll_mergeable")  # rows-only: DataSketches HLL has no DuckDB twin
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct counts via DataSketches HLL — the cube
+    pattern that makes 100 TB rollups cheap: build per-group sketches
+    ONCE (constant ~2^lgK bytes each, map-side mergeable like any
+    partial agg), then answer every coarser rollup by sketch UNION
+    instead of re-scanning the fact table. countDistinct cannot do
+    this — distinct counts are not additive, sketches are.
+
+    Output: per-event-type estimated distinct users plus the '__ALL__'
+    row computed by MERGING the five per-type sketches (never
+    re-reading events) — the union estimate is the proof the state is
+    mergeable. Sketch state is order-invariant (pure hash-set union),
+    so estimates are deterministic run to run; tests hold every
+    estimate within 5% of the exact count and the merged row to the
+    exact global distinct. lgK=12 ⇒ ~2.5 KB per sketch, <2% rse.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    per = per.persist()  # two consumers: per-type estimates + the union
+    typed = per.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit("__ALL__").alias("scope"), "est_users")
+    return typed.unionByName(merged)

@@ -90,3 +90,26 @@ def test_compression_ratio_matches_python(spark, sf_dir):
         raw = r["text"].encode("utf-8")
         want = round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 6)
         assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_hll_mergeable_estimates_near_exact(spark, sf_dir):
+    """Per-type HLL estimates within 5% of exact distinct counts, and
+    the '__ALL__' row (computed by sketch UNION, not a re-scan) within
+    5% of the exact global distinct-user count."""
+    from pyspark.sql import functions as F
+
+    est = {
+        r.scope: r.est_users
+        for r in queries()["sketch_hll_mergeable"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__ALL__"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
