@@ -507,3 +507,35 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") >= 0, F.sqrt("value")).alias("safe_sqrt"),
         F.expr("try_cast(props AS DOUBLE)").alias("bad_cast_is_null"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       CAST(event_id << 2 AS BIGINT) AS shifted_left,
+       event_id >> 3 AS shifted_right,
+       xor(event_id, 6148914691236517205) AS xored,
+       ~event_id AS inverted,
+       CAST(bit_count(event_id) AS INTEGER) AS popcount
+FROM events
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (&, <<, >>, xor, ~, popcount) — the bit
+    twiddling that id-packing, bitmap indexes, and hash mixing are made
+    of. All JVM codegen expressions; DuckDB mirrors each operator
+    exactly on int64, so the match pins two's-complement semantics
+    (including ~ on signed values) across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.shiftleft(F.col("event_id"), 2).alias("shifted_left"),
+        F.shiftright(F.col("event_id"), 3).alias("shifted_right"),
+        F.col("event_id").bitwiseXOR(F.lit(6148914691236517205)).alias("xored"),
+        F.bitwise_not(F.col("event_id")).alias("inverted"),
+        F.bit_count(F.col("event_id")).alias("popcount"),
+    )

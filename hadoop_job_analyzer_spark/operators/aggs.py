@@ -598,3 +598,54 @@ def agg_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").alias("n_events"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, k_value, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, k_value ASC) AS rn
+  FROM counts
+)
+SELECT event_type, k_value AS modal_k, cnt AS n_occurrences
+FROM ranked WHERE rn = 1
+""",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode per group with a DETERMINISTIC tie-break (highest
+    count, then smallest value) — what the built-in `mode()` cannot
+    promise (its ties are arbitrary, so it can never hash-match an
+    oracle). The dominant-value report every profiler runs.
+
+    Two-phase: count (group, value) pairs — partial-agg'd, shuffle is
+    #distinct-pairs not rows — then pick rank 1 per group with a window
+    PARTITIONED by group (parallel; never a global window). At 100 TB
+    the pair-count table is the only shuffled state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        )
+        .groupBy("event_type", "k_value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("k_value").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("k_value").alias("modal_k"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+    )

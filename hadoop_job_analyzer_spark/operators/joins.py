@@ -618,3 +618,47 @@ def join_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+WITH li AS (
+  SELECT NULLIF(l_returnflag, 'N') AS flag_key, l_quantity FROM lineitem
+), dim AS (
+  SELECT * FROM (VALUES ('A', 'returned-A'), ('R', 'returned-R'),
+                        (NULL, 'not-returned')) AS t(flag_key, label)
+)
+SELECT d.label,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(li.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM li JOIN dim d ON li.flag_key IS NOT DISTINCT FROM d.flag_key
+GROUP BY d.label
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    join mode where NULL is a MATCHABLE key value instead of
+    never-equal: here the 'N' returnflag is nulled out (the common
+    "absent attribute" encoding) and a tiny label dim carries an
+    explicit NULL row, so not-returned items join THROUGH the null.
+    A plain equi-join silently drops that whole population — the
+    classic silent-data-loss bug this operator exists to prevent.
+
+    Scale: Catalyst plans `<=>` as an ordinary hash join with a
+    null-safe key comparison (broadcast here — the dim is 3 rows), so
+    the null population hashes to ONE key; if it were huge, that is
+    the documented salting case (join_skew_salted).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_key"), "l_quantity"
+    )
+    dim = spark.createDataFrame(
+        [("A", "returned-A"), ("R", "returned-R"), (None, "not-returned")],
+        "flag_key string, label string",
+    )
+    return (
+        li.join(F.broadcast(dim), li["flag_key"].eqNullSafe(dim["flag_key"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )

@@ -332,3 +332,55 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("extra_id").alias("n_with_extra"),
         F.coalesce(F.sum("extra_id"), F.lit(0)).alias("sum_extra"),
     )
+
+
+_JOBS_LOG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "jobs.log",
+)
+
+
+@query(
+    "scan_text_log_regex",
+    oracle=f"""
+SELECT regexp_extract(line, 'job=(\\S+)', 1) AS job_id,
+       regexp_extract(line, 'user=(\\S+)', 1) AS job_user,
+       regexp_extract(line, 'fw=(\\S+)', 1) AS framework,
+       regexp_extract(line, 'status=(\\S+)', 1) AS status,
+       CAST(regexp_extract(line, 'maps=(\\d+)', 1) AS INT) AS map_tasks,
+       CAST(regexp_extract(line, 'reduces=(\\d+)', 1) AS INT) AS reduce_tasks,
+       CAST(regexp_extract(line, 'dur_ms=(\\d+)', 1) AS BIGINT) AS duration_ms
+FROM read_csv('{_JOBS_LOG}', columns={{'line': 'VARCHAR'}}, header=false,
+              delim='\\t', quote='')
+WHERE line LIKE '%JobComplete%'
+""",
+)
+def scan_text_log_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw log-line ingest: unstructured text → typed columns by regex —
+    the reference's NATIVE input shape (it scraped and parsed job lines,
+    not parquet). spark.read.text streams lines; a LIKE filter drops the
+    noise (WARN heartbeats) BEFORE the regex extracts fire, and every
+    field is one regexp_extract inside whole-stage codegen — no Python,
+    no shuffle, a pure map over TB of text at scale. The DuckDB oracle
+    parses the same file independently, so the hash match certifies the
+    full filter+parse path (patterns kept to the Java∩RE2 dialect).
+    """
+    from ..sources.fixtures import ensure_jobs_log
+
+    path = ensure_jobs_log()
+    lines = spark.read.text(path)
+    ex = lambda pat, typ=None: (  # noqa: E731
+        F.regexp_extract(F.col("value"), pat, 1).cast(typ)
+        if typ
+        else F.regexp_extract(F.col("value"), pat, 1)
+    )
+    return lines.where(F.col("value").like("%JobComplete%")).select(
+        ex(r"job=(\S+)").alias("job_id"),
+        ex(r"user=(\S+)").alias("job_user"),
+        ex(r"fw=(\S+)").alias("framework"),
+        ex(r"status=(\S+)").alias("status"),
+        ex(r"maps=(\d+)", "int").alias("map_tasks"),
+        ex(r"reduces=(\d+)", "int").alias("reduce_tasks"),
+        ex(r"dur_ms=(\d+)", "bigint").alias("duration_ms"),
+    )

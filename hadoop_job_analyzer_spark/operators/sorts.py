@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._common import distributed_rank
 
 
 @query(
@@ -39,6 +40,11 @@ def sort_multi_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort with explicit NULL placement, order captured as a column.
 
     Spark default asc = NULLS FIRST, DuckDB = NULLS LAST — always explicit.
+    The position column is a DISTRIBUTED rank (range partition + local
+    windows + broadcast offsets, _common.distributed_rank) — a global
+    ORDER BY row_number would single-partition the whole table; the
+    null-placement semantics ride through the range partitioner's
+    SortOrder unchanged.
     """
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
@@ -46,8 +52,12 @@ def sort_multi_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("s_acctbal"))
         .alias("nullable_bal"),
     )
-    w = Window.orderBy(F.col("nullable_bal").desc_nulls_last(), F.col("s_suppkey").asc())
-    return s.withColumn("sort_pos", F.row_number().over(w))
+    return distributed_rank(
+        s,
+        F.col("nullable_bal").desc_nulls_last(),
+        F.col("s_suppkey").asc(),
+        out_col="sort_pos",
+    ).withColumn("sort_pos", F.col("sort_pos").cast("int"))
 
 
 @query(

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._common import dec
+from ._common import dec, distributed_rank
 
 
 @query(
@@ -209,20 +209,40 @@ FROM customer
 """,
 )
 def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile / percent_rank / cume_dist of account balance.
+    """Quartile / percent_rank / cume_dist of account balance — computed
+    DISTRIBUTED: a global NTILE/PERCENT_RANK window single-partitions
+    the whole table, so the rank comes from _common.distributed_rank
+    (range partition + local windows + broadcast offsets) and the three
+    window functions become exact closed forms of (rank, n) — valid
+    because the sort key (c_acctbal, c_custkey) is unique, so ties are
+    impossible:
 
-    Global window = deliberate single-partition sort; at 100 TB compute
-    distribution stats via approx quantiles instead. Ratios are exact
-    rank/count divisions → exact double equality.
+      percent_rank = (rank-1)/(n-1);  cume_dist = rank/n;
+      ntile(4)     = the SQL-standard uneven split: the first n%4
+                     tiles get ceil(n/4) rows, the rest floor(n/4).
+
+    The oracle keeps the BUILT-IN global-window forms — the hash match
+    proves the distributed formulation is value-identical to them.
+    Ratios are exact integer divisions → exact double equality.
     """
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = distributed_rank(
+        c, F.col("c_acctbal").asc(), F.col("c_custkey").asc(), out_col="rnk"
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    r = F.col("rnk")
+    big, small = F.ceil(F.col("n") / 4), F.floor(F.col("n") / 4)
+    n_big = F.col("n") % 4  # number of tiles that get the larger size
+    cut = n_big * big  # rows covered by the large tiles
+    quartile = F.when(r <= cut, F.ceil(r / big)).otherwise(
+        n_big + F.ceil((r - cut) / small)
+    )
+    return ranked.crossJoin(F.broadcast(n)).select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("bal_quartile"),
-        F.percent_rank().over(w).alias("bal_pct_rank"),
-        F.cume_dist().over(w).alias("bal_cume_dist"),
+        quartile.cast("int").alias("bal_quartile"),
+        ((r - 1) / (F.col("n") - 1)).alias("bal_pct_rank"),
+        (r / F.col("n")).alias("bal_cume_dist"),
     )
 
 
@@ -548,7 +568,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_id, ts,
        COUNT(*) OVER (
-         PARTITION BY user_id ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+         PARTITION BY user_id ORDER BY CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
        ) AS n_last_hour
 FROM events

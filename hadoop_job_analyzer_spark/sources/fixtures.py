@@ -75,3 +75,23 @@ def ensure_jobs_jsonl() -> str:
             for r in jobs_records():
                 f.write(json.dumps(r, sort_keys=True) + "\n")
     return path
+
+
+def ensure_jobs_log() -> str:
+    """jobs records as RAW LOG LINES (the reference's native input shape):
+    one JobComplete line per record plus a deterministic WARN noise line
+    every 10th record — so the parse key has to FILTER as well as extract."""
+    os.makedirs(_FIXDIR, exist_ok=True)
+    path = os.path.join(_FIXDIR, "jobs.log")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            for i, r in enumerate(jobs_records()):
+                f.write(
+                    f"{r['submit_ts']} INFO JobComplete job={r['job_id']} "
+                    f"user={r['user']} fw={r['framework']} status={r['status']} "
+                    f"maps={r['map_tasks']} reduces={r['reduce_tasks']} "
+                    f"dur_ms={r['duration_ms']}\n"
+                )
+                if i % 10 == 0:
+                    f.write(f"{r['submit_ts']} WARN SlowHeartbeat node=node{i % 40}\n")
+    return path

@@ -206,7 +206,12 @@ def test_distributed_rank_has_no_global_window(plan):
     range repartition), never as an unpartitioned global-order window
     over the data. The only permissible unpartitioned window is the
     #partitions-row offsets cumsum."""
-    for key in ("agg_gini_user_activity", "text_zipf_fit"):
+    for key in (
+        "agg_gini_user_activity",
+        "text_zipf_fit",
+        "sort_multi_null",
+        "win_ntile_pct",
+    ):
         p = plan(key, "formatted")
         assert "rangepartitioning" in p, key
         # local rank: a Window whose partition spec is the pid column
