@@ -539,3 +539,59 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitwise_not(F.col("event_id")).alias("inverted"),
         F.bit_count(F.col("event_id")).alias("popcount"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle=f"""
+WITH j AS (
+  SELECT job_id, "user", framework, status,
+         'https://' || framework || '.example.org/jobs/' || job_id ||
+         '?user=' || "user" || '&st=' || status AS url
+  FROM read_json('{_JOBS_JSONL}', format='newline_delimited', columns={_JOBS_DUCK_COLS})
+)
+SELECT job_id, url,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]user=([^&#]*)', 1) AS q_user,
+       regexp_extract(url, '[?&]st=([^&#]*)', 1) AS q_status
+FROM j
+""",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (host / path / query-param extraction) — the link
+    featurizer every crawl pipeline runs (domain-level dedup rates,
+    per-site quality priors, tracker stripping all start here). URLs
+    are constructed deterministically from the jobs fixture so both
+    engines parse identical strings: Spark uses the BUILT-IN
+    `parse_url` (JVM java.net parsing, codegen), while the oracle
+    re-derives each part with dialect-shared regexes — the match pins
+    parse_url's host/path/query semantics to their regex definitions.
+    Pure map at any scale.
+    """
+    path = ensure_jobs_jsonl()
+    schema = (
+        "job_id STRING, user STRING, framework STRING, status STRING, "
+        "submit_ts TIMESTAMP, duration_ms BIGINT, map_tasks INT, reduce_tasks INT, "
+        "counters MAP<STRING, BIGINT>"
+    )
+    jobs = spark.read.schema(schema).json(path)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("framework"),
+        F.lit(".example.org/jobs/"),
+        F.col("job_id"),
+        F.lit("?user="),
+        F.col("user"),
+        F.lit("&st="),
+        F.col("status"),
+    )
+    u = jobs.select("job_id", url.alias("url"))
+    return u.select(
+        "job_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("user")).alias("q_user"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("st")).alias("q_status"),
+    )

@@ -649,3 +649,107 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "agg_moments_skew",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s3
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(s1 / n, 6) AS mean_value,
+       ROUND((s2 / n - (s1/n) * (s1/n)), 6) AS var_pop,
+       ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+             / POWER(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skewness_pop
+FROM s
+""",
+)
+def agg_moments_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics (population variance + skewness) from
+    raw power sums — the distribution-shape profiler for metric
+    columns (burst asymmetry, long-tail detection). Built-in
+    skewness()/kurtosis() can never hash-match across engines (sample
+    vs population definitions differ and their streaming accumulators
+    round differently), so the moments are assembled from Σx, Σx², Σx³
+    — each summed EXACTLY on the decimal grid (2-dp inputs ⇒ x³ has 6
+    true decimals, within DECIMAL(38,6)) — and the closed forms are
+    then identical IEEE double expressions in both engines, rounded
+    once. Partial-agg shuffle state is 4 numbers per group at any
+    scale — the moment-sketch discipline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(v)).cast("double").alias("s1"),
+        F.sum(dec(v * v)).cast("double").alias("s2"),
+        F.sum(dec(v * v * v)).cast("double").alias("s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_pop"),
+        F.round(m3 / F.pow(var, 1.5), 6).alias("skewness_pop"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT lang, n_chars, doc_id,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n_chars) OVER (PARTITION BY lang) AS tot
+  FROM documents
+)
+SELECT lang,
+       CAST(MIN(n_chars) AS BIGINT) AS mass_median_chars,
+       CAST(MIN(tot) AS BIGINT) AS total_chars
+FROM w WHERE 2 * cum >= tot GROUP BY lang
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (mass) median per group: the n_chars value at
+    which cumulative character mass crosses half the group's total —
+    "half the corpus's bytes live in docs at most this long", the
+    size-planning statistic an unweighted median gets wrong when doc
+    lengths are heavy-tailed (most DOCS are short, most BYTES are not).
+
+    All integer arithmetic (no float policy needed). The cumulative
+    sum is a window PARTITIONED by lang (parallel; running-frame
+    streaming state, never a partition materialization), and because
+    cum is nondecreasing in the sort order, the crossing row is simply
+    MIN(n_chars) over the qualifying suffix — no rank column, no
+    second window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = Window.partitionBy("lang").orderBy("n_chars", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("lang")
+    w = d.select(
+        "lang",
+        "n_chars",
+        F.sum("n_chars").over(wc).alias("cum"),
+        F.sum("n_chars").over(wt).alias("tot"),
+    )
+    return (
+        w.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").alias("mass_median_chars"),
+            F.min("tot").alias("total_chars"),
+        )
+    )

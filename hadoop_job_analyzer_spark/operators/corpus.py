@@ -757,3 +757,40 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_same"),
     )
+
+
+@query(
+    "split_kfold",
+    oracle=f"""
+WITH folded AS (
+  SELECT doc_id, lang, n_chars, {_o_bucket('doc_id', 5)} AS fold
+  FROM documents
+)
+SELECT fold, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM folded GROUP BY fold
+""",
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) by content-stable hash —
+    the cross-validation / sharded-eval split that must be REPRODUCIBLE
+    across engines, runs, and cluster sizes (md5-derived bucket, no
+    RNG, no row order dependence; the same discipline as
+    split_train_test). Output is the per-fold balance report (doc
+    count, char mass, language spread) a split is audited by; the
+    assignment itself is the same _bucket(doc_id, 5) expression both
+    engines compute. Pure map + 5-group partial agg at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    folded = d.select(
+        "doc_id", "lang", "n_chars", _bucket(F.col("doc_id"), 5).alias("fold")
+    )
+    return folded.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -1076,3 +1076,81 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "dim_idx int, loading double, eigenvalue double, explained_share double",
     )
+
+
+def _mrl_oracle() -> str:
+    from .llm import _O_COS
+
+    def cos(d: int) -> str:
+        a, b = f"v.embedding[1:{d}]", f"q.embedding[1:{d}]"
+        return _O_COS.format(a=a, b=b)
+
+    ctes, rows = [], []
+    for d in (8, 16, 32, 64):
+        ctes.append(
+            f"top_{d} AS (SELECT v.vec_id, ROUND({cos(d)}, 6) AS c\n"
+            f"  FROM embeddings v, q WHERE v.vec_id <> 0\n"
+            f"  ORDER BY c DESC, v.vec_id ASC LIMIT 10)"
+        )
+    for d in (8, 16, 32):
+        rows.append(
+            f"SELECT {d} AS sub_dim,\n"
+            f"  (SELECT COUNT(*) FROM top_{d} t JOIN top_64 f USING (vec_id)) AS n_overlap_top10,\n"
+            f"  (SELECT vec_id FROM top_{d} ORDER BY c DESC, vec_id ASC LIMIT 1) AS top1_vec_id"
+        )
+    return (
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query("emb_mrl_truncate_recall", oracle=_mrl_oracle())
+def emb_mrl_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality: top-10 retrieval with only the
+    first 8/16/32 dims vs the full 64-dim top-10 — the measurement that
+    decides how far MRL-style embeddings can be truncated before recall
+    pays (truncated prefixes are the standard cheap first-pass filter
+    at retrieval scale: score on d' ≪ d, rerank survivors full-width).
+
+    Each resolution is one broadcast-query scan + distributed TakeOrdered
+    top-10 (limit-then-compare; no global window), and the overlap count
+    joins two 10-row sets — all metadata-sized above the scans. Cosines
+    round to 6 with vec_id tie-break so the cut is stable cross-engine.
+    """
+    from .llm import _dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+
+    def top(d: int):
+        a, b = F.slice(F.col("embedding"), 1, d), F.slice(F.col("q_emb"), 1, d)
+        cos = _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+        return (
+            e.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(cos, 6).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+            .limit(10)
+        )
+
+    full = top(64).select("vec_id").persist()
+    out = None
+    for d in (8, 16, 32):
+        t = top(d).persist()
+        overlap = (
+            t.join(full, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap_top10"))
+        )
+        top1 = t.orderBy(F.col("c").desc(), F.col("vec_id").asc()).limit(1).select(
+            F.col("vec_id").alias("top1_vec_id")
+        )
+        row = (
+            overlap.crossJoin(F.broadcast(top1))
+            .select(
+                F.lit(d).alias("sub_dim"), "n_overlap_top10", "top1_vec_id"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
