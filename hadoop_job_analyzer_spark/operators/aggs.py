@@ -753,3 +753,40 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot").alias("total_chars"),
         )
     )
+
+
+@query(
+    "agg_dow_hour_heatmap",
+    oracle="""
+SELECT CAST((CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) // 86400 + 4) % 7 AS INTEGER) AS dow,
+       CAST(date_part('hour', ts) AS INTEGER) AS hour_of_day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day traffic matrix (≤168 cells) — the
+    capacity/anomaly heatmap every log dashboard opens with.
+
+    Day-of-week is computed ARITHMETICALLY ((epoch_day + 4) % 7, so
+    0=Monday) instead of via the engines' dayofweek() — Spark's origin
+    is 1=Sunday, DuckDB's 0=Sunday, the §5.3.7 trap this dodges by
+    construction. Epoch seconds are FLOORed before the day division on
+    both sides (the truncate-vs-round cast trap fixed in
+    win_trailing_hour). Constant-size group state: 168 cells regardless
+    of input scale, the ideal partial-agg shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    epoch_day = F.expr("cast(ts as long) div 86400")
+    return (
+        ev.groupBy(
+            ((epoch_day + 4) % 7).cast("int").alias("dow"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
