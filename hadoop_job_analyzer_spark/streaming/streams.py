@@ -390,3 +390,100 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(spark, agg, "stream_static_join", "complete")
+
+
+@query("stream_custom_sessionize")
+def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionization via applyInPandasWithState — the
+    operator Structured Streaming's built-in session_window cannot
+    customize (arbitrary gap rules, per-session payloads): per user, a
+    30-minute-gap sessionizer whose state (open session start / last
+    ts / count) PERSISTS across micro-batches.
+
+    The source is staged as two time-split files (first half / second
+    half of the month) with maxFilesPerTrigger=1, so availableNow runs
+    exactly two batches and sessions spanning the split boundary are
+    stitched from RESTORED state — the thing that proves cross-batch
+    state works. Each batch emits every session touched (closed ones
+    finally, the open one as a snapshot); update-mode memory sink keeps
+    all emissions and the last snapshot per (user, session_start) — the
+    max-n_events row — is the final answer, asserted equal to the batch
+    gaps-and-islands twin (win_sessionize's exact gap rule: truncated
+    epoch-second difference > 1800) in tests.
+
+    At scale state lives per group key in the executor state stores
+    (RocksDB), exactly like the built-in operators; the Python function
+    sees one user's rows per call, Arrow-batched.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(_ARTIFACTS, f"sess_src_{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    batch = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    batch.where(F.col("ts") < split).coalesce(1).write.parquet(os.path.join(src, "f0"))
+    batch.where(F.col("ts") >= split).coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+    ev = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+
+    GAP_S = 1800
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user,) = key
+        # epoch seconds TRUNCATED — the exact gap rule of the batch twin
+        # (Spark's cast(ts as long)); state carries µs for exact emits.
+        ts_us = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_us.extend(int(v.value) // 1_000 for v in pdf["ts"])
+        ts_us.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        out = []
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif (t // 1_000_000) - (last_us // 1_000_000) > GAP_S:
+                out.append((user, start_us, last_us, n))  # closed
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        if start_us is not None:
+            out.append((user, start_us, last_us, n))  # open snapshot
+            state.update((start_us, last_us, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in out],
+                "n_events": [r[3] for r in out],
+            }
+        )
+
+    emitted = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        "user_id long, session_start timestamp, session_end timestamp, n_events long",
+        "start_us long, last_us long, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    allrows = run_to_memory(spark, emitted, "stream_custom_sessionize", "update")
+    # final answer = last snapshot per session (n_events monotone per
+    # (user, session_start); closed sessions are emitted exactly once)
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.col("n_events").desc(), F.col("session_end").desc()
+    )
+    return (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

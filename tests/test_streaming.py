@@ -153,3 +153,37 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         )
     )
     assert _rows(got) == _rows(want)
+
+
+def test_stream_custom_sessionize_equals_batch(spark, sf_dir):
+    """The applyInPandasWithState sessionizer must equal the batch
+    gaps-and-islands twin exactly — including sessions spanning the
+    two-file batch boundary, which only match if cross-batch state
+    restore works."""
+    from pyspark.sql import Window
+
+    got = queries()["stream_custom_sessionize"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    want = (
+        numbered.groupBy("user_id", "idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("idx")
+    )
+    assert _rows(got) == _rows(want)
