@@ -595,3 +595,35 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("user")).alias("q_user"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("st")).alias("q_status"),
     )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+SELECT p_partkey,
+       ROUND(SIN(p_size * PI() / 180), 6) AS sin_size,
+       ROUND(COS(p_size * PI() / 180), 6) AS cos_size,
+       ROUND(ATAN2(p_size, p_retailprice), 6) AS angle,
+       ROUND(DEGREES(ATAN2(p_size, p_retailprice)), 6) AS angle_deg,
+       ROUND(RADIANS(p_size), 6) AS size_rad
+FROM part
+""",
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family (sin/cos/atan2/degrees/radians) — the
+    geo-distance and cyclical-feature math (hour-of-day encodings,
+    haversine legs). libm results differ across engines in the last
+    ulp, so everything is rounded to 6 per the §5.3 float policy; the
+    inputs (int sizes, 2-dp prices) are exactly representable, making
+    the pre-round values agree to ~1e-15.
+    """
+    p = load_table(spark, sf_dir, "part")
+    deg = F.col("p_size") * F.lit(3.141592653589793) / 180
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(deg), 6).alias("sin_size"),
+        F.round(F.cos(deg), 6).alias("cos_size"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice")), 6).alias("angle"),
+        F.round(F.degrees(F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice"))), 6).alias("angle_deg"),
+        F.round(F.radians(F.col("p_size").cast("double")), 6).alias("size_rad"),
+    )

@@ -196,3 +196,40 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select("user_id")
     views = ev.where(F.col("event_type") == "view").select("user_id")
     return clicks.intersectAll(views)
+
+
+@query(
+    "set_symmetric_diff",
+    oracle="""
+SELECT 'only_F' AS side, o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT 'only_O' AS side, o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+""",
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with a side marker: customers exclusive to
+    the F population vs exclusive to the O population — the two-sided
+    churn/drift report (who appears in snapshot A xor snapshot B) that
+    a single EXCEPT only answers half of. Each leg is a distinct +
+    except (hash-partitioned on the key, partial-agg'd); the union is
+    free (no shuffle). Completes the set-op family's algebra alongside
+    union/intersect/except/*_all.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    f_side = orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_side = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    only_f = f_side.exceptAll(o_side).select(
+        F.lit("only_F").alias("side"), "o_custkey"
+    )
+    only_o = o_side.exceptAll(f_side).select(
+        F.lit("only_O").alias("side"), "o_custkey"
+    )
+    return only_f.unionByName(only_o)
