@@ -610,7 +610,7 @@ WITH counts AS (
 ), ranked AS (
   SELECT event_type, k_value, cnt,
          ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY cnt DESC, k_value ASC) AS rn
+                            ORDER BY cnt DESC, k_value ASC NULLS LAST) AS rn
   FROM counts
 )
 SELECT event_type, k_value AS modal_k, cnt AS n_occurrences
@@ -627,6 +627,12 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     #distinct-pairs not rows — then pick rank 1 per group with a window
     PARTITIONED by group (parallel; never a global window). At 100 TB
     the pair-count table is the only shuffled state.
+
+    NULL k_value (props without '$.k') sorts LAST explicitly on both
+    sides — Spark's asc() default is NULLS FIRST but DuckDB's ASC is
+    NULLS LAST, so engine defaults would pick different modal rows if a
+    NULL group ever tied for rank 1 (the repo's explicit-null-placement
+    policy, see sort_multi_null).
     """
     ev = load_table(spark, sf_dir, "events")
     counts = (
@@ -638,7 +644,7 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("event_type").orderBy(
-        F.col("cnt").desc(), F.col("k_value").asc()
+        F.col("cnt").desc(), F.col("k_value").asc_nulls_last()
     )
     return (
         counts.withColumn("rn", F.row_number().over(w))
@@ -771,7 +777,8 @@ def agg_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity/anomaly heatmap every log dashboard opens with.
 
     Day-of-week is computed ARITHMETICALLY ((epoch_day + 4) % 7, so
-    0=Monday) instead of via the engines' dayofweek() — Spark's origin
+    0=Sunday: epoch day 0 = Thursday 1970-01-01 → 4, and Sunday
+    1970-01-04 → 0) instead of via the engines' dayofweek() — Spark's origin
     is 1=Sunday, DuckDB's 0=Sunday, the §5.3.7 trap this dodges by
     construction. Epoch seconds are FLOORed before the day division on
     both sides (the truncate-vs-round cast trap fixed in

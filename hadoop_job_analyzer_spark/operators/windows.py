@@ -224,6 +224,10 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle keeps the BUILT-IN global-window forms — the hash match
     proves the distributed formulation is value-identical to them.
     Ratios are exact integer divisions → exact double equality.
+
+    Degenerate inputs are guarded to match the built-ins: n = 1 gives
+    percent_rank 0.0 (not 0/0 → NULL), and n < 4 takes the all-large-
+    tiles branch (small = floor(n/4) = 0 must never divide).
     """
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     ranked = distributed_rank(
@@ -234,14 +238,18 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, small = F.ceil(F.col("n") / 4), F.floor(F.col("n") / 4)
     n_big = F.col("n") % 4  # number of tiles that get the larger size
     cut = n_big * big  # rows covered by the large tiles
-    quartile = F.when(r <= cut, F.ceil(r / big)).otherwise(
+    # With n < 4 every row is inside the large tiles (cut = n), so the
+    # small-tile branch is unreachable — but guard it anyway so the
+    # division can never see small = 0 on a tiny/filtered input.
+    quartile = F.when((r <= cut) | (small == 0), F.ceil(r / big)).otherwise(
         n_big + F.ceil((r - cut) / small)
     )
+    pct_rank = F.when(F.col("n") > 1, (r - 1) / (F.col("n") - 1)).otherwise(F.lit(0.0))
     return ranked.crossJoin(F.broadcast(n)).select(
         "c_custkey",
         "c_acctbal",
         quartile.cast("int").alias("bal_quartile"),
-        ((r - 1) / (F.col("n") - 1)).alias("bal_pct_rank"),
+        pct_rank.alias("bal_pct_rank"),
         (r / F.col("n")).alias("bal_cume_dist"),
     )
 
