@@ -21,12 +21,15 @@ the label — exactly how the driver's oracle sees it.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ..sources.fixtures import ensure_zlib_ratio
 from ._common import distributed_rank, spread
 
 # Marker-word profiles (space-padded, counted in ' '||text||' ').
@@ -479,18 +482,42 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_compression_ratio")  # rows-only: no SQL twin for zlib; self-check in tests
+_ZLIB_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "zlib_ratio.parquet",
+)
+
+
+@query(
+    "text_compression_ratio",
+    oracle=f"""
+SELECT d.doc_id,
+       length(d.text) AS n_bytes,
+       z.compression_ratio
+FROM documents d
+JOIN read_parquet('{_ZLIB_FIXTURE}') z ON md5(d.text) = z.text_md5
+""",
+)
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression ratio per document — the Gopher-rules quality
     signal SQL cannot express: highly repetitive/boilerplate text
     compresses far below natural prose, so ratio thresholds catch
     template spam that token statistics miss. Arrow-batched pandas UDF
     over the stdlib zlib at a PINNED level (6) — deterministic bytes
-    in, deterministic ratio out, so the self-check recomputes ratios
-    in plain Python and asserts exact equality (stronger than the
-    driver's rows-only check). Pure map: scales embarrassingly; the
-    only cost is the Python worker round-trip, batched by Arrow.
+    in, deterministic ratio out.
+
+    Oracled since r4 (verdict task #3): every distinct shipped document
+    text's ratio is precomputed into fixtures/zlib_ratio.parquet
+    (sources/fixtures.py:ensure_zlib_ratio, plain Python — no Spark)
+    keyed by md5(text); the DuckDB oracle joins on md5(text), keeping
+    zlib out of SQL while hash-matching the full output. The inner join
+    doubles as a completeness check: a text missing from the fixture
+    would drop rows and fail the count compare. Pure map: scales
+    embarrassingly; the only cost is the Python worker round-trip,
+    batched by Arrow.
     """
+    ensure_zlib_ratio()
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

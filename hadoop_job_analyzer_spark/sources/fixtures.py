@@ -95,3 +95,45 @@ def ensure_jobs_log() -> str:
                 if i % 10 == 0:
                     f.write(f"{r['submit_ts']} WARN SlowHeartbeat node=node{i % 40}\n")
     return path
+
+
+def ensure_zlib_ratio() -> str:
+    """Per-text zlib(level 6) compression ratios as a parquet fixture.
+
+    DuckDB has no zlib, so `text_compression_ratio` cannot recompute the
+    ratio in SQL; instead the ratio of every DISTINCT document text in
+    the shipped sf dirs is precomputed here (plain Python — pyarrow +
+    hashlib + zlib, no Spark involved) keyed by md5(text), and the
+    oracle joins documents on md5(text) against this file. Ratio is a
+    pure function of the text bytes, so the md5 key is sf-independent;
+    round-3 verdict task #3.
+    """
+    import hashlib
+    import zlib
+
+    os.makedirs(_FIXDIR, exist_ok=True)
+    path = os.path.join(_FIXDIR, "zlib_ratio.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+
+        seen: dict[str, float] = {}
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(p):
+                continue
+            for text in pq.read_table(p, columns=["text"]).column("text").to_pylist():
+                raw = text.encode("utf-8")
+                key = hashlib.md5(raw).hexdigest()
+                if key not in seen:
+                    seen[key] = round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 6)
+        keys = sorted(seen)
+        pq.write_table(
+            pa.table(
+                {
+                    "text_md5": pa.array(keys, pa.string()),
+                    "compression_ratio": pa.array([seen[k] for k in keys], pa.float64()),
+                }
+            ),
+            path,
+        )
+    return path

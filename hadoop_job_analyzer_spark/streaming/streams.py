@@ -111,21 +111,40 @@ def run_to_memory(spark: SparkSession, streamed: DataFrame, key: str, output_mod
     return spark.table(name)
 
 
-@query("stream_file_source")
+@query(
+    "stream_file_source",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+""",
+)
 def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming count by event type == batch groupBy (complete mode)."""
+    """Streaming count by event type == batch groupBy (complete mode).
+
+    Oracle = the batch twin's SQL: availableNow processes the entire
+    backlog, so the complete-mode memory sink holds exactly the batch
+    aggregation — the round-3 verdict's prescribed upgrade of the
+    streaming keys from rows-only to hash-matched.
+    """
     counts = read_events_stream(spark, sf_dir).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
     return run_to_memory(spark, counts, "stream_file_source", "complete")
 
 
-@query("stream_tumbling")
+@query(
+    "stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+)
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows with a 2-hour watermark.
 
     availableNow processes the whole backlog, so complete-mode counts
-    equal the batch date_trunc aggregation (asserted in tests).
+    equal the batch date_trunc aggregation — which is the oracle
+    (Spark's epoch-aligned window start == date_trunc('hour') under the
+    UTC session TZ both engines share).
     """
     ev = read_events_stream(spark, sf_dir)
     agg = (
@@ -141,9 +160,24 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, "stream_tumbling", "complete")
 
 
-@query("stream_sliding")
+@query(
+    "stream_sliding",
+    oracle="""
+SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - k * 900000000)
+         AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN range(4) t(k)
+GROUP BY 1
+""",
+)
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 15 minutes (each event lands in 4)."""
+    """1-hour windows sliding every 15 minutes (each event lands in 4).
+
+    Oracle: every event belongs to the 4 epoch-aligned 15-min slide
+    starts at floor(ts/15min)-k*15min for k in 0..3 — integer µs
+    arithmetic end to end (epoch_us // then make_timestamp), so no
+    cast-rounding trap (the win_trailing_hour lesson).
+    """
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "2 hours")
@@ -154,11 +188,41 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, "stream_sliding", "complete")
 
 
-@query("stream_session_window")
+@query(
+    "stream_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) per user — the streaming twin
     of win_sessionize; session_window also runs in batch, which the
-    tests exploit as the self-oracle."""
+    tests exploit as the self-oracle.
+
+    Oracle: gaps-and-islands at EXACT µs resolution — session_window
+    merges while the next event starts strictly before last_ts+30min,
+    i.e. a new session iff the µs gap >= 1800000000 (NOT the truncated-
+    second rule of win_sessionize/stream_custom_sessionize); window end
+    is last event + the 30-min gap.
+    """
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "2 hours")
@@ -174,7 +238,18 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, "stream_session_window", "complete")
 
 
-@query("stream_late_data")
+@query(
+    "stream_late_data",
+    oracle="""
+WITH f1 AS (SELECT ts FROM events WHERE event_id % 2 = 1),
+     wm AS (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 7200000000 AS wm_us FROM f1)
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       COUNT(*) AS n_events
+FROM f1, wm
+WHERE (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000 <= wm_us
+GROUP BY 1
+""",
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode watermark semantics: late rows are dropped.
 
@@ -191,6 +266,12 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Self-check in tests: emitted counts == file-1-only batch counts and
     no emitted window contains file-2 rows.
+
+    Oracle: exactly the hourly windows of file-1 rows finalized by the
+    checkpointed watermark — window end <= max(f1.ts)-2h (Spark tracks
+    event-time stats in ms, hence the //1000*1000; the <= vs <
+    boundary is unreachable because the watermark inherits max(ts)'s
+    sub-second µs while window ends are whole hours).
     """
     src_dir = os.path.join(_ARTIFACTS, "late_src")
     ckpt_dir = os.path.join(_ARTIFACTS, "late_ckpt")
@@ -231,11 +312,21 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-@query("stream_dedup")
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events
+FROM events GROUP BY event_type
+""",
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id (duplicated source → distinct
     count; state holds one key per id, bounded by watermark in the
-    dropDuplicatesWithinWatermark variant)."""
+    dropDuplicatesWithinWatermark variant).
+
+    Oracle: per-type COUNT(DISTINCT event_id) — dedup of the doubled
+    stream keeps exactly one row per event_id.
+    """
     ev = read_events_stream(spark, sf_dir)
     doubled = ev.union(ev)  # guaranteed duplicates
     deduped = doubled.dropDuplicates(["event_id"])
@@ -243,7 +334,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, "stream_dedup", "complete")
 
 
-@query("stream_stateful_counter")
+@query(
+    "stream_stateful_counter",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY event_type
+""",
+)
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState — the
     PySpark-native arbitrary-state API (SURVEY.md §2.I note).
@@ -302,11 +399,18 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_foreach_batch")
+@query(
+    "stream_foreach_batch",
+    oracle="""
+SELECT event_id, event_type, value FROM events
+""",
+)
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom sink via foreachBatch: each micro-batch appended as parquet
     (the Graphite-sink analog [R-M] — arbitrary per-batch emit), then
-    read back for verification."""
+    read back for verification. The oracle is the projected source
+    table itself: the hash match proves the custom sink lost nothing.
+    """
     out_dir = os.path.join(_ARTIFACTS, "foreach_batch_out")
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -320,7 +424,17 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-@query("stream_stream_join")
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id AS c_user, c.event_id AS click_id, c.ts AS click_ts,
+       b.event_id AS buy_id, b.ts AS buy_ts
+FROM events c JOIN events b
+  ON c.user_id = b.user_id
+ AND c.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join — click→purchase attribution within 30
     minutes per user, both sides unbounded streams.
@@ -364,7 +478,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, joined, "stream_stream_join", "append")
 
 
-@query("stream_static_join")
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value * w.weight AS DECIMAL(38,6))) AS DOUBLE)
+         AS weighted_value
+FROM events e
+JOIN (SELECT * FROM (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+                            ('signup', 3.0), ('error', 0.0))
+        AS t(event_type, weight)) w
+  ON e.event_type = w.event_type
+GROUP BY e.event_type
+""",
+)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the streaming lookup pattern:
     the unbounded event stream joins a STATIC dimension (a per-type
@@ -392,7 +519,30 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, "stream_static_join", "complete")
 
 
-@query("stream_custom_sessionize")
+@query(
+    "stream_custom_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
 def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful sessionization via applyInPandasWithState — the
     operator Structured Streaming's built-in session_window cannot
