@@ -290,7 +290,9 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay hash-identical to the DuckDB oracle), and only per-batch
     top-3 survivors return to the JVM for the final window rank.
     At 100 TB this exact join is the per-bucket step of an IVF/LSH
-    partitioned ANN — the declared bucketed variant reuses it.
+    partitioned ANN — `neardup.dedup_embedding_bucketed` implements
+    exactly that composition (IVF assign → per-bucket exact kernel),
+    and `sim_ann_ivf` is the query-side analog.
     """
     import numpy as np
     import pandas as pd

@@ -248,7 +248,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector), emitting only above-threshold pairs with vec_a < vec_b, so
     the Python→JVM return stream is the (sparse) duplicate set, not the
     O(n²) pair matrix. At 100 TB the anchor side no longer broadcasts —
-    you LSH/IVF-bucket first and run this exact kernel per bucket.
+    you IVF-bucket first and run this exact kernel per bucket, which is
+    precisely `dedup_embedding_bucketed` below (the scale path; this
+    brute-force key doubles as its recall baseline in tests).
     """
     import numpy as np
     import pandas as pd
@@ -293,9 +295,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
 
 
-def _ivf_oracle() -> str:
-    return f"""
-WITH cents AS (
+# Shared IVF coarse-quantizer CTEs: centroids = the first 16 vectors
+# (deterministic k-means stand-in), every vector assigned to its nearest
+# centroid with a (rounded cosine DESC, cen_id ASC) tie-break. Used by
+# sim_ann_ivf (probe path) and dedup_embedding_bucketed (pair path).
+_IVF_ASSIGN_SQL = f"""cents AS (
   SELECT vec_id AS cen_id, embedding FROM embeddings WHERE vec_id < {_IVF_N_CENTROIDS}
 ), assign AS (
   SELECT vec_id, cen_id FROM (
@@ -307,7 +311,103 @@ WITH cents AS (
                       c.cen_id ASC) AS rk
     FROM embeddings v, cents c
   ) WHERE rk = 1
-), probe AS (
+)"""
+
+
+def _ivf_assign(e: DataFrame) -> DataFrame:
+    """(vec_id, cen_id): nearest-centroid assignment, Spark twin of
+    _IVF_ASSIGN_SQL. Centroids are broadcast; the 16-dots-per-vector
+    map runs data-parallel (spread pre-satisfies the argmax window's
+    vec_id clustering, so the window adds no extra shuffle)."""
+    from .llm import _dot
+
+    cents = e.where(F.col("vec_id") < _IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("c_emb")
+    )
+    cos_vc = F.round(
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / F.sqrt(
+            _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("c_emb"), F.col("c_emb"))
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_vc").desc(), F.col("cen_id").asc())
+    return (
+        spread(e, "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cen_id", cos_vc.alias("cos_vc"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cen_id")
+    )
+
+
+@query(
+    "dedup_embedding_bucketed",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_O_COS_PAIR}, 6) AS cosine
+FROM embeddings a
+JOIN assign sa ON sa.vec_id = a.vec_id
+JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN assign sb ON sb.vec_id = b.vec_id AND sb.cen_id = sa.cen_id
+WHERE ROUND({_O_COS_PAIR}, 6) >= {_EMB_DUP_MIN_COS}
+""",
+)
+def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed EXACT embedding dedup — the scale-correct shape of
+    dedup_embedding (round-3 verdict task #4): no O(n²) global pair
+    scan anywhere in the plan.
+
+    Pipeline: nearest-centroid assignment (_ivf_assign — broadcast
+    centroids, data-parallel map) → hash-partition by bucket → the
+    exact cosine pair kernel runs PER BUCKET via applyInPandas, so
+    total work is Σ|bucket|² instead of n². Cross-bucket pairs are the
+    recall tradeoff (measured against the brute-force key in
+    tests/test_llm_ext.py); real pipelines tune #centroids so buckets
+    fit executor memory and add multi-probe for recall. At 100 TB:
+    assignment is a write-path partition column, the per-bucket kernel
+    is an embarrassingly parallel shuffle-once stage, and skewed
+    buckets split under AQE — nothing broadcasts the full matrix.
+
+    The kernel accumulates dim-sequentially (float64) exactly like
+    dedup_embedding, so shared pairs carry bit-identical cosines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.join(_ivf_assign(e), "vec_id").select("cen_id", "vec_id", "embedding")
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        dim = M.shape[1]
+        norm2 = M[:, 0] * M[:, 0]
+        for i in range(1, dim):
+            norm2 = norm2 + M[:, i] * M[:, i]
+        dots = M[:, 0][:, None] * M[:, 0][None, :]
+        for i in range(1, dim):
+            dots = dots + M[:, i][:, None] * M[:, i][None, :]
+        cos = dots / np.sqrt(norm2[:, None] * norm2[None, :])
+        keep = (np.round(cos, 6) >= _EMB_DUP_MIN_COS) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi], "cosine": cos[ai, bi]})
+
+    pairs = bucketed.groupBy("cen_id").applyInPandas(
+        bucket_pairs, schema="vec_a bigint, vec_b bigint, cosine double"
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH {_IVF_ASSIGN_SQL}, probe AS (
   SELECT cen_id FROM (
     SELECT c.cen_id,
            ROW_NUMBER() OVER (
@@ -355,24 +455,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.where(F.col("vec_id") < _IVF_N_CENTROIDS).select(
         F.col("vec_id").alias("cen_id"), F.col("embedding").alias("c_emb")
     )
-    cos_vc = F.round(
-        _dot(F.col("embedding"), F.col("c_emb"))
-        / F.sqrt(
-            _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("c_emb"), F.col("c_emb"))
-        ),
-        6,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_vc").desc(), F.col("cen_id").asc())
-    # spread: parallelizes the 16-dots-per-vector assignment map (the
-    # interpreted lambda dot is the cost) and pre-satisfies the argmax
-    # window's vec_id clustering. Measured 0.9 s -> 0.6 s at sf0.1.
-    assign = (
-        spread(e, "vec_id").crossJoin(F.broadcast(cents))
-        .select("vec_id", "cen_id", cos_vc.alias("cos_vc"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cen_id")
-    )
+    # spread inside _ivf_assign parallelizes the 16-dots-per-vector
+    # assignment map (the interpreted lambda dot is the cost).
+    # Measured 0.9 s -> 0.6 s at sf0.1.
+    assign = _ivf_assign(e)
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cos_qc = F.round(
         _dot(F.col("q_emb"), F.col("c_emb"))

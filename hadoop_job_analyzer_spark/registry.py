@@ -33,7 +33,7 @@ _ORACLES: dict[str, str] = {}
 # ones ever hard-verified by the driver. Round 4 rotates the order to put
 # the never-sampled surface first (windows, llm, neardup, corpus, ...), so
 # the driver's 50-key window lands entirely on previously-unsampled keys
-# (23 windows + 11 llm + 14 neardup + first 2 textops = 50).
+# (23 windows + 11 llm + 15 neardup + the first textops key = 50).
 # Import-order constraints: neardup composes llm oracles; corpus composes
 # textops oracles. tests/test_registry.py pins the unsampled-first-50
 # property.

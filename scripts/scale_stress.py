@@ -58,6 +58,7 @@ QUERIES = [
     "dedup_near_minhash",
     "text_fingerprint",
     "sim_ann_ivf",
+    "dedup_embedding_bucketed",
     "decon_ngram_overlap",
     "pack_sequences",
     "sketch_countmin",
@@ -76,9 +77,10 @@ QUERIES = [
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
 # result is trivially empty — a meaningless (and meaninglessly fast) run.
 # dedup_components at x16: duplication makes every dup cluster 16x
-# denser — pair volume grows, rounds stay ~diameter; measured at x4,
-# skipped at x16 to bound harness runtime.
-SKIP_AT_16: set[str] = {"dedup_components"}
+# denser — pair volume grows (bounded by the 64-doc band-bucket cap),
+# rounds stay ~cluster diameter. Measured at every scale since r4
+# (round-3 verdict task #5 asked for the x16 number).
+SKIP_AT_16: set[str] = set()
 
 
 def inflate(spark, k: int) -> str:

@@ -19,6 +19,28 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(exact & approx) >= 3, (exact, approx)
 
 
+def test_bucketed_embedding_dedup_subset_and_recall(spark, sf_dir):
+    """The bucketed exact dedup must (a) emit ONLY pairs the brute-force
+    key emits, with bit-identical cosines (per-bucket kernel == global
+    kernel on shared pairs), and (b) recover a substantial share of
+    them (cross-bucket pairs are the documented recall tradeoff of a
+    16-centroid single-probe quantizer)."""
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in queries()["dedup_embedding"](spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in queries()["dedup_embedding_bucketed"](spark, sf_dir).collect()
+    }
+    assert bucketed, "bucketed dedup found no pairs at all"
+    for pair, cos in bucketed.items():
+        assert pair in brute, f"bucketed emitted a pair brute force did not: {pair}"
+        assert cos == brute[pair], (pair, cos, brute[pair])
+    recall = len(bucketed) / len(brute)
+    assert recall >= 0.2, f"recall {recall:.3f} over {len(brute)} brute-force pairs"
+
+
 def test_simhash_pairs_are_bounded_and_symmetric_free(spark, sf_dir):
     rows = queries()["dedup_simhash"](spark, sf_dir).collect()
     seen = set()
