@@ -67,6 +67,13 @@ HEADLINE = [
     "text_zipf_fit",
     "sketch_heavy_hitters",
     "text_pii_scrub",
+    # r4 additions: bucketed exact dedup, bloom runtime filter, PQ,
+    # containment dedup, repetition scoring
+    "dedup_embedding_bucketed",
+    "join_bloom_prejoin",
+    "emb_pq_quantize",
+    "dedup_containment",
+    "text_repetition_score",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]

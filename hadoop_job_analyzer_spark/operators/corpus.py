@@ -794,3 +794,72 @@ def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# Target language mix for rebalancing, integer percents summing to 100.
+# en is oversupplied in the corpus (~43%), so it gets downsampled; the
+# scarce languages bound the achievable total.
+_MIX_TARGET = {"en": 40, "zh": 20, "de": 15, "fr": 15, "es": 10}
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_TARGET.items())
+
+
+@query(
+    "corpus_mix_rebalance",
+    oracle=f"""
+WITH tgt AS (
+  SELECT * FROM (VALUES {_MIX_VALUES}) AS t(lang, w)
+), counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), s AS (
+  SELECT MIN((n * 100) // w) AS scale FROM counts JOIN tgt USING (lang)
+), quota AS (
+  SELECT tgt.lang, (s.scale * tgt.w) // 100 AS k FROM tgt, s
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS r
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked JOIN quota USING (lang) WHERE r <= k
+""",
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance: subsample each language to hit a target
+    mix (en 40 / zh 20 / de 15 / fr 15 / es 10 %) at the largest total
+    the scarcest language allows — the Pile/Dolma-style mixture-weight
+    step between dedup and packing.
+
+    The quota math is ALL integer (scale = min_l ⌊100·n_l/w_l⌋, then
+    k_l = ⌊scale·w_l/100⌋), so both engines agree exactly — no float
+    share ever computed. Selection inside a language is the md5
+    hash-order top-k (the same deterministic "uniform" device as
+    sample_fixed_per_stratum), a per-stratum window that Spark serves
+    with partial TakeOrdered state, never a global sort. Two passes at
+    scale: one partial-agg'd count per lang (broadcast back), one
+    rank-filter — both shuffles carry compact state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tgt = spark.createDataFrame(
+        [(k, v) for k, v in _MIX_TARGET.items()], "lang string, w int"
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    s = (
+        counts.join(tgt, "lang")
+        .select(F.expr("(n * 100) div w").alias("cap"))
+        .agg(F.min("cap").alias("scale"))
+    )
+    quota = tgt.crossJoin(F.broadcast(s)).select(
+        "lang", F.expr("(scale * w) div 100").alias("k")
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("r", F.row_number().over(w_rank))
+        .join(F.broadcast(quota), "lang")
+        .where(F.col("r") <= F.col("k"))
+        .select("doc_id", "lang")
+    )

@@ -1240,3 +1240,218 @@ def emb_mrl_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_CONTAIN_MIN = 0.6
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+), hsh AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+), rare AS (
+  SELECT h FROM hsh GROUP BY h HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+), rsh AS (
+  SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM rsh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n, sb.n) >= {_CONTAIN_MIN}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / min(|A|, |B|) over the
+    same df≤{_JACCARD_MAX_DF} rare-shingle inverted index as
+    dedup_ngram_jaccard — the measure that catches SUBSET duplication
+    (a quote, a wrapped article, a doc embedded in a boilerplate
+    frame), which symmetric Jaccard dilutes below threshold whenever
+    the containing document is much larger.
+
+    Plan shape is identical to the Jaccard key (df-capped inverted
+    index, persisted, fan-out bounded at C(df,2) per shingle); only
+    the final scoring expression differs, so the scale argument is
+    inherited verbatim. Running both keys in one session shares the
+    persisted index via CacheManager plan-dedup.
+    """
+    rsh = (
+        _shingles(load_table(spark, sf_dir, "documents"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("_df") <= _JACCARD_MAX_DF)
+        .drop("_df")
+        .persist()
+    )
+    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rsh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = rsh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, ["h"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("n_inter").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(cont >= _CONTAIN_MIN)
+        .select("doc_a", "doc_b", "n_inter", F.round(cont, 6).alias("containment"))
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+WITH pairs AS (
+{MINHASH_PAIRS_ORACLE}
+), touched AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id FROM pairs
+), degree AS (
+  SELECT d.doc_id, COUNT(t.doc_id) AS deg
+  FROM documents d LEFT JOIN touched t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT deg AS degree, COUNT(*) AS n_docs
+FROM degree GROUP BY deg
+""",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the minhash-LSH candidate-pair graph —
+    the dedup-run health report: a heavy tail here means a boilerplate
+    cluster is about to dominate connected components, and the 64-doc
+    band cap's effect is directly visible as the max degree.
+
+    Pipeline: the shared capped LSH pairs (llm._lsh_pairs), each pair
+    counted toward both endpoints, left-joined back to documents so
+    degree-0 (unique) docs appear — then a two-level aggregation whose
+    shuffle is #docs then #distinct-degrees. At 100 TB both stages are
+    partial-agg'd and the final histogram is metadata-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_near_minhash(spark, sf_dir)
+    touched = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = (
+        d.select("doc_id")
+        .join(touched.groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")), "doc_id", "left")
+        .select(F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
+    return deg.groupBy(F.col("deg").alias("degree")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_PQ_SUBS = 4  # subspaces
+_PQ_DIM = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
+_PQ_CODES = 16  # codewords per subspace (codebook = first 16 vectors)
+
+
+def _pq_oracle() -> str:
+    d2 = (
+        "ROUND(list_dot_product(v.sv, v.sv) + list_dot_product(c.cv, c.cv)"
+        " - 2 * list_dot_product(v.sv, c.cv), 6)"
+    )
+    code_cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN sub_idx = {s} THEN code_id END) AS INTEGER) AS code_{s}"
+        for s in range(_PQ_SUBS)
+    )
+    return f"""
+WITH subs AS (
+  SELECT vec_id, s.sub_idx,
+         (CAST(embedding AS DOUBLE[]))[s.sub_idx * {_PQ_DIM} + 1 : s.sub_idx * {_PQ_DIM} + {_PQ_DIM}] AS sv
+  FROM embeddings, (SELECT UNNEST(generate_series(0, {_PQ_SUBS - 1})) AS sub_idx) s
+), cb AS (
+  SELECT vec_id AS code_id, sub_idx, sv AS cv FROM subs WHERE vec_id < {_PQ_CODES}
+), best AS (
+  SELECT vec_id, sub_idx, code_id, d2 FROM (
+    SELECT v.vec_id, v.sub_idx, c.code_id, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub_idx
+                              ORDER BY {d2} ASC, c.code_id ASC) AS rk
+    FROM subs v JOIN cb c ON c.sub_idx = v.sub_idx
+  ) WHERE rk = 1
+)
+SELECT vec_id,
+       {code_cols},
+       CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS recon_err2
+FROM best GROUP BY vec_id
+"""
+
+
+@query("emb_pq_quantize", oracle=_pq_oracle())
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the 64-dim embedding split into 4×16-dim
+    subvectors, each assigned to its nearest of 16 deterministic
+    codewords (the first 16 vectors' subvectors — the same k-means
+    stand-in convention as the IVF centroids), plus the exact squared
+    reconstruction error. PQ is how billion-vector ANN fits RAM: 64
+    floats (256 B) compress to 4 code bytes, and asymmetric distances
+    are table lookups.
+
+    Shape: posexplode to (vec_id, sub_idx, subvec) — 4 rows per vector
+    — cross join the BROADCAST 64-row codebook restricted to the same
+    sub_idx, L2 via the norm²+norm²−2·dot identity on the shared
+    sequential-fold dot (_dot — the cross-engine-deterministic path),
+    argmin per (vec_id, sub_idx) window (partitioned, never global),
+    then one groupBy(vec_id) pivots codes back to columns. Work is
+    #vectors × 4 × 16 dots at any scale, all JVM-side; the assignment
+    is a pure map + one partial-agg'd shuffle on vec_id.
+    """
+    from .llm import _dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    subs_arr = F.array(
+        *[F.slice("embedding", s * _PQ_DIM + 1, _PQ_DIM) for s in range(_PQ_SUBS)]
+    )
+    subs = spread(e, "vec_id").select(
+        "vec_id", F.posexplode(subs_arr).alias("sub_idx", "sv")
+    )
+    cb = (
+        e.where(F.col("vec_id") < _PQ_CODES)
+        .select(F.col("vec_id").alias("code_id"), F.posexplode(subs_arr).alias("sub_idx", "cv"))
+    )
+    d2 = F.round(
+        _dot(F.col("sv"), F.col("sv"))
+        + _dot(F.col("cv"), F.col("cv"))
+        - 2 * _dot(F.col("sv"), F.col("cv")),
+        6,
+    )
+    w = Window.partitionBy("vec_id", "sub_idx").orderBy(F.col("d2").asc(), F.col("code_id").asc())
+    best = (
+        subs.join(F.broadcast(cb), "sub_idx")
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return best.groupBy("vec_id").agg(
+        *[
+            F.sum(F.when(F.col("sub_idx") == s, F.col("code_id")))
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(_PQ_SUBS)
+        ],
+        # decimal partials: the 4-term float sum must be order-invariant
+        # to hash-match (the _common.py float policy)
+        F.sum(F.col("d2").cast("decimal(38,6)")).cast("double").alias("recon_err2"),
+    )

@@ -610,3 +610,80 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_NUM), 0)).alias("n_longnums"),
         scrub.alias("scrubbed"),
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+  FROM base
+), bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+  FROM sized,
+       UNNEST(CASE WHEN n_tokens >= 2 THEN generate_series(1, n_tokens - 1)
+                   ELSE [] END) AS u(i)
+), top AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       ROUND(1 - CAST(s.n_distinct AS DOUBLE) / s.n_tokens, 6) AS dup_token_frac,
+       CASE WHEN s.n_tokens > 1
+            THEN ROUND(CAST(COALESCE(t.top_bigram_n, 0) AS DOUBLE) / (s.n_tokens - 1), 6)
+            ELSE 0.0 END AS top_bigram_share
+FROM sized s LEFT JOIN top t ON t.doc_id = s.doc_id
+""",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction (1 - distinct/total) and the most frequent bigram's share
+    of all bigrams — the two cheapest detectors of looped/boilerplate
+    generation that length and stopword stats miss.
+
+    Shape: token array stays an ARRAY for the distinct count (a JVM
+    array_distinct, no explode); only the bigram leg explodes, spread
+    by doc_id first (the repo's shuffle-before-explode idiom), and its
+    groupBy(doc_id, bigram) is partial-agg'd so the shuffle carries
+    per-doc distinct bigram counts, not token instances. Constant
+    per-doc state afterwards — the plan is duplication-invariant at
+    100 TB except the linear token stream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select("doc_id", F.split("text", " ").alias("t"))
+    sized = toks.select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    idx = F.when(F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)),
+    )
+    top = (
+        toks.select("doc_id", F.explode(bigram).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    share = F.when(
+        F.col("n_tokens") > 1,
+        F.round(F.coalesce(F.col("top_bigram_n"), F.lit(0)) / (F.col("n_tokens") - 1), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        sized.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias("dup_token_frac"),
+            share.alias("top_bigram_share"),
+        )
+    )

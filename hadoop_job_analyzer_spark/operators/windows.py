@@ -153,7 +153,15 @@ WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average of per-event value (smoothing): daily rollup
     first (tiny), then a rows-frame window over days — never a window
-    over raw events."""
+    over raw events.
+
+    Boundedness: the partition-less window runs over the DAILY rollup,
+    whose row count is the calendar span, not the data volume — 36.5k
+    rows per century, driver-safe at any corpus size. If a deployment
+    ever carried multi-millennium spans, partition by year with a
+    6-day carry-in union; at every realistic span the single-partition
+    day grid is the cheaper plan (same argument for win_rolling_median
+    and ts_ewma_daily)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -894,7 +902,9 @@ FROM daily
 def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day MEDIAN of daily event counts — the robust
     smoother (win_moving_avg's outlier-resistant sibling: one spike
-    day moves the mean but not the median). Spark's `percentile`
+    day moves the mean but not the median). Partition-less window but
+    BOUNDED: it runs over the daily rollup, calendar-span-sized, not
+    data-sized — see win_moving_avg's boundedness note. Spark's `percentile`
     aggregate runs as a window over the rows frame; both engines
     linear-interpolate even-count frames, rounded per the float
     policy. Daily rollup first, so the window state is days, not
@@ -946,6 +956,8 @@ def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. The history join is days × days (≤ 30², trivial; at
     longer horizons the (1−α)^lag terms underflow past any threshold
     and the join truncates to a bounded lag window — same plan).
+    The day grid itself is calendar-span-bounded — see win_moving_avg's
+    boundedness note.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(

@@ -113,3 +113,50 @@ def test_hll_mergeable_estimates_near_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+
+
+def test_bloom_prejoin_filter_is_selective(spark, sf_dir):
+    """join_bloom_prejoin's oracle match proves losslessness but NOT
+    usefulness — a saturated bloom passes everything and still
+    hash-matches. Rebuild the filter the operator's way and assert it
+    actually rejects most non-urgent lineitems (FPP well under 50%)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_job_analyzer_spark.operators.joins import _BLJ_K, _BLJ_M, _blj_pos_sql
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent_keys = {r.o_orderkey for r in o.where(F.col("o_orderpriority") == "1-URGENT").collect()}
+    pos = None
+    for r in range(_BLJ_K):
+        p = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.expr(_blj_pos_sql("o_orderkey", r)).alias("pos")
+        )
+        pos = p if pos is None else pos.unionAll(p)
+    n_bits = pos.distinct().count()
+    fill = n_bits / _BLJ_M
+    assert fill < 0.5, f"bloom saturated: fill={fill:.3f}"
+    # probe every lineitem orderkey through the same positions
+    probe = None
+    for r in range(_BLJ_K):
+        p = li.select(
+            F.col("l_orderkey").alias("k"), F.expr(_blj_pos_sql("l_orderkey", r)).alias("pos")
+        )
+        probe = p if probe is None else probe.unionAll(p)
+    bits = pos.distinct().withColumn("hit", F.lit(1))
+    passed = {
+        r.k
+        for r in probe.join(bits, "pos", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n_hit") == F.col("n"))
+        .collect()
+    }
+    li_keys = {r.l_orderkey for r in li.select("l_orderkey").distinct().collect()}
+    # only urgent orders that actually have lineitems can appear probe-side
+    assert (urgent_keys & li_keys) <= passed, "bloom produced a false negative"
+    non_member_pass = len(passed - urgent_keys)
+    non_member_total = len(li_keys - urgent_keys)
+    if non_member_total:
+        fpp = non_member_pass / non_member_total
+        assert fpp < 0.2, f"bloom not selective: fpp={fpp:.3f}"
