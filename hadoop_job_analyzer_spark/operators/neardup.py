@@ -1455,3 +1455,118 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # to hash-match (the _common.py float policy)
         F.sum(F.col("d2").cast("decimal(38,6)")).cast("double").alias("recon_err2"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+WITH pairs AS (
+{MINHASH_PAIRS_ORACLE}
+), nodes AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+), deg AS (
+  SELECT doc_id, COUNT(*) AS d FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY doc_id
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       n_triangles,
+       CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
+            THEN ROUND(3.0 * n_triangles / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6)
+            ELSE 0.0 END AS global_clustering
+FROM tri
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the LSH candidate-pair graph: nodes, edges,
+    wedges (open triads), triangles, and the global clustering
+    coefficient 3T/W — the structural summary that distinguishes a
+    healthy near-dup graph (dense cliquish clusters → clustering ≈ 1)
+    from hash-collision noise (star/chain artifacts → clustering ≈ 0).
+
+    The triangle join uses the ORDERED edge list (doc_a < doc_b), so
+    each triangle a<b<c is counted exactly once by chaining
+    (a,b)⋈(b,c) and closing with (a,c) — the standard distributed
+    triangle count, whose join fan-out is bounded because the band cap
+    bounds every vertex degree. Pairs are persisted once for the three
+    edge roles + the degree pass; wedges are pure integer arithmetic.
+    All four counts land in ONE row — metadata-sized output.
+    """
+    pairs = dedup_near_minhash(spark, sf_dir).persist()
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    p2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    p3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        p1.join(p2, F.col("b") == F.col("b2"))
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        ends.distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    out = counts.crossJoin(wedges).crossJoin(tri)
+    clustering = F.when(
+        F.col("n_wedges") > 0,
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles", clustering.alias("global_clustering")
+    )
+
+
+@query(
+    "dedup_source_matrix",
+    oracle=f"""
+WITH pairs AS (
+{MINHASH_PAIRS_ORACLE}
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+""",
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup candidate pairs rolled
+    up by (source, source) — the report that tells a crawl pipeline
+    WHICH feeds duplicate each other (mirror sites, syndication) vs
+    duplicate internally (template spam), i.e. where dedup budget and
+    crawl dedup rules should go.
+
+    Sources are unordered within a pair (LEAST/GREATEST), so the
+    matrix is upper-triangular. Pairs join the doc→source lookup
+    twice; at 100 TB that lookup is a compact (doc_id, source)
+    projection — broadcast-or-shuffle per AQE — and the final rollup
+    is at most #sources² rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_near_minhash(spark, sf_dir)
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

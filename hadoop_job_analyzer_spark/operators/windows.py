@@ -1013,3 +1013,74 @@ def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(value AS DECIMAL(38,6))) AS sv,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT SUM(sv) AS t, COUNT(*) AS nd FROM daily
+), cs AS (
+  SELECT day, sv, n,
+         tot.nd * SUM(sv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+           - ROW_NUMBER() OVER (ORDER BY day) * tot.t AS num
+  FROM daily, tot
+)
+SELECT day,
+       CAST(sv AS DOUBLE) AS daily_total,
+       n AS n_events,
+       CAST(num AS DOUBLE) AS cusum_scaled,
+       CASE WHEN ROW_NUMBER() OVER (ORDER BY ABS(num) DESC, day ASC) = 1
+            THEN 1 ELSE 0 END AS is_changepoint
+FROM cs
+""",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint localization over the daily value
+    series; the day with max |S_d| is the classic CUSUM estimate of
+    where the level shifted — the companion to ts_anomaly_zscore
+    (which flags outlier cells but cannot place a regime change).
+
+    Determinism (learned the hard way — the naive form FAILED the
+    oracle): S_d = Σ(m_i − μ) needs two divisions whose results are
+    arbitrary doubles, and double→decimal(38,6) casts of arbitrary
+    doubles round differently across engines (Spark exact-BigDecimal
+    HALF_UP vs DuckDB's float-multiply path), so accumulated addends
+    drift in the 6th decimal. Multiplying through by N removes every
+    division: N·S_d = N·Σ_{i≤d} sv_i − d·T with sv (daily totals), T
+    (grand total) EXACT decimals and d, N integers — all-integer
+    decimal arithmetic, bit-identical in both engines, cast to double
+    only at the very end. The argmax compares the exact decimals.
+    The partition-less windows run over the DAILY grid —
+    calendar-span-bounded, see win_moving_avg's boundedness note.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(dec("value")).alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    tot = daily.agg(F.sum("sv").alias("t"), F.count(F.lit(1)).alias("nd"))
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_seq = Window.orderBy("day")
+    cs = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "sv",
+        "n",
+        (
+            F.col("nd") * F.sum("sv").over(w_cum)
+            - F.row_number().over(w_seq) * F.col("t")
+        ).alias("num"),
+    )
+    w_top = Window.orderBy(F.abs("num").desc(), F.col("day").asc())
+    return cs.select(
+        "day",
+        F.col("sv").cast("double").alias("daily_total"),
+        F.col("n").alias("n_events"),
+        F.col("num").cast("double").alias("cusum_scaled"),
+        F.when(F.row_number().over(w_top) == 1, 1).otherwise(0).alias("is_changepoint"),
+    )
