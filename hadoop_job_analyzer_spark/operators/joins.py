@@ -758,8 +758,10 @@ def join_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = pre.where(
         F.expr(" AND ".join(f"_hit{r} = 1" for r in range(_BLJ_K)))
     ).select(li.columns)
+    # the semi-join-reduced dim side broadcasts for the exact join —
+    # static stats under-estimate it behind the filter, so hint it
     joined = pre.join(
-        urgent.select("o_orderkey", "o_orderdate"),
+        F.broadcast(urgent.select("o_orderkey", "o_orderdate")),
         pre.l_orderkey == F.col("o_orderkey"),
     )
     return joined.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(

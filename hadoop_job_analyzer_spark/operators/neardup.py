@@ -1570,3 +1570,63 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "emb_ivf_build_stats",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}, residual AS (
+  SELECT s.cen_id, v.vec_id,
+         ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos_vc
+  FROM embeddings v
+  JOIN assign s ON s.vec_id = v.vec_id
+  JOIN cents c ON c.cen_id = s.cen_id
+)
+SELECT cen_id,
+       COUNT(*) AS bucket_size,
+       CAST(SUM(CAST(cos_vc AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_cos_to_centroid,
+       MIN(cos_vc) AS min_cos_to_centroid
+FROM residual
+GROUP BY cen_id
+""",
+)
+def emb_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build report: per-bucket size + cohesion (mean and
+    worst cosine of members to their centroid) — the health check run
+    after building a coarse quantizer and BEFORE trusting it for
+    routing (sim_ann_ivf) or bucketed dedup (dedup_embedding_bucketed):
+    a skewed bucket-size histogram predicts probe-latency skew, and a
+    low min-cosine flags vectors the codebook represents badly (recall
+    risk).
+
+    Reuses the shared assignment (broadcast centroids, one data-parallel
+    pass); the rollup shuffles #centroids × partials — metadata-sized
+    at any corpus scale. Mean cosine sums the 1e-6-snapped member
+    cosines as exact decimals, divided once.
+    """
+    from .llm import _dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("c_emb")
+    )
+    cos_vc = F.round(
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / F.sqrt(
+            _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("c_emb"), F.col("c_emb"))
+        ),
+        6,
+    )
+    member_cos = (
+        e.join(_ivf_assign(e), "vec_id")
+        .join(F.broadcast(cents), "cen_id")
+        .select("cen_id", cos_vc.alias("cos_vc"))
+    )
+    return member_cos.groupBy("cen_id").agg(
+        F.count(F.lit(1)).alias("bucket_size"),
+        (F.sum(F.col("cos_vc").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_cos_to_centroid"
+        ),
+        F.min("cos_vc").alias("min_cos_to_centroid"),
+    )

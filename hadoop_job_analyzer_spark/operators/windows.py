@@ -1084,3 +1084,54 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("num").cast("double").alias("cusum_scaled"),
         F.when(F.row_number().over(w_top) == 1, 1).otherwise(0).alias("is_changepoint"),
     )
+
+
+@query(
+    "win_gap_distribution",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_sec
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN gap_sec < 60 THEN '0_lt_1m'
+            WHEN gap_sec < 3600 THEN '1_lt_1h'
+            WHEN gap_sec < 86400 THEN '2_lt_1d'
+            ELSE '3_ge_1d' END AS gap_bucket,
+       COUNT(*) AS n_gaps,
+       MIN(gap_sec) AS min_gap_sec,
+       MAX(gap_sec) AS max_gap_sec
+FROM gaps
+WHERE gap_sec IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def win_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram per event type (log-bucketed: <1m,
+    <1h, <1d, ≥1d) — the arrival-process profile behind session-gap
+    and watermark tuning: the 30-min session threshold and the 2-hour
+    streaming watermark are both read straight off this table.
+
+    One per-user lag window (hash-partitioned by user — the same
+    single-shuffle shape as win_lag_lead) then a partial-agg'd rollup
+    into ≤ 4×#types cells. Gap seconds use the truncating cast both
+    engines agree on (§5.3).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")).alias("gap_sec")
+    gaps = ev.select("event_type", gap).where(F.col("gap_sec").isNotNull())
+    bucket = (
+        F.when(F.col("gap_sec") < 60, "0_lt_1m")
+        .when(F.col("gap_sec") < 3600, "1_lt_1h")
+        .when(F.col("gap_sec") < 86400, "2_lt_1d")
+        .otherwise("3_ge_1d")
+    )
+    return gaps.groupBy("event_type", bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_sec").alias("min_gap_sec"),
+        F.max("gap_sec").alias("max_gap_sec"),
+    )

@@ -227,3 +227,44 @@ def test_wordcount_ranks_after_takeordered(plan):
     # the window must sit ABOVE the TakeOrdered in the plan tree (i.e.
     # appear before it in the printed top-down plan string)
     assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
+def test_bloom_prejoin_probes_are_broadcast_and_codegen(plan):
+    """The bloom pre-filter must be k broadcast hash probes over the
+    fact scan (no shuffle before the filter, no Python, no cartesian),
+    followed by the exact join."""
+    p = plan("join_bloom_prejoin")
+    assert p.count("BroadcastHashJoin") >= 3  # k bit-set probes (+ final join may also broadcast)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "xxhash64" in p  # native hash, not md5, in the probe path
+    # the fact side reaches the probes straight from the scan: the only
+    # exchanges allowed are broadcast builds + the final aggregation
+    body = p.split("== Physical Plan ==")[-1]
+    import re
+
+    # allowed hash exchanges: the bit-set distinct + the final agg —
+    # the fact side itself must never hash-exchange before the filter.
+    # The persisted bit-set plan renders under each InMemoryRelation
+    # scan, so count UNIQUE exchange nodes (by plan_id), not mentions.
+    ids = set(re.findall(r"Exchange hashpartitioning\([^)]*\)[^[]*\[plan_id=(\d+)", body))
+    assert len(ids) <= 2, body
+
+
+def test_bucketed_embedding_dedup_has_no_global_pair_scan(plan):
+    """dedup_embedding_bucketed's whole point: no cartesian/nested-loop
+    pair join and no broadcast of the full embedding matrix — the pair
+    work happens inside the per-bucket Arrow kernel."""
+    p = plan("dedup_embedding_bucketed")
+    assert "CartesianProduct" not in p
+    # the only nested-loop allowed is the BOUNDED 16-row centroid
+    # broadcast inside _ivf_assign — never a vector x vector pair join
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "FlatMapGroupsInPandas" in p  # the per-bucket kernel
+
+
+def test_triangle_join_reuses_pairs(plan):
+    """The three edge roles must come from the persisted pair table
+    (InMemoryTableScan), not three replays of the LSH pipeline."""
+    p = plan("graph_triangle_count")
+    assert p.count("InMemoryTableScan") >= 3
