@@ -863,3 +863,51 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") <= F.col("k"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "decon_exact_doc",
+    oracle="""
+WITH bench AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE source = 'src0'
+), train AS (
+  SELECT lang, md5(text) AS h FROM documents WHERE source <> 'src0'
+)
+SELECT t.lang,
+       COUNT(*) AS n_train,
+       CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS contamination_rate
+FROM train t LEFT JOIN bench b ON b.h = t.h
+GROUP BY t.lang
+""",
+)
+def decon_exact_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash decontamination report: per language, how many train
+    docs (source ≠ src0) are byte-identical to a benchmark doc (src0),
+    by md5(text) match — the cheap first decon pass run before the
+    n-gram overlap scan (decon_ngram_overlap catches paraphrase/subset
+    leakage; this catches verbatim copies at hash-join cost).
+
+    The benchmark hash set is distinct-compact and BROADCAST; the train
+    side streams map-side past it (left join + conditional count) —
+    at 100 TB the fact side never shuffles for the membership test,
+    and the per-lang rollup is partial-agg'd. 32-byte identities,
+    never full text, cross the wire.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bench = (
+        d.where(F.col("source") == "src0")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = d.where(F.col("source") != "src0").select("lang", F.md5("text").alias("h"))
+    joined = train.join(F.broadcast(bench), "h", "left")
+    n_cont = F.sum(F.coalesce("_hit", F.lit(0)))
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont.cast("double") / F.count(F.lit(1)), 6).alias("contamination_rate"),
+    )

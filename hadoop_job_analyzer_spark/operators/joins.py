@@ -768,3 +768,67 @@ def join_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+_RB_N_WINDOWS = 20
+_RB_EPOCH0 = 1704067200  # 2024-01-01 00:00:00 UTC, the fixture's origin
+_RB_STRIDE_S = 118800  # 33 h between window starts
+_RB_LEN_S = 7200  # 2 h window length
+
+
+@query(
+    "join_range_bucketed",
+    oracle=f"""
+WITH wins AS (
+  SELECT k AS window_id,
+         make_timestamp(({_RB_EPOCH0} + k * {_RB_STRIDE_S}) * 1000000) AS w_start,
+         make_timestamp(({_RB_EPOCH0} + k * {_RB_STRIDE_S} + {_RB_LEN_S}) * 1000000) AS w_end
+  FROM (SELECT UNNEST(generate_series(0, {_RB_N_WINDOWS - 1})) AS k)
+)
+SELECT w.window_id, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+FROM wins w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+""",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (NO equi key): events against a grid of 2-hour
+    incident windows, executed as a BUCKET EQUI-JOIN — each interval
+    explodes into the hour buckets it covers, events map to their hour
+    bucket, the join runs on the bucket key, and the exact range
+    predicate filters the bucket-mates.
+
+    This is THE distributed strategy for interval joins Catalyst would
+    otherwise run as BroadcastNestedLoopJoin (fine for 20 windows,
+    fatal when both sides are large): bucketing turns an O(|L|·|R|)
+    nested loop into a hash-partitioned equi-join whose per-bucket
+    fan-out is bounded by interval length / bucket width (≤ 3 here).
+    join_theta_range covers the equi+range hybrid; this key covers the
+    no-shared-key case. All-integer bucket arithmetic; counts only —
+    no float policy needed.
+    """
+    wins = (
+        spark.range(_RB_N_WINDOWS)
+        .select(
+            F.col("id").cast("int").alias("window_id"),
+            (F.lit(_RB_EPOCH0) + F.col("id") * _RB_STRIDE_S).alias("s_epoch"),
+            (F.lit(_RB_EPOCH0) + F.col("id") * _RB_STRIDE_S + _RB_LEN_S).alias("e_epoch"),
+        )
+    )
+    w_buckets = wins.select(
+        "window_id",
+        "s_epoch",
+        "e_epoch",
+        F.explode(
+            F.sequence(F.expr("s_epoch div 3600"), F.expr("(e_epoch - 1) div 3600"))
+        ).alias("bucket"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ev_epoch")
+    ).withColumn("bucket", F.expr("ev_epoch div 3600"))
+    joined = ev.join(F.broadcast(w_buckets), "bucket").where(
+        (F.col("ev_epoch") >= F.col("s_epoch")) & (F.col("ev_epoch") < F.col("e_epoch"))
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

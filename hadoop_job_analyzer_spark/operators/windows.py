@@ -1135,3 +1135,71 @@ def win_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_sec").alias("min_gap_sec"),
         F.max("gap_sec").alias("max_gap_sec"),
     )
+
+
+@query(
+    "ts_autocorr_lag",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT UNNEST([1, 7]) AS lag
+), pairs AS (
+  SELECT l.lag, a.sv AS x, b.sv AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+)
+SELECT lag, COUNT(*) AS n_pairs,
+       ROUND(
+         (COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+         / SQRT((COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                   - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+              * (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
+                   - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))), 6)
+         AS autocorr
+FROM pairs GROUP BY lag
+""",
+)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily value series at lags 1 and 7 days —
+    the periodicity detector (daily persistence vs weekly seasonality)
+    that tells a capacity planner which seasonal baseline
+    (agg_dow_hour_heatmap's grid vs a flat EWMA) fits the traffic.
+
+    Float policy (the ts_changepoint_cusum lesson applied): every SUM
+    is an EXACT decimal — sv is decimal(18,6) so products are
+    decimal(37,12), within Spark's 38-digit exactness — and each total
+    converts to double ONCE (IEEE round-to-nearest of the same exact
+    rational on both engines), after which the Pearson closed form is
+    an identical double expression. No double→decimal cast of an
+    arbitrary division result anywhere. The lagged pairing is an
+    equi-join on the shifted day key — hash-partitioned, never a
+    window over the raw series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv")
+    )
+    lags = spark.range(2).select(
+        F.when(F.col("id") == 0, 1).otherwise(7).cast("int").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("sv").alias("x"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("sv").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_day") == F.expr("a_day + make_dt_interval(lag, 0, 0, 0)"))
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pairs.groupBy("lag").agg(
+        n.alias("n_pairs"), F.round(r, 6).alias("autocorr")
+    )
