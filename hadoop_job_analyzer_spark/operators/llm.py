@@ -161,8 +161,12 @@ def _minhash_sigs(shingles: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_pairs(minhash: DataFrame) -> DataFrame:
-    """Signature matrix → capped LSH band buckets → candidate pairs."""
+def _band_rows(minhash: DataFrame) -> DataFrame:
+    """Signature matrix → (doc_id, band, band_sig) rows (uncapped).
+
+    Shared by _lsh_pairs (self-join dedup) and quality.decon_near_minhash
+    (train-vs-benchmark cross join) — one definition of the band hashing
+    so the two pipelines can never drift."""
     band_sigs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -174,9 +178,14 @@ def _lsh_pairs(minhash: DataFrame) -> DataFrame:
         )
         for b in range(_N_HASHES // _BAND_ROWS)
     ]
-    bands = minhash.select("doc_id", F.explode(F.array(*band_sigs)).alias("bs")).select(
+    return minhash.select("doc_id", F.explode(F.array(*band_sigs)).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig")
     )
+
+
+def _lsh_pairs(minhash: DataFrame) -> DataFrame:
+    """Signature matrix → capped LSH band buckets → candidate pairs."""
+    bands = _band_rows(minhash)
     cap_w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
     # persist: both self-join legs replay the whole shingle+minhash
     # pipeline otherwise (no exchange reuse across the differently-

@@ -1,0 +1,692 @@
+"""Round-4 wave-3 operators: corpus/traffic profiling (SURVEY.md §2,
+rows spread across categories C/D/E/K2/K3 and marked "(r4w3)").
+
+Ten keys a 100 TB log-analytics + training-data pipeline reaches for
+once the core relational surface exists: data-quality audits (Benford
+first-digit, Apdex), behavioral profiles (per-user type entropy, type
+co-occurrence, session-length histogram, as-of attribution), seasonal
+structure (dow seasonal strength), embedding geometry (norm
+percentiles), and the two missing decon/funnel corpus stages.
+
+Registered LAST in ``registry._OP_MODULES`` so the driver's first-50
+correctness window (rotated in r4 onto the never-sampled surface, pinned
+by tests/test_registry.py) is untouched by this wave.
+
+Float policy (the ts_autocorr_lag discipline): any SUM whose operand
+order Spark and DuckDB could disagree on is accumulated in EXACT
+decimal (double terms cast to decimal first — double→decimal conversion
+is deterministic, decimal addition is order-invariant), converted to
+double ONCE, and only then divided/rounded. Ratios of large double sums
+are safe; bare large double sums are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .llm import _BUCKET_CAP, _band_rows, _dot, _minhash_sigs, _shingles
+from .windows import SESSIONIZE_ORACLE, win_sessionize
+
+# ------------------------------------------------------- data-quality D
+
+
+@query(
+    "agg_first_digit_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM lineitem
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS pct,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_pct,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER () - LOG10(1.0 + 1.0 / digit), 6) AS delta
+FROM counts
+""",
+)
+def agg_first_digit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of lineitem prices — the
+    classic synthetic-data / fraud detector: observed first-digit share
+    vs the Benford expectation log10(1+1/d), per digit.
+
+    Cross-engine digit extraction avoids float rendering entirely:
+    price → exact integer cents (ROUND then BIGINT — both engines
+    round-to-nearest a value that is integral up to float error) →
+    decimal string → first char. One partial-agg'd shuffle to 9 cells;
+    the share window runs over those 9 rows only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    counts = li.select(digit).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy())  # 9 rows — bounded
+    pct = F.col("n").cast("double") / tot
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n",
+        F.round(pct, 6).alias("pct"),
+        F.round(benford, 6).alias("benford_pct"),
+        F.round(pct - benford, 6).alias("delta"),
+    )
+
+
+@query(
+    "agg_user_type_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot,
+         SUM(CAST(n * LN(n) AS DECIMAL(28,10))) AS terms
+  FROM c GROUP BY user_id
+), ent AS (
+  SELECT tot, LN(tot) - CAST(terms AS DOUBLE) / tot AS entropy FROM per_user
+)
+SELECT CASE WHEN tot < 10 THEN '0_lt10'
+            WHEN tot < 30 THEN '1_lt30'
+            ELSE '2_ge30' END AS activity_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(entropy AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_entropy,
+       ROUND(MIN(entropy), 6) AS min_entropy,
+       ROUND(MAX(entropy), 6) AS max_entropy
+FROM ent GROUP BY 1
+""",
+)
+def agg_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix, rolled up by
+    activity tier — the behavioral-diversity profile (bots: high
+    volume + near-zero entropy; humans: mid volume + high entropy).
+
+    Entropy uses the shift form H = ln(N) − Σ n·ln(n) / N so the only
+    order-sensitive sum (Σ n·ln n over a user's ≤5 types) is
+    accumulated in exact decimal; the per-tier average likewise sums
+    per-user entropies as decimal before the single double division.
+    Two partial-agg'd shuffles (user×type, then user), then ≤3 cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    per_user = c.groupBy("user_id").agg(
+        F.sum("n").alias("tot"),
+        F.sum((F.col("n") * F.log(F.col("n"))).cast("decimal(28,10)")).alias("terms"),
+    )
+    ent = per_user.select(
+        "tot",
+        (F.log(F.col("tot")) - F.col("terms").cast("double") / F.col("tot")).alias("entropy"),
+    )
+    bucket = (
+        F.when(F.col("tot") < 10, "0_lt10")
+        .when(F.col("tot") < 30, "1_lt30")
+        .otherwise("2_ge30")
+    )
+    n_users = F.count(F.lit(1))
+    return ent.groupBy(bucket.alias("activity_bucket")).agg(
+        n_users.alias("n_users"),
+        F.round(
+            F.sum(F.col("entropy").cast("decimal(18,9)")).cast("double") / n_users, 6
+        ).alias("avg_entropy"),
+        F.round(F.min("entropy"), 6).alias("min_entropy"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
+    )
+
+
+@query(
+    "agg_apdex_score",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       CAST(SUM(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tolerating,
+       ROUND((SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END)
+              + 0.5 * SUM(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END))
+             / COUNT(*), 6) AS apdex
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex satisfaction score per event type (T=50, 4T=200 on the
+    value column as latency): (satisfied + tolerating/2) / total — the
+    single-number SLA rollup a job-latency dashboard leads with.
+
+    Pure conditional counting: map-side partials collapse to ≤#types
+    rows before the one shuffle; the score is one double expression
+    over exact integer counts (no order-sensitive float sum).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sat = F.sum(F.when(F.col("value") <= 50, 1).otherwise(0))
+    tol = F.sum(F.when((F.col("value") > 50) & (F.col("value") <= 200), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        sat.alias("n_satisfied"),
+        tol.alias("n_tolerating"),
+        F.round((sat + F.lit(0.5) * tol) / n, 6).alias("apdex"),
+    )
+
+
+# ------------------------------------------------------ time series / E
+
+
+@query(
+    "ts_seasonal_strength_dow",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sv
+  FROM events GROUP BY 1, 2
+), keyed AS (
+  SELECT event_type, sv,
+         (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dow
+  FROM daily
+), per_dow AS (
+  SELECT event_type, dow,
+         CAST(SUM(sv) AS DECIMAL(28,6)) AS s_d,
+         CAST(COUNT(*) AS BIGINT) AS n_d
+  FROM keyed GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type,
+         CAST(SUM(n_d) AS BIGINT) AS n_days,
+         CAST(SUM(s_d) AS DOUBLE) AS s_all,
+         CAST(SUM(CAST(CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) / n_d
+                       AS DECIMAL(28,6))) AS DOUBLE) AS ssb_part
+  FROM per_dow GROUP BY 1
+), ssq AS (
+  -- widen before squaring: DuckDB multiplies DECIMAL(18,6) in int64 and
+  -- overflows; DECIMAL(28,6)² runs in int128 (still exact, matching
+  -- Spark's exact decimal(37,12) product)
+  SELECT event_type,
+         CAST(SUM(CAST(sv AS DECIMAL(28,6)) * CAST(sv AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM keyed GROUP BY 1
+), peak AS (
+  SELECT event_type, CAST(dow AS INTEGER) AS dow_peak FROM per_dow
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY CAST(s_d AS DOUBLE) / n_d DESC, dow ASC) = 1
+)
+SELECT t.event_type, t.n_days, p.dow_peak,
+       ROUND(1.0 - (q.sxx - t.ssb_part)
+                   / (q.sxx - t.s_all * t.s_all / t.n_days), 6) AS seasonal_strength
+FROM per_type t
+JOIN ssq q USING (event_type)
+JOIN peak p USING (event_type)
+""",
+)
+def ts_seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal strength per event type: the one-way-ANOVA
+    variance ratio SSB/SST = 1 − SSR/SST of daily totals grouped by
+    dow, plus the peak weekday — quantifies how much of the traffic
+    variance the weekly cycle explains (the decision input between
+    agg_dow_hour_heatmap's seasonal baseline and a flat EWMA).
+
+    Exactness: daily totals are decimal; Σx² is exact decimal(38,12);
+    the between-group part Σ S_d²/n_d has 7 irrational terms per type,
+    each quantized to decimal(28,6) so the cross-dow sum is
+    order-invariant. The final expression is a ratio of like-magnitude
+    doubles — round(…,6)-stable. dow uses the heatmap's epoch-day
+    formulation ((epoch_day+4)%7, 0=Sunday), never locale-dependent
+    dayofweek. Shuffles: type×day partial agg, then ≤7×#types cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sv"))
+    keyed = daily.select(
+        "event_type",
+        "sv",
+        ((F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) + 4) % 7).alias("dow"),
+    )
+    per_dow = keyed.groupBy("event_type", "dow").agg(
+        F.sum("sv").cast("decimal(28,6)").alias("s_d"),
+        F.count(F.lit(1)).alias("n_d"),
+    )
+    per_type = per_dow.groupBy("event_type").agg(
+        F.sum("n_d").alias("n_days"),
+        F.sum("s_d").cast("double").alias("s_all"),
+        F.sum(
+            (F.col("s_d").cast("double") * F.col("s_d").cast("double") / F.col("n_d"))
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("ssb_part"),
+    )
+    ssq = keyed.groupBy("event_type").agg(
+        F.sum(F.col("sv") * F.col("sv")).cast("double").alias("sxx")
+    )
+    peak_w = Window.partitionBy("event_type").orderBy(
+        (F.col("s_d").cast("double") / F.col("n_d")).desc(), F.col("dow").asc()
+    )
+    peak = (
+        per_dow.withColumn("_rk", F.row_number().over(peak_w))
+        .where(F.col("_rk") == 1)
+        .select("event_type", F.col("dow").cast("int").alias("dow_peak"))
+    )
+    strength = F.lit(1.0) - (F.col("sxx") - F.col("ssb_part")) / (
+        F.col("sxx") - F.col("s_all") * F.col("s_all") / F.col("n_days")
+    )
+    return (
+        per_type.join(ssq, "event_type")
+        .join(peak, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "dow_peak",
+            F.round(strength, 6).alias("seasonal_strength"),
+        )
+    )
+
+
+@query(
+    "win_session_length_histogram",
+    oracle=f"""
+SELECT CASE WHEN n_events = 1 THEN '1'
+            WHEN n_events <= 4 THEN '2_4'
+            WHEN n_events <= 9 THEN '5_9'
+            ELSE '10_plus' END AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS pct_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events_total,
+       ROUND(CAST(SUM(duration_sec) AS DOUBLE) / COUNT(*), 6) AS avg_duration_sec,
+       CAST(MAX(duration_sec) AS BIGINT) AS max_duration_sec
+FROM ({SESSIONIZE_ORACLE}) AS sessions
+GROUP BY 1
+""",
+)
+def win_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length histogram (1 / 2-4 / 5-9 / 10+ events): count,
+    share, event mass, and duration stats per bucket — the
+    bounce-vs-engaged summary read off win_sessionize's output (same
+    session definition by construction: this key CALLS it and the
+    oracle wraps its oracle as a subquery).
+
+    Adds one partial-agg'd rollup to ≤4 cells on top of sessionize's
+    per-user windows; the share window runs over those 4 rows only.
+    Sums of counts/seconds are exact integers — no float-sum hazard.
+    """
+    sessions = win_sessionize(spark, sf_dir)
+    bucket = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 4, "2_4")
+        .when(F.col("n_events") <= 9, "5_9")
+        .otherwise("10_plus")
+    )
+    grouped = sessions.groupBy(bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events_total"),
+        F.sum("duration_sec").alias("_dur_sum"),
+        F.max("duration_sec").alias("max_duration_sec"),
+    )
+    tot = F.sum("n_sessions").over(Window.partitionBy())  # ≤4 rows
+    return grouped.select(
+        "len_bucket",
+        "n_sessions",
+        F.round(F.col("n_sessions").cast("double") / tot, 6).alias("pct_sessions"),
+        "n_events_total",
+        F.round(F.col("_dur_sum").cast("double") / F.col("n_sessions"), 6).alias(
+            "avg_duration_sec"
+        ),
+        "max_duration_sec",
+    )
+
+
+# ------------------------------------------------------------- joins C
+
+
+@query(
+    "join_attribution_asof",
+    oracle="""
+WITH ce AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+), attributed AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+  FROM ce
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CAST(COALESCE(CASE WHEN date_diff('second', click_ts, ts) <= 3600
+                          THEN click_id END, -1) AS BIGINT) AS attributed_click_id,
+       CAST(COALESCE(CASE WHEN date_diff('second', click_ts, ts) <= 3600
+                          THEN date_diff('second', click_ts, ts) END, -1) AS BIGINT)
+         AS gap_sec
+FROM attributed WHERE event_type = 'purchase'
+""",
+)
+def join_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined as-of to the most
+    recent click by the same user within a 1-hour window — the
+    marketing-attribution / cause-assignment primitive, expressed as a
+    per-user IGNORE NULLS last() window instead of a pair join (the
+    naive purchase×click range join fans out quadratically per user;
+    the window is one pass over user-partitioned, time-sorted rows).
+
+    The frame ends at 1 PRECEDING so a same-timestamp click (ordered
+    after by event_id) never attributes to itself-adjacent rows on one
+    engine but not the other. Unattributed purchases keep -1 sentinels
+    (nullable BIGINT columns flip to float64 in pandas on both engines
+    only when a null actually appears — the sentinel removes that
+    SF-dependent dtype hazard). Single shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ce = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ce.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    gap = F.col("ts").cast("long") - F.col("click_ts").cast("long")
+    in_window = F.col("click_ts").isNotNull() & (gap <= 3600)
+    return attributed.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.coalesce(F.when(in_window, F.col("click_id")), F.lit(-1))
+        .cast("long")
+        .alias("attributed_click_id"),
+        F.coalesce(F.when(in_window, gap), F.lit(-1)).cast("long").alias("gap_sec"),
+    )
+
+
+# ----------------------------------------------------- embeddings / K2
+
+
+@query(
+    "emb_norm_percentiles",
+    oracle="""
+WITH norms AS (
+  SELECT label,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+       ROUND(QUANTILE_CONT(nrm, 0.5), 6) AS p50_norm,
+       ROUND(QUANTILE_CONT(nrm, 0.9), 6) AS p90_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM norms GROUP BY label
+""",
+)
+def emb_norm_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution of the embedding column per label (count,
+    mean, exact p50/p90, min/max) — the first sanity check on any
+    embedding table: un-normalized vectors, dead labels, and scale
+    drift between shards all show up here before any ANN index is
+    built.
+
+    Norms are JVM-side double-accumulated dot products (same `_dot`
+    lambda as the cosine keys — no Python in the hot path); the mean
+    sums per-row norms in exact decimal. Exact percentiles sort within
+    ≤#labels groups — at 100 TB swap in approx_percentile's mergeable
+    KLL sketch (same caveat as agg_percentile_exact).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "label", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
+    )
+    n = F.count(F.lit(1))
+    return norms.groupBy("label").agg(
+        n.alias("n_vecs"),
+        F.round(F.sum(F.col("nrm").cast("decimal(18,9)")).cast("double") / n, 6).alias(
+            "avg_norm"
+        ),
+        F.round(F.percentile("nrm", F.lit(0.5)), 6).alias("p50_norm"),
+        F.round(F.percentile("nrm", F.lit(0.9)), 6).alias("p90_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+@query(
+    "graph_type_cooccurrence",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tc AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1
+), u AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       ROUND(CAST(p.n_both AS DOUBLE) * u.n_users / (ta.n_t * tb.n_t), 6) AS lift,
+       ROUND(CAST(p.n_both AS DOUBLE) / (ta.n_t + tb.n_t - p.n_both), 6) AS jaccard
+FROM pairs p
+JOIN tc ta ON ta.event_type = p.type_a
+JOIN tc tb ON tb.event_type = p.type_b
+CROSS JOIN u
+""",
+)
+def graph_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence graph: for every unordered type pair,
+    how many users exhibit both, with lift (observed / independence)
+    and Jaccard — the bipartite user×type projection behind
+    feature-affinity and next-action analyses.
+
+    The per-user self-join fans out ≤ C(#types,2) = 10 pairs per user
+    (distinct-typed rows first, so volume per user is ≤5 rows
+    regardless of raw event count); type totals and the user count are
+    tiny dimension aggregates broadcast onto the ≤10-row pair table.
+    The lift/jaccard expressions follow the oracle's exact operation
+    order so the doubles agree bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().persist()
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    n_users = ut.select("user_id").distinct().count()
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("_uid"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, (a.user_id == b._uid) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_ta"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_tb"))
+    out = (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.lit(n_users)
+                / (F.col("n_ta") * F.col("n_tb")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_ta") + F.col("n_tb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+# -------------------------------------------------- corpus stages / K3
+
+
+@query(
+    "corpus_filter_funnel",
+    oracle="""
+WITH keyed AS (
+  SELECT source, n_chars, lang,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+       CAST(SUM(CASE WHEN n_chars >= 200 AND lang IN ('en','zh','de')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(SUM(CASE WHEN n_chars >= 200 AND lang IN ('en','zh','de') AND rn = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       ROUND(CAST(SUM(CASE WHEN n_chars >= 200 AND lang IN ('en','zh','de') AND rn = 1
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS survival_rate
+FROM keyed
+GROUP BY source
+""",
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source attrition funnel through the standard corpus filters
+    — raw → length ≥ 200 chars → target language → exact-dup keeper —
+    with cumulative survivor counts and the final survival rate. The
+    per-stage loss report that tells a pipeline owner WHICH filter is
+    eating a source before corpus_pipeline_e2e commits the cut.
+
+    The keeper flag is a window over the 32-byte content hash (never
+    the text); all four stage counts are conditional aggregates in ONE
+    pass (map-side partials → ≤#sources cells) — the funnel costs one
+    shuffle, not four scans.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rn_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    keyed = d.select(
+        "source", "n_chars", "lang", F.row_number().over(rn_w).alias("rn")
+    )
+    len_ok = F.col("n_chars") >= 200
+    lang_ok = len_ok & F.col("lang").isin("en", "zh", "de")
+    final_ok = lang_ok & (F.col("rn") == 1)
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    n_raw = F.count(F.lit(1))
+    return keyed.groupBy("source").agg(
+        n_raw.alias("n_raw"),
+        cnt(len_ok).alias("n_len"),
+        cnt(lang_ok).alias("n_lang"),
+        cnt(final_ok).alias("n_final"),
+        F.round(cnt(final_ok).cast("double") / n_raw, 6).alias("survival_rate"),
+    )
+
+
+_DECON_MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS u(i)
+), seeds AS (
+  SELECT UNNEST(generate_series(0, 15)) AS seed
+), minhash AS (
+  SELECT doc_id, seed, MIN(md5(shingle || '#' || seed)) AS mh
+  FROM shingles CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+  FROM minhash
+  GROUP BY doc_id, seed // 2
+), bench_b AS (
+  SELECT b.doc_id, b.band, b.band_sig
+  FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+  WHERE d.source = 'src0'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.band, b.band_sig ORDER BY b.doc_id)
+          <= {_BUCKET_CAP}
+), train_b AS (
+  SELECT b.doc_id, b.band, b.band_sig
+  FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+  WHERE d.source <> 'src0'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.band, b.band_sig ORDER BY b.doc_id)
+          <= {_BUCKET_CAP}
+), flagged AS (
+  SELECT DISTINCT t.doc_id
+  FROM train_b t JOIN bench_b b ON t.band = b.band AND t.band_sig = b.band_sig
+), train AS (
+  SELECT doc_id, lang FROM documents WHERE source <> 'src0'
+)
+SELECT tr.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_flagged,
+       ROUND(CAST(COUNT(f.doc_id) AS DOUBLE) / COUNT(*), 6) AS flagged_rate
+FROM train tr LEFT JOIN flagged f ON f.doc_id = tr.doc_id
+GROUP BY tr.lang
+"""
+
+
+@query("decon_near_minhash", oracle=_DECON_MINHASH_ORACLE)
+def decon_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate decontamination: per language, how many train
+    docs (source ≠ src0) share any MinHash-LSH band signature with a
+    benchmark doc (src0) — completing the decon trilogy: decon_exact_doc
+    (verbatim, hash join) → THIS (near-dup, banded LSH) →
+    decon_ngram_overlap (paraphrase/subset, gram containment).
+
+    Reuses the exact shingle → 16-minhash → 8-band pipeline of
+    dedup_near_minhash (shared helpers — the definitions cannot
+    drift), computed ONCE over all docs and persisted, then split by
+    source: the flag join is train-bands ⋈ bench-bands on
+    (band, sig) with the 64-doc per-bucket cap applied per SIDE, so
+    the cross fan-out is ≤64×64 per bucket at any corpus size. Only
+    32-byte signatures cross the wire after the signature shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select("doc_id", "source", "lang")
+    bands = (
+        _band_rows(_minhash_sigs(_shingles(d)))
+        .join(ids.select("doc_id", "source"), "doc_id")
+        .persist()
+    )
+    cap_w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+
+    def _capped(side: DataFrame) -> DataFrame:
+        return (
+            side.withColumn("_rn", F.row_number().over(cap_w))
+            .where(F.col("_rn") <= _BUCKET_CAP)
+            .select("doc_id", "band", "band_sig")
+        )
+
+    bench_b = _capped(bands.where(F.col("source") == "src0"))
+    train_b = _capped(bands.where(F.col("source") != "src0"))
+    flagged = (
+        train_b.alias("t")
+        .join(
+            bench_b.alias("b"),
+            (F.col("t.band") == F.col("b.band"))
+            & (F.col("t.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("t.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = ids.where(F.col("source") != "src0").select("doc_id", "lang")
+    joined = train.join(flagged, "doc_id", "left")
+    n_flagged = F.sum(F.coalesce("_hit", F.lit(0)))
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        n_flagged.alias("n_flagged"),
+        F.round(n_flagged.cast("double") / F.count(F.lit(1)), 6).alias("flagged_rate"),
+    )

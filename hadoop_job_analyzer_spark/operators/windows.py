@@ -318,9 +318,9 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "win_sessionize",
-    oracle="""
+# Named so quality.win_session_length_histogram can wrap it as a CTE —
+# one definition of the 30-min session grouping across both keys.
+SESSIONIZE_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
@@ -341,8 +341,10 @@ SELECT user_id, session_idx,
        date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
 FROM numbered
 GROUP BY user_id, session_idx
-""",
-)
+"""
+
+
+@query("win_sessionize", oracle=SESSIONIZE_ORACLE)
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP log-analytics op — gaps-and-islands sessionization.
 

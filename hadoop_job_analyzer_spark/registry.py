@@ -54,6 +54,9 @@ _OP_MODULES = (
     "hadoop_job_analyzer_spark.operators.filters",
     "hadoop_job_analyzer_spark.operators.joins",
     "hadoop_job_analyzer_spark.operators.aggs",
+    # r4 wave 3 — registered last so the rotated first-50 window above
+    # is untouched (tests/test_registry.py pins the property).
+    "hadoop_job_analyzer_spark.operators.quality",
 )
 
 _loaded = False

@@ -268,3 +268,44 @@ def test_triangle_join_reuses_pairs(plan):
     (InMemoryTableScan), not three replays of the LSH pipeline."""
     p = plan("graph_triangle_count")
     assert p.count("InMemoryTableScan") >= 3
+
+
+def test_attribution_is_window_not_pair_join(plan):
+    """join_attribution_asof must stay a per-user window pass — never a
+    purchase x click range join (quadratic per user) — with the type
+    filter pushed to the scan."""
+    p = plan("join_attribution_asof")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "In(event_type" in p  # pushed IN-filter
+
+
+def test_benford_digit_agg_is_partial(plan):
+    p = plan("agg_first_digit_benford")
+    assert "partial_count" in p
+
+
+def test_decon_minhash_reuses_persisted_bands(plan):
+    """Both the bench and train side must read the persisted band table
+    (InMemoryTableScan), not replay the shingle+minhash pipeline."""
+    p = plan("decon_near_minhash")
+    assert p.count("InMemoryTableScan") >= 2
+
+
+def test_cooccurrence_dims_are_broadcast(plan):
+    p = plan("graph_type_cooccurrence")
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_filter_funnel_is_single_scan(plan):
+    """All four funnel stages are conditional aggs over ONE documents
+    scan — a second FileScan would mean a stage re-reads the table."""
+    p = plan("corpus_filter_funnel")
+    assert p.count("FileScan") == 1
+
+
+def test_emb_norms_stay_jvm_side(plan):
+    p = plan("emb_norm_percentiles")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
