@@ -74,6 +74,9 @@ HEADLINE = [
     "emb_pq_quantize",
     "dedup_containment",
     "text_repetition_score",
+    # r4 wave 3: LSH cross-decon + the seasonal-strength agg
+    "decon_near_minhash",
+    "ts_seasonal_strength_dow",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]

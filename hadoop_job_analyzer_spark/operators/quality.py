@@ -690,3 +690,215 @@ def decon_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_flagged.alias("n_flagged"),
         F.round(n_flagged.cast("double") / F.count(F.lit(1)), 6).alias("flagged_rate"),
     )
+
+
+# ------------------------------------------------ wave 4 (r4w4) keys
+
+# Wave-4 imports kept local to the section for reviewability.
+from ._common import distributed_rank, o_dsum, ulong, unscale  # noqa: E402
+
+
+@query(
+    "win_activity_rank_global",
+    oracle="""
+WITH ua AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1
+), r AS (
+  SELECT user_id, n_events,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC) AS rank_pos,
+         COUNT(*) OVER () AS n
+  FROM ua
+)
+SELECT user_id, n_events, CAST(rank_pos AS BIGINT) AS rank_pos,
+       ROUND(CAST(rank_pos - 1 AS DOUBLE) / (n - 1), 6) AS pct_rank
+FROM r
+""",
+)
+def win_activity_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL activity leaderboard: every user's total event count,
+    dense global rank, and percentile position — the whole-population
+    ranking (not top-k, not per-group) that naive SQL writes as one
+    partition-less ROW_NUMBER window over all users.
+
+    This key exists to exercise `distributed_rank` on a user-sized
+    (not vocab-sized) input: range-partition by (n_events DESC,
+    user_id), parallel local windows, broadcast prefix offsets — the
+    only single-partition step touches #partitions count rows. The
+    oracle IS the naive global window; hash equality proves the
+    distributed plan computes it exactly. Percentile = (rank−1)/(N−1)
+    with N joined in as a broadcast 1-row aggregate (no driver
+    collect in the plan).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ranked = distributed_rank(
+        ua, F.col("n_events").desc(), F.col("user_id").asc(), out_col="rank_pos"
+    )
+    n = ua.agg(F.count(F.lit(1)).alias("_n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "user_id",
+        "n_events",
+        "rank_pos",
+        F.round(
+            (F.col("rank_pos") - 1).cast("double") / (F.col("_n") - 1), 6
+        ).alias("pct_rank"),
+    )
+
+
+@query(
+    "ts_seasonal_naive_error",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sv
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.sv AS actual, b.sv AS pred
+  FROM hourly a
+  JOIN hourly b ON b.event_type = a.event_type
+               AND b.hr = a.hr - INTERVAL 168 HOUR
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(ABS(actual - pred)) AS DOUBLE) / COUNT(*), 6) AS mae,
+       ROUND(CAST(SUM(actual - pred) AS DOUBLE) / COUNT(*), 6) AS mean_bias
+FROM pairs GROUP BY event_type
+""",
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error: predict each hour's traffic value
+    by the same hour one week earlier, report MAE and mean bias per
+    event type — the baseline every real forecaster must beat, and the
+    quantitative companion to ts_seasonal_strength_dow (strong weekly
+    seasonality ⇔ low seasonal-naive MAE).
+
+    The lag-168h pairing is an equi-join on the shifted hour key
+    (hash-partitioned on (type, hour)) — never a 168-row window over
+    the raw series. Errors are decimal-exact end to end: actual/pred
+    are decimal(18,6) hourly sums, differences and |differences| stay
+    decimal (order-invariant sums), ONE double conversion per total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sv"))
+    a = hourly.select("event_type", "hr", F.col("sv").alias("actual"))
+    b = hourly.select(
+        F.col("event_type").alias("_et"), F.col("hr").alias("_hr"), F.col("sv").alias("pred")
+    )
+    pairs = a.join(
+        b,
+        (F.col("_et") == F.col("event_type"))
+        & (F.col("_hr") == F.col("hr") - F.expr("INTERVAL 168 HOURS")),
+    )
+    n = F.count(F.lit(1))
+    return pairs.groupBy("event_type").agg(
+        n.alias("n_pairs"),
+        F.round(F.sum(F.abs(F.col("actual") - F.col("pred"))).cast("double") / n, 6).alias(
+            "mae"
+        ),
+        F.round(F.sum(F.col("actual") - F.col("pred")).cast("double") / n, 6).alias(
+            "mean_bias"
+        ),
+    )
+
+
+@query(
+    "dedup_vector_exact",
+    oracle="""
+WITH sigs AS (
+  SELECT vec_id,
+         md5(array_to_string(
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)),
+           ',')) AS vec_sig
+  FROM embeddings
+)
+SELECT vec_sig,
+       CAST(MIN(vec_id) AS BIGINT) AS keeper_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM sigs
+GROUP BY vec_sig
+""",
+)
+def dedup_vector_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding dedup: vectors quantized to milli-units
+    (floor(x·1000 + 0.5) — the deterministic round-half-up both
+    engines share, no tie-rule dependence) → md5 of the integer CSV →
+    group by signature, keep the smallest vec_id. The re-embedded-
+    twice detector: byte-identical (post-quantization) vectors
+    collapse at hash-join cost, complementing dedup_embedding_bucketed
+    which catches NEAR-identical ones.
+
+    The shuffle carries 32-byte signatures + ids, never the float
+    arrays; quantize+hash is one JVM codegen pass (transform +
+    concat_ws + md5). Same shape as dedup_exact, applied to vectors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    sig = F.md5(F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))))
+    return (
+        e.select(F.col("vec_id"), sig.alias("vec_sig"))
+        .groupBy("vec_sig")
+        .agg(F.min("vec_id").alias("keeper_vec_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "join_snowflake_q5",
+    oracle=f"""
+SELECT n.n_name,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def join_snowflake_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table snowflake: local-supplier revenue per
+    nation for one region-year — the deepest join chain in the
+    inventory (fact ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region),
+    including Q5's signature non-hierarchical predicate
+    s_nationkey = c_nationkey.
+
+    Join strategy for 100 TB: the two fact-sized legs (lineitem⋈orders
+    on orderkey, +customer on custkey) shuffle on their keys;
+    supplier joins on suppkey (shuffle — supplier is 10 M rows at
+    SF1k, not broadcastable) with the nationkey equality as a
+    post-condition; nation and region are broadcast. Revenue uses the
+    two-level unscaled-long scheme: per-(nation, partition) codegen
+    long partials, decimal combine over the tiny partial set.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n_ = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n_), n_.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n_.n_regionkey)
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    partial = joined.groupBy("n_name", F.spark_partition_id().alias("_pid")).agg(
+        F.sum(ulong(disc_price)).alias("_rev")
+    )
+    return partial.groupBy("n_name").agg(
+        unscale(F.sum(F.col("_rev").cast("decimal(38,0)"))).alias("revenue")
+    )

@@ -72,6 +72,13 @@ QUERIES = [
     # window — curves must stay ~flat/linear or the rewrite lied
     "agg_gini_user_activity",
     "text_zipf_fit",
+    # r4 wave 3: LSH cross-decon (cap-bounded), window attribution,
+    # entropy/seasonal aggs, single-scan funnel
+    "decon_near_minhash",
+    "join_attribution_asof",
+    "agg_user_type_entropy",
+    "ts_seasonal_strength_dow",
+    "corpus_filter_funnel",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
@@ -119,13 +126,16 @@ def time_query(fn, spark, sf_dir: str) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
-    scales = [int(s) for s in ap.parse_args().scales.split(",")]
+    ap.add_argument("--queries", default="", help="comma-separated subset of QUERIES")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    basket = [q for q in QUERIES if not args.queries or q in args.queries.split(",")]
     spark = get_spark("hja-scale-stress")
     reg = queries()
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in basket}
     for k in scales:
         sf_dir = inflate(spark, k)
-        for q in QUERIES:
+        for q in basket:
             if k >= 16 and q in SKIP_AT_16:
                 continue
             results[q][k] = round(time_query(reg[q], spark, sf_dir), 3)

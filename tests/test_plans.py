@@ -309,3 +309,26 @@ def test_emb_norms_stay_jvm_side(plan):
     p = plan("emb_norm_percentiles")
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_activity_rank_uses_distributed_rank(plan):
+    """win_activity_rank_global's whole point: the population-wide rank
+    is range-partitioned + per-partition windows, never one global
+    window over all users."""
+    p = plan("win_activity_rank_global", "formatted")
+    assert "rangepartitioning" in p
+    assert "_pid" in p
+
+
+def test_snowflake_q5_broadcasts_only_the_small_dims(plan):
+    p = plan("join_snowflake_q5")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # nation + region broadcast; fact-side legs stay shuffled
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_vector_dedup_stays_jvm_side(plan):
+    p = plan("dedup_vector_exact")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
