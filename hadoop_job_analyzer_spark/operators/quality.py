@@ -902,3 +902,234 @@ def join_snowflake_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("n_name").agg(
         unscale(F.sum(F.col("_rev").cast("decimal(38,0)"))).alias("revenue")
     )
+
+
+# ------------------------------------------------ wave 5 (r4w5) keys
+
+from .corpus import _DECON_N, _grams  # noqa: E402
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', {', '.join(f't[i+{j}]' for j in range(5))}) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(CASE WHEN len(t) >= 5
+                   THEN generate_series(1, len(t)-4) ELSE [] END) AS u(i)
+), first_seen AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first_seen f ON f.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(p.n_novel) AS DOUBLE) / SUM(p.n_grams), 6) AS novelty_rate,
+       CAST(SUM(CASE WHEN p.n_novel = p.n_grams THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_novel_docs
+FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.lang
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per language: for each doc, the fraction of its
+    distinct 5-grams whose FIRST corpus occurrence (min doc_id) is this
+    doc — the repetition/memorization profile of a crawl (low novelty
+    ⇒ boilerplate-heavy source; the doc-order curve of this quantity
+    is the dedup-payoff estimate).
+
+    First-occurrence attribution is one groupBy(gram).min(doc_id) over
+    the distinct gram stream (reuses corpus._grams — spread before the
+    explode, distinct per doc), joined back on the gram key: two
+    hash-partitioned shuffles on grams, no windows, no pair joins. The
+    novelty ratio is exact-integer until one final double division.
+    At 100 TB the join key would be md5(gram) (32-byte bound), same
+    note as decon_ngram_overlap.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = _grams(d.select("doc_id", "text"), _DECON_N).persist()
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_novel").alias("n_novel"),
+            F.round(F.sum("n_novel").cast("double") / F.sum("n_grams"), 6).alias(
+                "novelty_rate"
+            ),
+            F.sum(F.when(F.col("n_novel") == F.col("n_grams"), 1).otherwise(0)).alias(
+                "n_fully_novel_docs"
+            ),
+        )
+    )
+
+
+@query(
+    "text_vocab_growth",
+    oracle="""
+WITH mx AS (
+  SELECT MAX(doc_id) AS m FROM documents
+), cp AS (
+  SELECT p, CAST((SELECT m FROM mx) * p // 10 AS BIGINT) AS cutoff
+  FROM (SELECT UNNEST(generate_series(1, 10)) AS p)
+), words AS (
+  SELECT word, MIN(doc_id) AS first_doc
+  FROM (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY word
+), vocab_curve AS (
+  SELECT c.p, CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM words w JOIN cp c ON w.first_doc <= c.cutoff
+  GROUP BY c.p
+), doc_curve AS (
+  SELECT c.p,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents d JOIN cp c ON d.doc_id <= c.cutoff
+  GROUP BY c.p
+)
+SELECT CAST(c.p AS INTEGER) AS decile, c.cutoff,
+       dc.n_docs, dc.n_tokens, vc.vocab_size
+FROM cp c
+JOIN doc_curve dc ON dc.p = c.p
+JOIN vocab_curve vc ON vc.p = c.p
+""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-word count vs corpus
+    size at ten doc-id checkpoints — the V(n) ≈ K·n^β curve that sizes
+    tokenizer vocabularies and predicts how much NEW vocabulary the
+    next crawl increment brings (flattening curve ⇒ diminishing data).
+
+    Cumulative-distinct made distributed: a word's first occurrence is
+    one groupBy(word).min(doc_id); "vocab at checkpoint c" is then a
+    count of first_doc ≤ c — no running distinct-state anywhere. The
+    10-row checkpoint table derives from MAX(doc_id) as a broadcast
+    1-row aggregate (integer-exact thresholds, no driver collect);
+    both curve branches are conditional-join + partial agg. Fan-out is
+    vocab×10 / docs×10 rows — linear, shuffle-friendly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    cp = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(F.broadcast(mx))
+        .select("p", F.expr("m * p div 10").cast("long").alias("cutoff"))
+    )
+    words = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab_curve = (
+        words.join(F.broadcast(cp), F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    doc_curve = (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+        .join(F.broadcast(cp), F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        cp.select(F.col("p").alias("decile"), "cutoff")
+        .join(doc_curve.withColumnRenamed("p", "decile"), "decile")
+        .join(vocab_curve.withColumnRenamed("p", "decile"), "decile")
+    )
+
+
+@query(
+    "agg_hourly_latency_bands",
+    oracle="""
+SELECT event_type,
+       CAST(date_part('hour', ts) AS INTEGER) AS hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50_value,
+       ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_hourly_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 latency bands per event type × hour-of-day — the
+    percentile version of agg_dow_hour_heatmap (count heatmaps hide
+    tail shifts; this is where an SLA regression actually shows).
+
+    ≤ 24×#types bounded groups, so exact per-group percentile sort is
+    safe at any scale factor; a 100 TB deployment with finer cells
+    swaps in approx_percentile (mergeable sketch) — same caveat as
+    agg_percentile_exact. Hour-of-day comes from the session-pinned
+    UTC clock on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+    )
+
+
+@query(
+    "fn_datetime_format",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+       strftime(o_orderdate, '%Y%m%d') AS compact_date,
+       strftime(o_orderdate, '%H:%M:%S') AS time_of_day,
+       strftime(o_orderdate, '%j') AS day_of_year,
+       CAST(FLOOR(date_part('epoch', o_orderdate)) AS BIGINT) AS epoch_sec,
+       CAST(date_part('quarter', o_orderdate) AS INTEGER) AS quarter
+FROM orders
+""",
+)
+def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime rendering family: ISO / compact / time-of-day /
+    day-of-year strftime patterns plus epoch seconds and quarter — the
+    partition-path and report-label formatting layer (e.g.
+    dt=yyyyMMdd sink layouts).
+
+    Pattern discipline: NUMERIC-only format codes (locale-dependent
+    month/day NAMES differ across engines and deployments and are
+    banned); day-of-year is zero-padded 3-wide on both sides (Spark
+    'DDD' == strftime '%j'). Epoch floors before the cast (§5.3). Pure
+    per-row projection — codegen, no shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("compact_date"),
+        F.date_format("o_orderdate", "HH:mm:ss").alias("time_of_day"),
+        F.date_format("o_orderdate", "DDD").alias("day_of_year"),
+        # o_orderdate loads as TIMESTAMP_NTZ — hop through the session-UTC
+        # timestamp so the epoch cast is legal and wall-clock == UTC epoch
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_sec"),
+        F.quarter("o_orderdate").alias("quarter"),
+    )

@@ -332,3 +332,22 @@ def test_vector_dedup_stays_jvm_side(plan):
     p = plan("dedup_vector_exact")
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_novelty_reuses_persisted_grams(plan):
+    """text_ngram_novelty computes the gram stream ONCE: both the
+    first-seen agg and the join-back read the persisted grams."""
+    p = plan("text_ngram_novelty")
+    assert p.count("InMemoryTableScan") >= 2
+
+
+def test_vocab_growth_checkpoints_are_broadcast(plan):
+    """The <=10-row checkpoint table joins via broadcast (the non-equi
+    first_doc<=cutoff condition makes it nested-loop, which is fine at
+    10 rows — the cp derivation repeats per branch, each instance a
+    1-row or 10-row build side); never a cartesian over data-sized
+    inputs, and the data-sized joins on decile stay hash joins."""
+    p = plan("text_vocab_growth")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 6
+    assert p.count("BroadcastHashJoin") >= 2
