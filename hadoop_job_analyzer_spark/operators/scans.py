@@ -384,3 +384,43 @@ def scan_text_log_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex(r"reduces=(\d+)", "int").alias("reduce_tasks"),
         ex(r"dur_ms=(\d+)", "bigint").alias("duration_ms"),
     )
+
+
+@query(
+    "sink_jsonl_roundtrip",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM documents
+GROUP BY lang
+""",
+)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + re-scan: documents written as JSONL (the
+    interchange format every crawl/annotation pipeline emits), read
+    back with an EXPLICIT schema, and aggregated — the result must
+    hash-match the oracle over the ORIGINAL parquet table, proving the
+    text column survives JSON escaping/unescaping byte-exactly
+    (n_distinct_texts counts md5 of the round-tripped text).
+
+    Explicit read schema, not inference: schema inference is an extra
+    full pass over the data and can widen types under drift — at
+    100 TB the DDL contract is the only sane option (same rule as
+    scan_jsonl). Write is repartition(4)-sized; the aggregate reads
+    back map-side partial-agg'd.
+    """
+    out = os.path.join(_ARTIFACTS, "jsonl_roundtrip")
+    d = load_table(spark, sf_dir, "documents")
+    d.repartition(4).write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id bigint, text string, lang string, source string, n_chars bigint").json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -443,3 +443,69 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit("__ALL__").alias("scope"), "est_users")
     return typed.unionByName(merged)
+
+
+_AMS_K = 16  # independent ±1 sketches averaged
+_AMS_EVEN = ("0", "2", "4", "6", "8", "a", "c", "e")  # hex chars → sign +1
+
+
+@query(
+    "sketch_ams_selfjoin_size",
+    oracle=f"""
+WITH f AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS fu FROM events GROUP BY user_id
+), signs AS (
+  SELECT user_id, fu,
+         {', '.join(
+           "CASE WHEN substr(md5(user_id || '#%d'), 1, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS s%d" % (k, k)
+           for k in range(16))}
+  FROM f
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(fu * fu) AS BIGINT) AS exact_f2,
+         {', '.join(f"CAST(SUM(fu * s{k}) AS BIGINT) AS t{k}" for k in range(16))}
+  FROM signs
+)
+SELECT n_users, exact_f2,
+       ROUND(({' + '.join(f't{k}*t{k}' for k in range(16))}) / 16.0, 6) AS est_f2,
+       ROUND(ABS(({' + '.join(f't{k}*t{k}' for k in range(16))}) / 16.0 - exact_f2)
+             / exact_f2, 6) AS rel_error
+FROM sums
+""",
+)
+def sketch_ams_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F₂ sketch: estimate Σf_u² — the
+    SELF-JOIN SIZE of the event stream on user_id — from 16 independent
+    ±1-sign sums, next to the exact value and the realized relative
+    error. F₂ is what a distributed planner wants before any self-join
+    or skew decision: it IS the join fan-out a key distribution will
+    produce (the quantity the dedup df-caps bound by construction).
+
+    Cross-engine determinism end to end: signs come from md5 hex-char
+    membership in an explicit even set (no hex→int conversion), every
+    sketch sum Σ f_u·s_k is an exact BIGINT (order-invariant), squares
+    and the /16 average stay integer-exact until one final double
+    division pair. Sketch state is 16 longs — mergeable by addition,
+    constant-size at any scale (the streaming/partial-agg shape); one
+    user-count shuffle is the only data-sized exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("fu"))
+    sign = lambda k: F.when(  # noqa: E731
+        F.substring(F.md5(F.concat_ws("", F.col("user_id").cast("string"), F.lit(f"#{k}"))), 1, 1)
+        .isin(*_AMS_EVEN),
+        1,
+    ).otherwise(-1)
+    sums = f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("fu") * F.col("fu")).alias("exact_f2"),
+        *[F.sum(F.col("fu") * sign(k)).alias(f"t{k}") for k in range(_AMS_K)],
+    )
+    sq = sum((F.col(f"t{k}") * F.col(f"t{k}") for k in range(1, _AMS_K)), F.col("t0") * F.col("t0"))
+    est = sq / 16.0
+    return sums.select(
+        "n_users",
+        "exact_f2",
+        F.round(est, 6).alias("est_f2"),
+        F.round(F.abs(est - F.col("exact_f2")) / F.col("exact_f2"), 6).alias("rel_error"),
+    )

@@ -637,3 +637,51 @@ def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+@query(
+    "stream_windowed_apdex",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       ROUND((SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END)
+              + 0.5 * SUM(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END))
+             / COUNT(*), 6) AS apdex
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_windowed_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLA dashboard: per-hour per-type Apdex (T=50/4T=200,
+    same contract as the batch agg_apdex_score) over 1-hour tumbling
+    windows with a 2-hour watermark — the batch metric made continuous,
+    and the proof the Apdex expression is a pure partial-aggregable
+    reduction (conditional counts merge; the score derives at emit).
+
+    availableNow drains the whole backlog, so complete-mode output
+    equals the batch date_trunc aggregation the oracle states — this
+    key is hash-matched, not rows-only, like the other r4 streaming
+    upgrades.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    sat = F.sum(F.when(F.col("value") <= 50, 1).otherwise(0))
+    tol = F.sum(F.when((F.col("value") > 50) & (F.col("value") <= 200), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            n.alias("n"),
+            sat.alias("n_satisfied"),
+            F.round((sat + F.lit(0.5) * tol) / n, 6).alias("apdex"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "n_satisfied",
+            "apdex",
+        )
+    )
+    return run_to_memory(spark, agg, "stream_windowed_apdex", "complete")

@@ -79,6 +79,10 @@ QUERIES = [
     "agg_user_type_entropy",
     "ts_seasonal_strength_dow",
     "corpus_filter_funnel",
+    "text_ngram_novelty",
+    "text_vocab_growth",
+    "win_activity_rank_global",
+    "join_snowflake_q5",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
