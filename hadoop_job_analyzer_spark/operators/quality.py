@@ -1133,3 +1133,125 @@ def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_sec"),
         F.quarter("o_orderdate").alias("quarter"),
     )
+
+
+# ------------------------------------------------ wave 7 (r4w7) keys
+
+
+@query(
+    "ts_dau_wau",
+    oracle="""
+WITH user_day AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM user_day
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM user_day GROUP BY day
+), reach AS (
+  SELECT DISTINCT ud.user_id, ud.day + k * INTERVAL 1 DAY AS day
+  FROM user_day ud CROSS JOIN range(7) t(k)
+), wau AS (
+  SELECT r.day, CAST(COUNT(*) AS BIGINT) AS wau
+  FROM reach r JOIN days d ON d.day = r.day
+  GROUP BY r.day
+)
+SELECT d.day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+""",
+)
+def ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    engagement trio on every product dashboard, and the canonical
+    rolling-DISTINCT problem: WAU is a windowed COUNT DISTINCT, which
+    no partial aggregate can maintain directly.
+
+    The scale-out trick: a user active on day d contributes to WAU of
+    days d..d+6, so project each (user, day) forward ×7, re-distinct,
+    and count — rolling distinct becomes plain distinct + count with a
+    bounded (×window-width) fan-out, all hash-partitioned. At 100 TB
+    with wider windows (MAU ×30) you'd swap the re-distinct for
+    per-day HLL/bitmap sketches (sketch_hll_mergeable's shape); the
+    exact formulation here is the oracle-checkable baseline of that.
+    Projected days beyond the observed range are dropped by the
+    semi-join against the real day set.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_day = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct().persist()
+    days = user_day.select("day").distinct()
+    dau = user_day.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    k = spark.range(7).select(F.col("id").cast("int").alias("k"))
+    reach = (
+        user_day.crossJoin(F.broadcast(k))
+        .select("user_id", F.expr("day + make_dt_interval(k, 0, 0, 0)").alias("day"))
+        .distinct()
+    )
+    wau = (
+        reach.join(days, "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+_N_SHARDS = 64
+
+
+@query(
+    "corpus_shard_balance",
+    oracle=f"""
+WITH sharded AS (
+  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_N_SHARDS}
+           AS shard,
+         n_chars
+  FROM documents
+), per_shard AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM sharded GROUP BY shard
+)
+SELECT CAST(shard AS INTEGER) AS shard, n_docs, n_chars,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / (SUM(n_docs) OVER () / CAST({_N_SHARDS} AS DOUBLE)), 6) AS load_factor
+FROM per_shard
+""",
+)
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment (md5(doc_id) mod 64) with per-
+    shard doc/char mass and load factor vs the uniform ideal — the
+    output-layout planning step before any 100 TB corpus write:
+    hash-sharding is how the final dataset lands in object storage,
+    and this report is the skew check that sizes the writers.
+
+    Hash is the cross-engine md5-prefix→int64 path (the
+    dedup_ngram_jaccard idiom) — NEVER Spark's hash()/DuckDB's hash(),
+    which are engine-specific. One partial-agg'd shuffle to 64 cells;
+    the load-factor window runs over those 64 rows only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % _N_SHARDS
+    )
+    per_shard = d.select(shard.cast("int").alias("shard"), "n_chars").groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    ideal = F.sum("n_docs").over(Window.partitionBy()) / F.lit(float(_N_SHARDS))
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs").cast("double") / ideal, 6).alias("load_factor"),
+    )

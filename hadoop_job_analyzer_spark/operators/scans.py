@@ -424,3 +424,39 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "scan_partition_pruned_read",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def scan_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: events re-laid-out partitioned by
+    event_type, then read back with an event_type predicate — the scan
+    must touch ONLY the matching partition directory (a plan guard
+    asserts the PartitionFilters entry), and the hourly rollup over
+    the pruned read hash-matches the oracle over the original
+    unpartitioned table.
+
+    This is the single biggest lever on a 100 TB fact table: a
+    partition-aligned predicate turns a full-table scan into a
+    directory listing + 1/N of the bytes, before any row filter runs.
+    The write side demonstrates the layout job (partitionBy on the
+    dominant filter column); at scale you bound files-per-partition
+    with repartition(partition_cols) ahead of the write.
+    """
+    out = os.path.join(_ARTIFACTS, "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition("event_type").write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    return back.groupBy(F.date_trunc("hour", "ts").alias("ts_hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -351,3 +351,19 @@ def test_vocab_growth_checkpoints_are_broadcast(plan):
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 6
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_partition_pruned_read_has_partition_filter(plan):
+    """scan_partition_pruned_read's point: the event_type predicate is a
+    PARTITION filter on the re-laid-out table (directory pruning), not a
+    row filter after a full scan."""
+    p = plan("scan_partition_pruned_read")
+    assert "PartitionFilters: [" in p
+    assert "event_type" in p.split("PartitionFilters:")[1][:200]
+
+
+def test_dau_wau_offsets_are_broadcast(plan):
+    p = plan("ts_dau_wau")
+    assert "CartesianProduct" not in p
+    # the 7-row offset table joins via broadcast nested loop (bounded)
+    assert p.count("BroadcastNestedLoopJoin") <= 1
