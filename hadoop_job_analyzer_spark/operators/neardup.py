@@ -1630,3 +1630,145 @@ def emb_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("cos_vc").alias("min_cos_to_centroid"),
     )
+
+
+@query(
+    "sim_knn_join_bucketed",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}, probe2 AS (
+  SELECT vec_id, cen_id FROM (
+    SELECT v.vec_id, c.cen_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.cen_id ASC) AS rk
+    FROM embeddings v, cents c
+    WHERE v.label = 0
+  ) WHERE rk <= {_IVF_NPROBE}
+)
+SELECT anchor_id, neighbor_id, cosine, nn_rank FROM (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+         ROUND({_O_COS_PAIR}, 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND({_O_COS_PAIR}, 6) DESC, b.vec_id ASC) AS nn_rank
+  FROM embeddings a
+  JOIN probe2 pa ON pa.vec_id = a.vec_id
+  JOIN assign sb ON sb.cen_id = pa.cen_id
+  JOIN embeddings b ON b.vec_id = sb.vec_id AND b.vec_id <> a.vec_id
+  WHERE a.label = 0
+) WHERE nn_rank <= 3
+""",
+)
+def sim_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed MULTI-PROBE 3-NN join — the scale-correct shape of
+    sim_knn_join, closing the last quadratic-only similarity op: each
+    label=0 anchor searches the nprobe=2 buckets nearest to it, so
+    pair work is Σ anchors×|probed buckets| instead of n·|anchors|
+    globally, and nothing broadcasts the full matrix.
+
+    Same composition as dedup_embedding_bucketed (broadcast-centroid
+    assignment → hash-partition by bucket → exact Arrow-vectorized
+    kernel per bucket via applyInPandas) with the standard multi-probe
+    recall fix: anchors replicate to their 2 nearest buckets (a ×2
+    bounded fan-out of the SMALL side only), each bucket emits its
+    local per-anchor top-3, and a final window over ≤ nprobe·3 rows
+    per anchor merges — the merge input is bounded by the probe count,
+    never by data volume. A candidate lives in exactly one bucket, so
+    no (anchor, neighbor) pair duplicates across probes. Cosines
+    accumulate dim-sequentially in float64 — bit-identical to the
+    brute key and the oracle on shared pairs; recall@3 vs brute force
+    is pinned in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .llm import _dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("c_emb")
+    )
+    cos_vc = F.round(
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / F.sqrt(
+            _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("c_emb"), F.col("c_emb"))
+        ),
+        6,
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(F.col("cos_vc").desc(), F.col("cen_id").asc())
+    probe2 = (
+        spread(e.where(F.col("label") == 0), "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cen_id", cos_vc.alias("cos_vc"))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .where(F.col("rk") <= _IVF_NPROBE)
+        .select("vec_id", "cen_id")
+    )
+    cand = (
+        e.join(_ivf_assign(e), "vec_id")
+        .select("cen_id", "vec_id", "embedding", F.lit(False).alias("is_anchor"))
+    )
+    anch = (
+        e.where(F.col("label") == 0)
+        .join(probe2, "vec_id")
+        .select("cen_id", "vec_id", "embedding", F.lit(True).alias("is_anchor"))
+    )
+    bucketed = cand.unionByName(anch)
+
+    empty = pd.DataFrame(
+        {"anchor_id": [], "neighbor_id": [], "cosine": []}
+    ).astype({"anchor_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+
+    def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_pdf = pdf[pdf["is_anchor"]]
+        c_pdf = pdf[~pdf["is_anchor"]]
+        if len(a_pdf) == 0 or len(c_pdf) == 0:
+            return empty
+        c_ids = c_pdf["vec_id"].to_numpy()
+        a_ids = a_pdf["vec_id"].to_numpy()
+        M = np.vstack(c_pdf["embedding"].to_numpy()).astype(np.float64)
+        A = np.vstack(a_pdf["embedding"].to_numpy()).astype(np.float64)
+        dim = M.shape[1]
+        c_norm2 = M[:, 0] * M[:, 0]
+        a_norm2 = A[:, 0] * A[:, 0]
+        for i in range(1, dim):
+            c_norm2 = c_norm2 + M[:, i] * M[:, i]
+            a_norm2 = a_norm2 + A[:, i] * A[:, i]
+        dots = A[:, 0][:, None] * M[:, 0][None, :]
+        for i in range(1, dim):
+            dots = dots + A[:, i][:, None] * M[:, i][None, :]
+        cos = dots / np.sqrt(a_norm2[:, None] * c_norm2[None, :])
+        cos_r = np.round(cos, 6)
+        rows = []
+        for ai in range(len(a_ids)):
+            order = np.lexsort((c_ids, -cos_r[ai]))
+            rank = 0
+            for j in order:
+                if c_ids[j] == a_ids[ai]:
+                    continue
+                rank += 1
+                rows.append((a_ids[ai], c_ids[j], cos[ai, j]))
+                if rank == 3:
+                    break
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["anchor_id", "neighbor_id", "cosine"]).astype(
+            {"anchor_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        )
+
+    local = bucketed.groupBy("cen_id").applyInPandas(
+        bucket_knn, schema="anchor_id bigint, neighbor_id bigint, cosine double"
+    )
+    # Final merge: <= nprobe*3 rows per anchor — bounded by probe count.
+    w_final = Window.partitionBy("anchor_id").orderBy(
+        F.round("cosine", 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("nn_rank", F.row_number().over(w_final))
+        .where(F.col("nn_rank") <= 3)
+        .select(
+            "anchor_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "nn_rank"
+        )
+    )

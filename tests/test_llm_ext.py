@@ -164,3 +164,28 @@ def test_emb_pca_matches_numpy(spark, sf_dir):
     cos = abs(float(v @ top)) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.999, cos
     assert abs(rows[0].explained_share - w[-1] / w.sum()) < 1e-3
+
+
+def test_bucketed_knn_join_recall_and_exactness(spark, sf_dir):
+    """sim_knn_join_bucketed: (a) every (anchor, neighbor) edge it emits
+    must carry the SAME cosine the brute-force key computes for that
+    pair when present there (per-bucket kernel == global kernel), and
+    (b) recall@3 vs the brute-force neighbor sets must be substantial
+    (cross-bucket neighbors are the documented tradeoff)."""
+    brute = {}
+    for r in queries()["sim_knn_join"](spark, sf_dir).collect():
+        brute.setdefault(r.anchor_id, {})[r.neighbor_id] = r.cosine
+    bucketed = {}
+    for r in queries()["sim_knn_join_bucketed"](spark, sf_dir).collect():
+        assert 1 <= r.nn_rank <= 3
+        bucketed.setdefault(r.anchor_id, {})[r.neighbor_id] = r.cosine
+    assert bucketed, "bucketed kNN produced no edges"
+    hits = total = 0
+    for a, nbrs in bucketed.items():
+        assert a in brute, f"anchor {a} unknown to the brute-force key"
+        for nb, cos in nbrs.items():
+            if nb in brute[a]:
+                assert cos == brute[a][nb], (a, nb, cos, brute[a][nb])
+                hits += 1
+        total += len(brute[a])
+    assert total and hits / total >= 0.2, f"recall@3 {hits}/{total}"
