@@ -627,3 +627,44 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice"))), 6).alias("angle_deg"),
         F.round(F.radians(F.col("p_size").cast("double")), 6).alias("size_rad"),
     )
+
+
+@query(
+    "fn_base64_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(length(to_base64(encode(text))) AS BIGINT) AS b64_len,
+       md5(to_base64(encode(text))) AS b64_md5,
+       CAST(CASE WHEN decode(from_base64(to_base64(encode(text)))) = text
+                 THEN 1 ELSE 0 END AS INTEGER) AS roundtrip_ok,
+       CAST(octet_length(from_hex(md5(text))) AS INTEGER) AS md5_bytes_len
+FROM documents
+""",
+)
+def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding family: base64 encode → decode → byte-exact
+    round trip of the text column, plus hex decode of the md5 digest —
+    the wire-format layer (payload columns in JSON/Avro envelopes,
+    digest storage) exercised end to end.
+
+    Cross-engine: Spark's base64() emits MIME-CHUNKED output (CRLF
+    every 76 chars) while DuckDB's to_base64() is unchunked RFC 4648 —
+    the newline strip normalizes Spark to the canonical form, after
+    which the encoded STRING (hashed here) matches byte-for-byte, not
+    just the decoded result; the round-trip flag re-decodes and
+    compares against the original.
+    Pure per-row codegen projection — no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # Spark's base64() is MIME-chunked (CRLF every 76 chars, a JVM
+    # Base64.getMimeEncoder artifact); DuckDB's to_base64 is unchunked
+    # RFC 4648. Strip the breaks so the encoded STRING matches too.
+    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\r\n]", "")
+    back = F.unbase64(b64).cast("string")
+    return d.select(
+        "doc_id",
+        F.length(b64).cast("long").alias("b64_len"),
+        F.md5(b64).alias("b64_md5"),
+        F.when(back == F.col("text"), 1).otherwise(0).cast("int").alias("roundtrip_ok"),
+        F.length(F.unhex(F.md5("text"))).cast("int").alias("md5_bytes_len"),
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._common import distributed_rank
+from ._common import distributed_rank, dsum, o_dsum
 
 
 @query(
@@ -95,4 +95,42 @@ def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type")
         .distinct()
         .withColumn("pos", F.row_number().over(Window.orderBy("event_type")))
+    )
+
+
+@query(
+    "sort_pagination_page2",
+    oracle=f"""
+SELECT c_custkey, {o_dsum('o_totalprice')} AS total_spend
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10 OFFSET 10
+""",
+)
+def sort_pagination_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyset-style pagination: PAGE 2 (rows 11-20) of
+    the customer spend leaderboard via ORDER BY + OFFSET/LIMIT — the
+    result-serving verb every API layer needs, with the two rules that
+    make pages stable under re-execution: a TOTAL order (exact-decimal
+    spend DESC, then unique custkey) and exact sums (a float sum could
+    reorder equal-spend customers between pages on different runs).
+
+    Spark executes offset+limit as a TakeOrdered of the first
+    offset+limit rows (per-partition top-(o+l) + driver merge of
+    #partitions × 20 rows) — fine for bounded page depth; deep
+    pagination at 100 TB switches to keyset continuation (WHERE
+    (spend, key) < last_seen), which this total order makes possible.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(dsum("o_totalprice").alias("total_spend"))
+    )
+    return (
+        spend.orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .offset(10)
+        .limit(10)
     )
