@@ -797,3 +797,36 @@ def agg_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_distinct_lengths,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents
+GROUP BY source
+""",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE distinct-counts over DIFFERENT columns in one aggregation
+    (+ a plain count) — the cardinality dashboard per source, and the
+    query shape that exercises Catalyst's Expand-based multi-distinct
+    rewrite: each input row fans out once per distinct column with a
+    grouping id, so all three distinct sets deduplicate inside ONE
+    shuffle instead of three self-joined scans (a plan guard pins the
+    Expand node). At 100 TB the ×3 expand trades shuffle volume for
+    single-scan semantics — the alternative (three separate jobs)
+    re-reads the fact table; the sketch alternative is
+    sketch_hll_mergeable's shape when estimates suffice.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("n_chars").alias("n_distinct_lengths"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )

@@ -710,7 +710,8 @@ WITH ua AS (
   FROM ua
 )
 SELECT user_id, n_events, CAST(rank_pos AS BIGINT) AS rank_pos,
-       ROUND(CAST(rank_pos - 1 AS DOUBLE) / (n - 1), 6) AS pct_rank
+       CASE WHEN n > 1 THEN ROUND(CAST(rank_pos - 1 AS DOUBLE) / (n - 1), 6)
+            ELSE 0.0 END AS pct_rank
 FROM r
 """,
 )
@@ -739,9 +740,15 @@ def win_activity_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         "rank_pos",
-        F.round(
-            (F.col("rank_pos") - 1).cast("double") / (F.col("_n") - 1), 6
-        ).alias("pct_rank"),
+        # degenerate-input guard (the win_ntile_pct ADVICE lesson): a
+        # 1-user population makes (rank-1)/(N-1) a 0/0 NaN on both
+        # engines — define it as 0.0 instead
+        F.when(
+            F.col("_n") > 1,
+            F.round((F.col("rank_pos") - 1).cast("double") / (F.col("_n") - 1), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
     )
 
 

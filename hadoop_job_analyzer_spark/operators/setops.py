@@ -233,3 +233,51 @@ def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("only_O").alias("side"), "o_custkey"
     )
     return only_f.unionByName(only_o)
+
+
+@query(
+    "set_union_byname_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT event_id, event_type, value, NULL::VARCHAR AS props, 1 AS schema_ver
+  FROM events WHERE event_id % 2 = 0
+), v2 AS (
+  SELECT event_id, event_type, NULL::DOUBLE AS value, props, 2 AS schema_ver
+  FROM events WHERE event_id % 2 = 1
+), unioned AS (
+  SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
+)
+SELECT event_type, CAST(schema_ver AS INTEGER) AS schema_ver,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value) AS BIGINT) AS n_with_value,
+       CAST(COUNT(props) AS BIGINT) AS n_with_props
+FROM unioned
+GROUP BY event_type, schema_ver
+""",
+)
+def set_union_byname_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two generations of the events feed —
+    v1 carries `value` but predates `props`, v2 dropped `value` and
+    added `props` — combined by COLUMN NAME with absent columns as
+    NULL (`unionByName(allowMissingColumns=True)`), then audited per
+    (type, generation). This is the daily reality of long-lived
+    pipelines: positional UNION silently mis-aligns evolved schemas;
+    by-name union is the only safe verb, and the null-population
+    counts here are the audit that catches a generation gone wrong.
+
+    Both legs prune to their own columns at the scan; the union is a
+    plan-level concat (no shuffle) feeding one partial-agg'd rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v1 = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value", F.lit(1).alias("schema_ver")
+    )
+    v2 = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "props", F.lit(2).alias("schema_ver")
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("event_type", "schema_ver").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.count("props").alias("n_with_props"),
+    )

@@ -83,6 +83,12 @@ QUERIES = [
     "text_vocab_growth",
     "win_activity_rank_global",
     "join_snowflake_q5",
+    # r4 waves 6-8: rolling distinct, multi-probe ANN join, AMS state,
+    # partitioned-layout write+pruned read
+    "ts_dau_wau",
+    "sim_knn_join_bucketed",
+    "sketch_ams_selfjoin_size",
+    "scan_partition_pruned_read",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated

@@ -367,3 +367,11 @@ def test_dau_wau_offsets_are_broadcast(plan):
     assert "CartesianProduct" not in p
     # the 7-row offset table joins via broadcast nested loop (bounded)
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_multi_distinct_uses_expand(plan):
+    """agg_multi_distinct's point: three distincts over different
+    columns compile to ONE Expand-based aggregation, not three scans."""
+    p = plan("agg_multi_distinct")
+    assert "Expand" in p
+    assert p.count("FileScan") == 1
