@@ -505,7 +505,9 @@ def graph_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ut = ev.select("user_id", "event_type").distinct().persist()
     tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
-    n_users = ut.select("user_id").distinct().count()
+    # population size as a broadcast 1-row aggregate — keeps the whole
+    # key one lazy plan (no driver-side count() action)
+    u = ut.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_users"))
     a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
     b = ut.select(F.col("user_id").alias("_uid"), F.col("event_type").alias("type_b"))
     pairs = (
@@ -518,13 +520,14 @@ def graph_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         pairs.join(F.broadcast(ta), "type_a")
         .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(u))
         .select(
             "type_a",
             "type_b",
             "n_both",
             F.round(
                 F.col("n_both").cast("double")
-                * F.lit(n_users)
+                * F.col("n_users")
                 / (F.col("n_ta") * F.col("n_tb")),
                 6,
             ).alias("lift"),
