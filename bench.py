@@ -77,6 +77,8 @@ HEADLINE = [
     # r4 wave 3: LSH cross-decon + the seasonal-strength agg
     "decon_near_minhash",
     "ts_seasonal_strength_dow",
+    # r4 wave 10: the ops flagship composition
+    "ops_session_report_e2e",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]

@@ -1265,3 +1265,70 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(F.col("n_docs").cast("double") / ideal, 6).alias("load_factor"),
     )
+
+
+@query(
+    "ops_session_report_e2e",
+    oracle=f"""
+WITH sessions AS (
+  SELECT * FROM ({SESSIONIZE_ORACLE}) AS s
+), per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(duration_sec) AS BIGINT) AS total_duration_sec
+  FROM sessions GROUP BY user_id
+)
+SELECT CASE WHEN n_events < 10 THEN '0_lt10'
+            WHEN n_events < 30 THEN '1_lt30'
+            ELSE '2_ge30' END AS activity_tier,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_sessions) AS BIGINT) AS n_sessions,
+       ROUND(CAST(SUM(n_sessions) AS DOUBLE) / COUNT(*), 6) AS sessions_per_user,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / SUM(n_sessions), 6) AS events_per_session,
+       ROUND(CAST(SUM(total_duration_sec) AS DOUBLE) / SUM(n_sessions), 6)
+         AS avg_session_duration_sec
+FROM per_user
+GROUP BY 1
+""",
+)
+def ops_session_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP ops composition — the log-analytics twin of
+    corpus_pipeline_e2e: sessionize (gaps-and-islands) → per-user
+    engagement rollup → activity-tier report (sessions/user,
+    events/session, mean session duration per tier), as ONE fused
+    declarative plan.
+
+    Every stage's primitive is independently verified by its
+    standalone key (win_sessionize, win_session_length_histogram,
+    agg_user_type_entropy's tiering); this key proves they COMPOSE
+    without materialization barriers: Catalyst pipelines the session
+    windows, both rollups, and the tier bucketing into a single plan
+    whose only exchanges are the user_id shuffle (shared by the
+    window and the per-user agg — same key, reused partitioning) and
+    the final ≤3-cell tier agg. All ratios derive from exact integer
+    sums — one double division each, no float-sum hazard.
+    """
+    sessions = win_sessionize(spark, sf_dir)
+    per_user = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("duration_sec").alias("total_duration_sec"),
+    )
+    tier = (
+        F.when(F.col("n_events") < 10, "0_lt10")
+        .when(F.col("n_events") < 30, "1_lt30")
+        .otherwise("2_ge30")
+    )
+    n_users = F.count(F.lit(1))
+    return per_user.groupBy(tier.alias("activity_tier")).agg(
+        n_users.alias("n_users"),
+        F.sum("n_sessions").alias("n_sessions"),
+        F.round(F.sum("n_sessions").cast("double") / n_users, 6).alias("sessions_per_user"),
+        F.round(
+            F.sum("n_events").cast("double") / F.sum("n_sessions"), 6
+        ).alias("events_per_session"),
+        F.round(
+            F.sum("total_duration_sec").cast("double") / F.sum("n_sessions"), 6
+        ).alias("avg_session_duration_sec"),
+    )

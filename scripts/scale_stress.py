@@ -89,6 +89,23 @@ QUERIES = [
     "sim_knn_join_bucketed",
     "sketch_ams_selfjoin_size",
     "scan_partition_pruned_read",
+    # r4 waves 3-9 remainder — every r4-added batch key carries a curve
+    "agg_first_digit_benford",
+    "agg_apdex_score",
+    "agg_hourly_latency_bands",
+    "agg_multi_distinct",
+    "win_session_length_histogram",
+    "ts_seasonal_naive_error",
+    "dedup_vector_exact",
+    "emb_norm_percentiles",
+    "graph_type_cooccurrence",
+    "fn_datetime_format",
+    "fn_base64_roundtrip",
+    "sort_pagination_page2",
+    "set_union_byname_evolution",
+    "sink_jsonl_roundtrip",
+    "corpus_shard_balance",
+    "ops_session_report_e2e",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated

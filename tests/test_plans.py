@@ -375,3 +375,12 @@ def test_multi_distinct_uses_expand(plan):
     p = plan("agg_multi_distinct")
     assert "Expand" in p
     assert p.count("FileScan") == 1
+
+
+def test_pagination_is_take_ordered_with_offset(plan):
+    """sort_pagination_page2 must compile to TakeOrderedAndProject with
+    the offset folded in (per-partition top-(o+l) + driver merge), not a
+    global single-partition sort."""
+    p = plan("sort_pagination_page2")
+    assert "TakeOrderedAndProject" in p
+    assert "offset=10" in p
