@@ -1332,3 +1332,56 @@ def ops_session_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_duration_sec").cast("double") / F.sum("n_sessions"), 6
         ).alias("avg_session_duration_sec"),
     )
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle="""
+WITH gapped AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         date_diff('second', ts,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_sec
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(gap_sec) AS BIGINT) AS total_sec,
+       ROUND(CAST(SUM(v * gap_sec) AS DOUBLE) / SUM(gap_sec), 6) AS twa_value,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS plain_avg
+FROM gapped
+WHERE gap_sec IS NOT NULL AND gap_sec > 0
+GROUP BY event_type
+""",
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average of the value column per event type — each
+    reading weighted by how long it was "current" (gap to the user's
+    next event), beside the plain average it corrects. The standard
+    fix for irregular sampling: a gauge read once during a quiet hour
+    must not count the same as sixty reads during a burst (plain AVG
+    over-weights bursts; TWA weights by wall-clock coverage).
+
+    One per-user lead window (the win_lag_lead shuffle shape), then a
+    partial-agg'd rollup: value·gap products are DECIMAL(28,6)-exact
+    (decimal × bigint), sums order-invariant, one double division at
+    the end. Zero/absent gaps (last event per user, same-timestamp
+    pairs) are excluded on both sides — they carry no wall-clock mass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")).alias("gap_sec"),
+    ).where(F.col("gap_sec").isNotNull() & (F.col("gap_sec") > 0))
+    n = F.count(F.lit(1))
+    return gapped.groupBy("event_type").agg(
+        n.alias("n_intervals"),
+        F.sum("gap_sec").alias("total_sec"),
+        F.round(
+            F.sum(F.col("v") * F.col("gap_sec")).cast("double") / F.sum("gap_sec"), 6
+        ).alias("twa_value"),
+        F.round(F.sum("v").cast("double") / n, 6).alias("plain_avg"),
+    )

@@ -323,3 +323,58 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(norms, schema="vec_id long, l2_norm double")
+
+
+@query(
+    "udtf_python_analyze",
+    oracle="""
+SELECT event_id, json_extract_string(props, '$.k') AS k_value
+FROM events
+""",
+)
+def udtf_python_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()`): the output schema
+    is computed at PLAN TIME from the constant field-name arguments —
+    `extract_json(props, 'k')` emits a `k_value` column, a different
+    field list would emit different columns, with no code change. This
+    is the plugin surface the static-schema UDTFs (udtf_python) can't
+    express: schema-on-demand extraction where the caller names the
+    fields.
+
+    analyze() receives AnalyzeArgument metadata (value=constant,
+    dataType) and returns the StructType; eval() then parses each JSON
+    once and yields the requested fields as strings (matching
+    get_json_object/json_extract_string semantics on both engines).
+    Row-at-a-time Python is the point of the demo, not the hot path —
+    the JVM equivalent for production is fn_json's get_json_object.
+    """
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ExtractJson:
+        @staticmethod
+        def analyze(js: AnalyzeArgument, *fields: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for f in fields:
+                schema = schema.add(f"{f.value}_value", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, js: str, *fields: str):
+            try:
+                obj = _json.loads(js) if js is not None else {}
+            except ValueError:
+                obj = {}
+            yield tuple(
+                None if obj.get(f) is None else str(obj[f]) for f in fields
+            )
+
+    spark.udtf.register("hja_extract_json", udtf(ExtractJson))
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("hja_events_udtf")
+    return spark.sql(
+        "SELECT e.event_id, t.k_value "
+        "FROM hja_events_udtf e, LATERAL hja_extract_json(e.props, 'k') t"
+    )
