@@ -214,3 +214,55 @@ def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND c_acctbal > 0
         """
     )
+
+
+_BLOCK_PATTERNS = {
+    "contact": "(call|email) (us|me)",
+    "promo": "(buy|sale|discount|offer)",
+    "nav_boiler": "(click here|next page|previous page)",
+}
+
+
+@query(
+    "filter_blocklist_regex",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {', '.join(
+         f"CAST(SUM(CASE WHEN regexp_matches(text, '{p}') THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}"
+         for name, p in _BLOCK_PATTERNS.items())},
+       CAST(SUM(CASE WHEN {' OR '.join(f"regexp_matches(text, '{p}')" for p in _BLOCK_PATTERNS.values())}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       ROUND(CAST(SUM(CASE WHEN {' OR '.join(f"regexp_matches(text, '{p}')" for p in _BLOCK_PATTERNS.values())}
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS block_rate
+FROM documents
+GROUP BY source
+""",
+)
+def filter_blocklist_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-blocklist audit: per source, how many docs trip each of
+    three blocklist patterns (contact-bait, promo spam, navigation
+    boilerplate) and the combined block rate — the rule-based filter
+    stage every crawl pipeline runs before model-based quality scoring
+    (text_quality), reported per-pattern so rule owners see which rule
+    does the work.
+
+    All patterns stay in the Java∩RE2∩DuckDB regex common subset
+    (alternation + literal spaces — no lookarounds, no backrefs; the
+    scan_text_log_regex discipline). One scan, N+1 conditional
+    aggregates, map-side partials — adding a rule adds a codegen'd
+    rlike, not a pass over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hits = {name: F.col("text").rlike(p) for name, p in _BLOCK_PATTERNS.items()}
+    any_hit = None
+    for c in hits.values():
+        any_hit = c if any_hit is None else (any_hit | c)
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    n = F.count(F.lit(1))
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        *[cnt(c).alias(f"n_{name}") for name, c in hits.items()],
+        cnt(any_hit).alias("n_blocked"),
+        F.round(cnt(any_hit).cast("double") / n, 6).alias("block_rate"),
+    )

@@ -1385,3 +1385,65 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa_value"),
         F.round(F.sum("v").cast("double") / n, 6).alias("plain_avg"),
     )
+
+
+@query(
+    "ts_anomaly_robust_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, QUANTILE_CONT(value, 0.5) AS med FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+), mad AS (
+  SELECT event_type, QUANTILE_CONT(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN 0.6745 * (d.value - d.med) / m.mad > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       CAST(SUM(CASE WHEN 0.6745 * (d.value - d.med) / m.mad < -3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       ROUND(MAX(0.6745 * (d.value - d.med) / m.mad), 6) AS max_robust_z
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+""",
+)
+def ts_anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection per event type via the modified z-score
+    0.6745·(x − median)/MAD with the standard 3.5 cutoff — the
+    companion ts_anomaly_zscore needs when the anomalies themselves
+    poison the mean/stddev baseline (median and MAD have a 50%
+    breakdown point; mean/std have 0%).
+
+    Two bounded-group exact medians (per-type value median, then
+    per-type median of absolute deviations) joined back broadcast —
+    #types rows each, so the joins are free and the scan count stays
+    at two passes (the second pass is inherent: MAD needs the
+    median first). Both engines linear-interpolate QUANTILE_CONT /
+    percentile; the z expression mirrors operation order exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            cnt(z > 3.5).alias("n_high_outliers"),
+            cnt(z < -3.5).alias("n_low_outliers"),
+            F.round(F.max(z), 6).alias("max_robust_z"),
+        )
+    )
