@@ -1447,3 +1447,123 @@ def ts_anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 6).alias("max_robust_z"),
         )
     )
+
+
+@query(
+    "ts_merge_intervals",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 300 SECOND AS e FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s <= MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_island
+  FROM iv
+), numbered AS (
+  SELECT user_id, s, e,
+         CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS island
+  FROM flagged
+), merged AS (
+  SELECT user_id, island, MIN(s) AS start_ts, MAX(e) AS end_ts
+  FROM numbered GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_merged_intervals,
+       CAST(SUM(date_diff('second', start_ts, end_ts)) AS BIGINT) AS covered_sec
+FROM merged GROUP BY user_id
+""",
+)
+def ts_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge: each event opens a 5-minute activity
+    interval; per user, coalesce every overlapping/touching chain into
+    one merged interval and report interval count + covered seconds —
+    the downtime/uptime coalescing verb (alert windows, maintenance
+    overlap, ad-exposure coverage) that naive DISTINCT can't express.
+
+    The classic islands formulation, distributed: a running MAX(end)
+    window per user flags chain starts (an interval starting after
+    every prior end opens a new island), a running SUM numbers the
+    islands, one aggregate merges them. Same single-shuffle shape as
+    win_sessionize — sessionization IS interval merging with
+    gap-width intervals. Timestamp arithmetic stays in the truncating
+    long cast both engines share (§5.3).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 300 SECONDS").alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prior_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") <= prior_max_e, 0).otherwise(1),
+    )
+    numbered = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = numbered.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_ts"), F.max("e").alias("end_ts")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_merged_intervals"),
+        F.sum(
+            F.col("end_ts").cast("long") - F.col("start_ts").cast("long")
+        ).alias("covered_sec"),
+    )
+
+
+@query(
+    "corpus_temperature_weights",
+    oracle="""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), powered AS (
+  SELECT lang, n_docs, CAST(POW(n_docs, 0.5) AS DECIMAL(28,10)) AS w
+  FROM counts
+)
+SELECT lang, n_docs,
+       ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 6) AS sample_weight,
+       CAST(FLOOR(10000 * CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE)) AS BIGINT)
+         AS expected_docs_at_10k,
+       ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE)
+             - CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS uplift_vs_natural
+FROM powered
+""",
+)
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights (α=0.5,
+    p_l ∝ n_l^α): per language, the up/down-sampling weight, the
+    expected doc count at a 10k budget, and the uplift vs natural
+    proportions — the XLM-R-style mixing step that keeps low-resource
+    languages from vanishing at natural rates (corpus_mix_rebalance
+    APPLIES a fixed mix; this key COMPUTES the mix from the data).
+
+    One partial-agg'd count shuffle to #langs cells; the n^α powers
+    are quantized to decimal so the normalizing SUM over languages is
+    order-invariant, then every ratio is one double division (the
+    ts_autocorr_lag float discipline). The share window runs over
+    ≤#langs rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    powered = counts.select(
+        "lang", "n_docs", F.pow("n_docs", F.lit(0.5)).cast("decimal(28,10)").alias("w")
+    )
+    tot_w = F.sum("w").over(Window.partitionBy()).cast("double")
+    tot_n = F.sum("n_docs").over(Window.partitionBy())
+    weight = F.col("w").cast("double") / tot_w
+    return powered.select(
+        "lang",
+        "n_docs",
+        F.round(weight, 6).alias("sample_weight"),
+        F.floor(10000 * weight).cast("long").alias("expected_docs_at_10k"),
+        F.round(weight - F.col("n_docs").cast("double") / tot_n, 6).alias(
+            "uplift_vs_natural"
+        ),
+    )
