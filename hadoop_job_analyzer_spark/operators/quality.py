@@ -698,7 +698,7 @@ def decon_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ wave 4 (r4w4) keys
 
 # Wave-4 imports kept local to the section for reviewability.
-from ._common import distributed_rank, o_dsum, ulong, unscale  # noqa: E402
+from ._common import distributed_rank, o_dsum, spread, ulong, unscale  # noqa: E402
 
 
 @query(
@@ -1566,4 +1566,104 @@ def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight - F.col("n_docs").cast("double") / tot_n, 6).alias(
             "uplift_vs_natural"
         ),
+    )
+
+
+@query(
+    "text_sentence_stats",
+    oracle="""
+WITH sent AS (
+  SELECT doc_id, lang, s
+  FROM (SELECT doc_id, lang,
+               UNNEST(string_split_regex(text, '[.!?]+')) AS s
+        FROM documents)
+  WHERE length(trim(s)) > 0
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_sentences,
+         CAST(SUM(len(string_split_regex(trim(s), ' +'))) AS BIGINT) AS n_words
+  FROM sent GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sentences) AS BIGINT) AS n_sentences,
+       ROUND(CAST(SUM(n_sentences) AS DOUBLE) / COUNT(*), 6) AS sentences_per_doc,
+       ROUND(CAST(SUM(n_words) AS DOUBLE) / SUM(n_sentences), 6) AS words_per_sentence,
+       CAST(MAX(n_sentences) AS BIGINT) AS max_sentences
+FROM per_doc GROUP BY lang
+""",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-segmentation profile per language: sentences/doc and
+    words/sentence (plus the max) from a regex sentence split — the
+    readability/structure layer between character stats (text_stats)
+    and token stats (text_token_stats); wildly long "sentences" are
+    the no-punctuation boilerplate signal quality filters key on.
+
+    The split pattern `[.!?]+` and the word split ` +` sit in the
+    Java∩RE2 common subset; EMPTY fragments are filtered after trim on
+    BOTH sides, which neutralizes the engines' differing
+    trailing-empty-string split semantics (the cross-engine split trap
+    — asserting on raw fragment counts would hash-mismatch). Explode →
+    two partial-agg'd rollups, spread first so single-split files
+    parallelize.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sent = (
+        spread(d.select("doc_id", "lang", "text"), "doc_id")
+        .select("doc_id", "lang", F.explode(F.split("text", "[.!?]+")).alias("s"))
+        .where(F.length(F.trim("s")) > 0)
+    )
+    per_doc = sent.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum(F.size(F.split(F.trim("s"), " +"))).cast("long").alias("n_words"),
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum("n_sentences").alias("n_sentences"),
+        F.round(F.sum("n_sentences").cast("double") / n, 6).alias("sentences_per_doc"),
+        F.round(
+            F.sum("n_words").cast("double") / F.sum("n_sentences"), 6
+        ).alias("words_per_sentence"),
+        F.max("n_sentences").alias("max_sentences"),
+    )
+
+
+@query(
+    "corpus_doc_length_histogram",
+    oracle="""
+SELECT lang,
+       CAST(FLOOR(LOG2(n_chars)) AS INTEGER) AS len_bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+WHERE n_chars > 0
+GROUP BY 1, 2
+""",
+)
+def corpus_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per language — the
+    length-distribution shape (heavy short-doc head? truncation wall
+    at a power of two?) that picks the min-length filter threshold
+    corpus_filter_funnel then audits.
+
+    Bucket = floor(log2(n_chars)): both engines evaluate IEEE log2 on
+    the same integers, and floor is only tie-sensitive at exact powers
+    of two where log2 is exactly integral in IEEE — deterministic on
+    both. ≤ ~20 buckets × #langs cells of group state at any corpus
+    size; one partial-agg'd shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("n_chars") > 0)
+        .groupBy(
+            "lang", F.floor(F.log2("n_chars")).cast("int").alias("len_bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
     )
