@@ -1667,3 +1667,89 @@ def corpus_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "win_pareto_8020",
+    oracle="""
+WITH ua AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+), c AS (
+  SELECT user_id, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rn,
+         SUM(n) OVER (ORDER BY n DESC, user_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ua
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_users FROM ua
+)
+SELECT CAST(MIN(c.rn) AS BIGINT) AS n_users_for_80pct,
+       t.n_users,
+       ROUND(CAST(MIN(c.rn) AS DOUBLE) / t.n_users, 6) AS user_share,
+       t.total AS n_events_total
+FROM c CROSS JOIN t
+WHERE c.cum * 5 >= t.total * 4
+GROUP BY t.n_users, t.total
+""",
+)
+def win_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest top-user set generating ≥80%
+    of all events, as a count and population share — the
+    "how concentrated is my traffic" number behind capacity isolation
+    and abuse triage (agg_gini_user_activity is the same question as
+    an index; this names the actual cohort size).
+
+    The naive formulation (the oracle) needs a GLOBAL ORDER BY window
+    for both rank and running sum. Distributed shape: range-partition
+    users by (events DESC, user), per-partition LOCAL rank and cumsum
+    windows in parallel, then broadcast per-partition (row, sum)
+    offsets — the distributed_rank pattern extended to PREFIX SUMS;
+    the only single-partition work is the #partitions-row offsets
+    cumsum. The 80% crossing test is integer-exact (cum·5 ≥ total·4 —
+    no float threshold), so the cohort boundary is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        ua.repartitionByRange(n_parts, F.col("n").desc(), F.col("user_id").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    w_cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part_stats = ranged.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_rows"), F.sum("n").alias("_sum")
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_stats.select(
+        "_pid",
+        F.coalesce(F.sum("_rows").over(off_w), F.lit(0)).alias("_rn_off"),
+        F.coalesce(F.sum("_sum").over(off_w), F.lit(0)).alias("_cum_off"),
+    )
+    c = (
+        ranged.withColumn("_lrn", F.row_number().over(w_local))
+        .withColumn("_lcum", F.sum("n").over(w_cum))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.col("_rn_off") + F.col("_lrn")).cast("long").alias("rn"),
+            (F.col("_cum_off") + F.col("_lcum")).cast("long").alias("cum"),
+        )
+    )
+    t = ua.agg(
+        F.sum("n").cast("long").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .where(F.col("cum") * 5 >= F.col("total") * 4)
+        .groupBy("n_users", "total")
+        .agg(F.min("rn").alias("n_users_for_80pct"))
+        .select(
+            "n_users_for_80pct",
+            "n_users",
+            F.round(F.col("n_users_for_80pct").cast("double") / F.col("n_users"), 6).alias(
+                "user_share"
+            ),
+            F.col("total").alias("n_events_total"),
+        )
+    )

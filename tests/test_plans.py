@@ -384,3 +384,12 @@ def test_pagination_is_take_ordered_with_offset(plan):
     p = plan("sort_pagination_page2")
     assert "TakeOrderedAndProject" in p
     assert "offset=10" in p
+
+
+def test_pareto_prefix_sum_is_distributed(plan):
+    """win_pareto_8020's global rank+cumsum must run as range-partition
+    + per-partition local windows (distributed_rank pattern extended to
+    prefix sums), never one global-order window over all users."""
+    p = plan("win_pareto_8020", "formatted")
+    assert "rangepartitioning" in p
+    assert "_pid" in p
