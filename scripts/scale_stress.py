@@ -106,6 +106,15 @@ QUERIES = [
     "sink_jsonl_roundtrip",
     "corpus_shard_balance",
     "ops_session_report_e2e",
+    # r4 waves 11-15
+    "win_time_weighted_avg",
+    "filter_blocklist_regex",
+    "ts_anomaly_robust_mad",
+    "ts_merge_intervals",
+    "corpus_temperature_weights",
+    "text_sentence_stats",
+    "corpus_doc_length_histogram",
+    "win_pareto_8020",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
