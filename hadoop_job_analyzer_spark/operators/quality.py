@@ -1753,3 +1753,54 @@ def win_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").alias("n_events_total"),
         )
     )
+
+
+@query(
+    "ts_cumulative_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS cum_events,
+       ROUND(CAST(SUM(sv) OVER w AS DOUBLE), 6) AS cum_value
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def ts_cumulative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative daily series per event type: day-grid counts and
+    running value totals — the to-date growth curve (volume-to-date,
+    revenue-to-date) every reporting layer draws.
+
+    The running window is per-type over the DAILY ROLLUP, so its
+    partition size is the calendar span (365 rows/year), not the data
+    volume — the win_moving_avg boundedness argument; the data-sized
+    work is one partial-agg'd (type, day) shuffle. Daily sums are
+    exact decimal and the RUNNING sum stays decimal (order fixed by
+    the window frame, value exact), converting to double once per
+    output row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias("cum_events"),
+        F.round(F.sum("sv").over(w).cast("double"), 6).alias("cum_value"),
+    )
