@@ -1804,3 +1804,140 @@ def ts_cumulative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").over(w).cast("long").alias("cum_events"),
         F.round(F.sum("sv").over(w).cast("double"), 6).alias("cum_value"),
     )
+
+
+@query(
+    "emb_dim_variance_top",
+    oracle="""
+WITH dims AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+), stats AS (
+  SELECT label, pos,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(18,7))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(v AS DECIMAL(18,7)) * CAST(v AS DECIMAL(18,7))) AS DOUBLE) AS sxx
+  FROM dims GROUP BY label, pos
+), ranked AS (
+  SELECT label, CAST(pos AS INTEGER) AS pos,
+         ROUND((sxx - s * s / n) / n, 6) AS variance,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY ROUND((sxx - s * s / n) / n, 6) DESC, pos ASC) AS rk
+  FROM stats
+)
+SELECT label, pos, variance, CAST(rk AS INTEGER) AS var_rank
+FROM ranked WHERE rk <= 5
+""",
+)
+def emb_dim_variance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 highest-variance embedding dimensions per label — the
+    subspace-energy profile: near-zero-variance dims are dead capacity
+    (candidates for emb_mrl_truncate_recall's truncation), and a
+    single dim dominating variance flags a rogue feature before any
+    index build.
+
+    Variance via the exact-moment form (Σx² − S²/n)/n: elements are
+    QUANTIZED to decimal(18,7) first (deterministic double→decimal on
+    both engines), so squares are decimal(37,14) — inside Spark's
+    38-digit exactness AND DuckDB's int64 multiply (the widened
+    (28,9)² first cut overflowed Spark's 38 digits and silently
+    ROUNDED, a 1-ulp-at-6dp mismatch; the seasonal-strength overflow
+    lesson has this dual). Sums exact, one double conversion per
+    moment. Group state is #labels × 64 cells; the top-5 window runs
+    over 64 rows per label.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v7 = F.col("v").cast("decimal(18,7)")
+    stats = (
+        spread(e, "vec_id")
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v7).cast("double").alias("s"),
+            F.sum(v7 * v7).cast("double").alias("sxx"),
+        )
+    )
+    variance = F.round(
+        (F.col("sxx") - F.col("s") * F.col("s") / F.col("n")) / F.col("n"), 6
+    )
+    return (
+        stats.select(
+            "label", F.col("pos").cast("int").alias("pos"), variance.alias("variance")
+        )
+        .withColumn("var_rank", F.row_number().over(
+            Window.partitionBy("label").orderBy(F.col("variance").desc(), F.col("pos").asc())
+        ))
+        .where(F.col("var_rank") <= 5)
+    )
+
+
+@query(
+    "profile_column_stats",
+    oracle="""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d_user_id,
+         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d_event_type,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+         CAST(COUNT(DISTINCT value) AS BIGINT) AS d_value,
+         CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+         CAST(COUNT(DISTINCT props) AS BIGINT) AS d_props
+  FROM events
+)
+SELECT 'user_id' AS col_name, n_rows, null_user_id AS n_nulls,
+       ROUND(CAST(null_user_id AS DOUBLE) / n_rows, 6) AS null_rate,
+       d_user_id AS n_distinct FROM base
+UNION ALL
+SELECT 'event_type', n_rows, null_event_type,
+       ROUND(CAST(null_event_type AS DOUBLE) / n_rows, 6), d_event_type FROM base
+UNION ALL
+SELECT 'value', n_rows, null_value,
+       ROUND(CAST(null_value AS DOUBLE) / n_rows, 6), d_value FROM base
+UNION ALL
+SELECT 'props', n_rows, null_props,
+       ROUND(CAST(null_props AS DOUBLE) / n_rows, 6), d_props FROM base
+""",
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling audit of the events table: per column, null
+    count/rate and exact distinct cardinality, as ROWS (one per
+    column) — the schema-drift tripwire a landing-zone pipeline runs
+    on every new batch (a column suddenly 90% null or 1-distinct is
+    the classic upstream breakage signature).
+
+    ONE aggregation computes all per-column moments (the multi-distinct
+    Expand shape of agg_multi_distinct, ×4 columns), then a bounded
+    4-row unpivot (stack) presents them column-per-row — one scan
+    total; profiling N columns adds conditional aggs, never passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    nul = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))  # noqa: E731
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[nul(c).alias(f"null_{c}") for c in ("user_id", "event_type", "value", "props")],
+        *[
+            F.countDistinct(c).alias(f"d_{c}")
+            for c in ("user_id", "event_type", "value", "props")
+        ],
+    )
+    stacked = base.select(
+        "n_rows",
+        F.expr(
+            "stack(4, "
+            "'user_id', null_user_id, d_user_id, "
+            "'event_type', null_event_type, d_event_type, "
+            "'value', null_value, d_value, "
+            "'props', null_props, d_props"
+            ") AS (col_name, n_nulls, n_distinct)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("n_nulls").cast("double") / F.col("n_rows"), 6).alias("null_rate"),
+        "n_distinct",
+    )
