@@ -1941,3 +1941,110 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_nulls").cast("double") / F.col("n_rows"), 6).alias("null_rate"),
         "n_distinct",
     )
+
+
+@query(
+    "text_casing_profile",
+    oracle="""
+WITH toks AS (
+  SELECT lang, t FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) > 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN regexp_matches(t, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lower,
+       CAST(SUM(CASE WHEN regexp_matches(t, '^[A-Z]+$') AND length(t) > 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shout,
+       CAST(SUM(CASE WHEN regexp_matches(t, '^[A-Z][a-z]+$') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_title,
+       ROUND(CAST(SUM(CASE WHEN regexp_matches(t, '^[A-Z]+$') AND length(t) > 1
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS shout_ratio
+FROM toks
+GROUP BY lang
+""",
+)
+def text_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-casing profile per language: lowercase / ALL-CAPS (len>1)
+    / Titlecase counts and the shouting ratio — the casing layer of
+    text quality scoring (ALL-CAPS mass flags ads and forum shouting;
+    a Titlecase surge flags listings/headlines) and the empirical
+    input to any lowercasing-normalization decision.
+
+    Anchored ASCII character-class patterns sit in the Java∩RE2∩DuckDB
+    common subset; empty fragments are length-filtered on both sides
+    (the split-semantics rule from text_sentence_stats). One
+    spread-then-explode pass, conditional aggregates, ≤#langs cells.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        spread(d.select("lang", "text"), "lang")
+        .select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.length("t") > 0)
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    shout = F.col("t").rlike("^[A-Z]+$") & (F.length("t") > 1)
+    n = F.count(F.lit(1))
+    return toks.groupBy("lang").agg(
+        n.alias("n_tokens"),
+        cnt(F.col("t").rlike("^[a-z]+$")).alias("n_lower"),
+        cnt(shout).alias("n_shout"),
+        cnt(F.col("t").rlike("^[A-Z][a-z]+$")).alias("n_title"),
+        F.round(cnt(shout).cast("double") / n, 6).alias("shout_ratio"),
+    )
+
+
+@query(
+    "win_rank_delta_daily",
+    oracle="""
+WITH ud AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, day, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, user_id ASC)
+              AS BIGINT) AS day_rank
+  FROM ud
+), delta AS (
+  SELECT user_id, day, n, day_rank,
+         LAG(day_rank) OVER (PARTITION BY user_id ORDER BY day) AS prev_rank
+  FROM ranked
+)
+SELECT user_id, day, n, day_rank,
+       CAST(COALESCE(prev_rank - day_rank, 0) AS BIGINT) AS rank_gain
+FROM delta
+""",
+)
+def win_rank_delta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day leaderboard movement: each user's within-day
+    activity rank and the gain vs their previous ACTIVE day — the
+    rising/falling report behind trending panels, built from two
+    windows over DIFFERENT partitionings (rank within day; lag within
+    user).
+
+    Both windows are legitimately partitioned — per-day ranking
+    partitions on the day (a day's actives, not all history), the
+    movement lag partitions on the user — so the plan is two bounded
+    shuffles on (user,day)-grain rows, never a global window. First
+    active day reports gain 0 (COALESCE, same both sides; no
+    nullable-int dtype hazard).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_day = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    ranked = ud.withColumn("day_rank", F.row_number().over(w_day).cast("long"))
+    w_user = Window.partitionBy("user_id").orderBy("day")
+    delta = ranked.withColumn("prev_rank", F.lag("day_rank").over(w_user))
+    return delta.select(
+        "user_id",
+        "day",
+        "n",
+        "day_rank",
+        F.coalesce(F.col("prev_rank") - F.col("day_rank"), F.lit(0))
+        .cast("long")
+        .alias("rank_gain"),
+    )
