@@ -115,6 +115,12 @@ QUERIES = [
     "text_sentence_stats",
     "corpus_doc_length_histogram",
     "win_pareto_8020",
+    # r4 waves 16-18
+    "ts_cumulative_daily",
+    "emb_dim_variance_top",
+    "profile_column_stats",
+    "text_casing_profile",
+    "win_rank_delta_daily",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
