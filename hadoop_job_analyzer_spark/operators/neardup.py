@@ -217,9 +217,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    # No forced broadcast on the sizes legs: `sizes` is one row per
+    # surviving document (unbounded at corpus scale — billions of rows at
+    # 100 TB, where a forced broadcast would OOM). AQE picks broadcast at
+    # small SF and shuffle-hash at scale; both legs share the pair
+    # shuffle's doc-id keys. tests/test_plans.py guards the hint's absence.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "n_inter", F.round(jac, 6).alias("jaccard"))
     )
@@ -1312,9 +1317,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cont = F.col("n_inter").cast("double") / F.least(F.col("na"), F.col("nb"))
+    # Unforced sizes joins for the same reason as dedup_ngram_jaccard:
+    # `sizes` is per-document (unbounded at 100 TB); AQE chooses the
+    # strategy. Guarded by tests/test_plans.py.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(cont >= _CONTAIN_MIN)
         .select("doc_a", "doc_b", "n_inter", F.round(cont, 6).alias("containment"))
     )

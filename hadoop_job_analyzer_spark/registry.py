@@ -61,6 +61,76 @@ _OP_MODULES = (
 
 _loaded = False
 
+# Round-5 driver window (the driver hard-verifies the FIRST 50 keys of
+# ``queries()``). Module import order above is constrained by oracle
+# composition (neardup needs llm, corpus needs textops), so the window is
+# pinned here explicitly instead of via module rotation: 49 keys that have
+# never appeared in CORRECTNESS_r01-r04 (33 quality + 14 corpus + first 2
+# sketches) plus ``agg_collect_sorted``, whose only driver datapoint is a
+# stale round-2 ERR (fixed since; pinned by tests/test_catalog_types.py).
+# After round 5, cumulative driver coverage = 151/253 distinct keys.
+# tests/test_registry.py pins this property.
+_R5_WINDOW = (
+    "agg_collect_sorted",
+    "agg_first_digit_benford",
+    "agg_user_type_entropy",
+    "agg_apdex_score",
+    "ts_seasonal_strength_dow",
+    "win_session_length_histogram",
+    "join_attribution_asof",
+    "emb_norm_percentiles",
+    "graph_type_cooccurrence",
+    "corpus_filter_funnel",
+    "decon_near_minhash",
+    "win_activity_rank_global",
+    "ts_seasonal_naive_error",
+    "dedup_vector_exact",
+    "join_snowflake_q5",
+    "text_ngram_novelty",
+    "text_vocab_growth",
+    "agg_hourly_latency_bands",
+    "fn_datetime_format",
+    "ts_dau_wau",
+    "corpus_shard_balance",
+    "ops_session_report_e2e",
+    "win_time_weighted_avg",
+    "ts_anomaly_robust_mad",
+    "ts_merge_intervals",
+    "corpus_temperature_weights",
+    "text_sentence_stats",
+    "corpus_doc_length_histogram",
+    "win_pareto_8020",
+    "ts_cumulative_daily",
+    "emb_dim_variance_top",
+    "profile_column_stats",
+    "text_casing_profile",
+    "win_rank_delta_daily",
+    "sample_hash_stratified",
+    "sample_fixed_per_stratum",
+    "split_train_test",
+    "decon_ngram_overlap",
+    "pack_sequences",
+    "text_remove_stopwords",
+    "corpus_dedup_apply",
+    "corpus_pipeline_e2e",
+    "assign_contiguous_ids",
+    "corpus_health_report",
+    "corpus_snapshot_diff",
+    "split_kfold",
+    "corpus_mix_rebalance",
+    "decon_exact_doc",
+    "sketch_countmin",
+    "sketch_kmv_distinct",
+)
+
+
+def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
+    """Return ``d`` with the pinned driver-window keys first (insertion
+    order is the driver's sampling order), then the rest in registration
+    order."""
+    head = {k: d[k] for k in _R5_WINDOW if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
 
 def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query under ``key`` with an optional DuckDB oracle SQL.
@@ -99,12 +169,12 @@ def _load_all() -> None:
 
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _window_ordered(dict(_QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _window_ordered(dict(_ORACLES))
 
 
 def metadata() -> dict[str, Any]:

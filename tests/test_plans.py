@@ -393,3 +393,16 @@ def test_pareto_prefix_sum_is_distributed(plan):
     p = plan("win_pareto_8020", "formatted")
     assert "rangepartitioning" in p
     assert "_pid" in p
+
+
+def test_jaccard_sizes_joins_are_not_force_broadcast(plan):
+    """The per-document `sizes` frame in dedup_ngram_jaccard /
+    dedup_containment is unbounded at corpus scale (one row per surviving
+    doc). A forced F.broadcast() there would OOM at 100 TB, so the hint
+    must be absent from the logical plan — AQE may still *choose* a
+    broadcast at small SF (that's fine and not asserted either way)."""
+    for key in ("dedup_ngram_jaccard", "dedup_containment"):
+        p = plan(key, "extended")
+        logical = p.split("== Physical Plan ==")[0]
+        assert "ResolvedHint" not in logical, f"{key}: forced hint on sizes leg"
+        assert "UnresolvedHint" not in logical, f"{key}: forced hint on sizes leg"

@@ -57,17 +57,31 @@ def test_oracle_keys_subset_of_queries():
 def test_first_50_registration_keys_previously_unsampled():
     """The driver hard-verifies only the first 50 keys of queries().
 
-    Keep the rotation honest: none of the round-4 window keys may come
-    from the set already sampled in CORRECTNESS_r01-r03 (52 keys).
+    Round-5 rotation: the window must consist of 49 keys never sampled in
+    CORRECTNESS_r01-r04 plus ``agg_collect_sorted`` (whose only driver
+    datapoint is a stale round-2 ERR that the window re-entry clears).
     """
     from hadoop_job_analyzer_spark import registry
 
     sampled: set[str] = set()
-    for rnd in (1, 2, 3):
+    for rnd in (1, 2, 3, 4):
         path = REPO / f"CORRECTNESS_r0{rnd}.json"
         if path.exists():
             sampled |= set(json.loads(path.read_text()))
     assert sampled, "historic CORRECTNESS files missing — cannot check rotation"
     first50 = list(registry.queries())[:50]
-    overlap = [k for k in first50 if k in sampled]
+    assert len(first50) == 50
+    assert "agg_collect_sorted" in first50, "stale-ERR key must re-enter the window"
+    overlap = [k for k in first50 if k in sampled and k != "agg_collect_sorted"]
     assert overlap == [], f"rotation regressed; resampling already-verified keys: {overlap}"
+
+
+def test_window_order_matches_pinned_list():
+    """queries() and oracle_sql() must present the pinned window first and
+    agree on ordering — the driver samples queries()'s insertion order."""
+    from hadoop_job_analyzer_spark import registry
+
+    qkeys = list(registry.queries())
+    assert tuple(qkeys[:50]) == registry._R5_WINDOW
+    okeys = [k for k in registry.oracle_sql() if k in set(registry._R5_WINDOW)]
+    assert okeys == [k for k in registry._R5_WINDOW if k in set(okeys)]
