@@ -83,6 +83,38 @@ HEADLINE = [
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]
 
+# FROZEN round-over-round comparison basket — the exact 26 queries BENCH_r03
+# ran (rounds ≥5 emit its wall separately so suite growth never pollutes the
+# trend; VERDICT r4 "Next round #6"). Do NOT edit this list; grow HEADLINE.
+COMPARABLE_BASKET = (
+    "agg_group_pricing",
+    "join_star_multiway",
+    "win_topk_per_group",
+    "sim_cosine_topk",
+    "win_sessionize",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "text_tfidf",
+    "text_wordcount",
+    "sim_knn_join",
+    "text_fingerprint",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "sim_ann_ivf",
+    "decon_ngram_overlap",
+    "pack_sequences",
+    "corpus_pipeline_e2e",
+    "funnel_stages",
+    "cohort_retention",
+    "sketch_countmin",
+    "agg_gini_user_activity",
+    "text_zipf_fit",
+    "sketch_heavy_hitters",
+    "text_pii_scrub",
+    "events_hourly",
+)
+
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only twin of BASELINE.md's `events_hourly` (hour x type agg)."""
@@ -125,6 +157,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "full_suite_wall": round(sum(per_query.values()), 4),
+                "comparable_basket_wall": round(
+                    sum(per_query[k] for k in COMPARABLE_BASKET), 4
+                ),
+                "comparable_basket_n": len(COMPARABLE_BASKET),
             }
         )
     )

@@ -33,6 +33,12 @@ from ._common import spread
 # ---------------------------------------------------------------- dedup
 
 _N_HASHES = 16  # minhash signature length
+# Row cap for the declared brute-force recall baselines (sim_knn_join here,
+# dedup_embedding in neardup.py): these collect a vector matrix on the
+# driver, valid only at test SFs. 1M 64-dim float64 rows ≈ 512 MB — well
+# above every sf dir, well below driver OOM. The bucketed twins
+# (sim_knn_join_bucketed / dedup_embedding_bucketed) are the scale path.
+_BRUTE_FORCE_MAX_ROWS = 1_000_000
 _BAND_ROWS = 2  # rows per LSH band → 8 bands
 _BUCKET_CAP = 64  # max docs per band bucket that generate pairs
 
@@ -307,7 +313,20 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    a_pdf = e.where(F.col("label") == 0).select("vec_id", "embedding").toPandas()
+    anchors = e.where(F.col("label") == 0).select("vec_id", "embedding")
+    # Scale guard: the anchor matrix is driver-collected, so this baseline
+    # is only valid while anchors fit comfortably in driver memory. The
+    # cap (1M × 64-dim f64 ≈ 512 MB) is far above every test SF; at corpus
+    # scale use the IVF-partitioned twin instead of raising it.
+    n_anchors = anchors.count()
+    if n_anchors > _BRUTE_FORCE_MAX_ROWS:
+        raise ValueError(
+            f"sim_knn_join is the brute-force recall baseline and collects "
+            f"the anchor matrix on the driver ({n_anchors} anchors > cap "
+            f"{_BRUTE_FORCE_MAX_ROWS}). Use sim_knn_join_bucketed "
+            f"(neardup.py), the IVF-partitioned scale path."
+        )
+    a_pdf = anchors.toPandas()
     a_ids = a_pdf["vec_id"].to_numpy()
     if len(a_ids) == 0:
         return spark.createDataFrame(

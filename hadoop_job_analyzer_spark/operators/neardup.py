@@ -260,7 +260,20 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from .llm import _BRUTE_FORCE_MAX_ROWS
+
     e = load_table(spark, sf_dir, "embeddings")
+    # Scale guard (shared with sim_knn_join): this baseline collects the
+    # full vector matrix on the driver — cap it rather than let a corpus-
+    # scale input OOM. The IVF-bucketed twin below is the scale path.
+    n_vecs = e.count()
+    if n_vecs > _BRUTE_FORCE_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding is the brute-force recall baseline and "
+            f"collects all vectors on the driver ({n_vecs} rows > cap "
+            f"{_BRUTE_FORCE_MAX_ROWS}). Use dedup_embedding_bucketed, "
+            f"the IVF-partitioned scale path."
+        )
     a_pdf = e.select("vec_id", "embedding").toPandas()
     a_ids = a_pdf["vec_id"].to_numpy()
     A = np.vstack(a_pdf["embedding"].to_numpy()).astype(np.float64)

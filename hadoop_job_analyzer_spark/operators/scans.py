@@ -460,3 +460,66 @@ def scan_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "sink_metrics_lines",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT ts_hour, event_type, 'count' AS metric,
+         CAST(n_events AS VARCHAR) AS val_str FROM agg
+  UNION ALL
+  SELECT ts_hour, event_type, 'value_sum',
+         CAST(sum_value AS VARCHAR) FROM agg
+)
+SELECT 'hja.events.' || event_type || '.' || metric AS metric_path,
+       CAST(val_str AS DOUBLE) AS metric_value,
+       CAST(epoch(ts_hour) AS BIGINT) AS ts_epoch,
+       'hja.events.' || event_type || '.' || metric || ' ' || val_str
+         || ' ' || CAST(CAST(epoch(ts_hour) AS BIGINT) AS VARCHAR) AS line
+FROM m
+""",
+)
+def sink_metrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics-backend sink: any aggregation rendered as Graphite
+    plaintext-protocol lines ``path value unix_ts`` — the upstream's
+    "emit to metrics backend" behavior (SURVEY.md §0.1) re-expressed as
+    a formatting stage (string assembly only; no network in-sandbox —
+    at scale the lines stream out via foreachBatch/socket sink).
+
+    Determinism across engines: the count renders from a BIGINT; the
+    value sum follows the DECIMAL(38,6) policy (_common.py) and renders
+    from the decimal — both engines print full-scale fixed-point
+    ("123.456000"), so the line strings hash-match without any
+    float-formatting hazard. ts is epoch seconds of the UTC hour.
+    Plan shape: one map-side-partial groupBy, then a pure projection —
+    the explode-to-two-metrics stack is per-row, shuffle-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("ts_hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+    )
+    m = agg.select(
+        "ts_hour",
+        "event_type",
+        F.expr(
+            "stack(2, 'count', CAST(n_events AS STRING), "
+            "'value_sum', CAST(sum_value AS STRING)) AS (metric, val_str)"
+        ),
+    )
+    path = F.concat_ws(".", F.lit("hja"), F.lit("events"), F.col("event_type"), F.col("metric"))
+    ts_epoch = F.unix_timestamp("ts_hour").cast("bigint")
+    return m.select(
+        path.alias("metric_path"),
+        F.col("val_str").cast("double").alias("metric_value"),
+        ts_epoch.alias("ts_epoch"),
+        F.concat_ws(" ", path, F.col("val_str"), ts_epoch.cast("string")).alias("line"),
+    )
