@@ -97,8 +97,10 @@ def _shingles(d: DataFrame) -> DataFrame:
     return toks.select("doc_id", F.explode(sh).alias("shingle"))
 
 
-# Shared with dedup_components' oracle (which wraps it as a CTE body).
-MINHASH_PAIRS_ORACLE = f"""
+# Shared CTE prefix (toks → capped band buckets) for every minhash-LSH
+# oracle; split out so the capped-pairs and full (representative-edges)
+# variants can't drift on the pipeline definition.
+_MINHASH_CTE_PREFIX = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), shingles AS (
@@ -118,10 +120,31 @@ WITH toks AS (
 ), capped AS (
   SELECT doc_id, band, band_sig FROM bands
   QUALIFY ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) <= {_BUCKET_CAP}
-)
+)"""
+
+# Shared with dedup_components' oracle (which wraps it as a CTE body).
+MINHASH_PAIRS_ORACLE = f"""{_MINHASH_CTE_PREFIX}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM capped a JOIN capped b ON a.band = b.band AND a.band_sig = b.band_sig
 WHERE a.doc_id < b.doc_id
+"""
+
+# Full variant: capped pairs ∪ (bucket-min → member) representative edges
+# over the UNCAPPED buckets, so members beyond the 64-doc cap still reach
+# their component transitively (|bucket|-1 linear edges, never quadratic).
+MINHASH_PAIRS_FULL_ORACLE = f"""{_MINHASH_CTE_PREFIX}, cpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), rep AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY band, band_sig) AS doc_a, doc_id AS doc_b
+  FROM bands
+)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT doc_a, doc_b FROM cpairs
+  UNION ALL
+  SELECT doc_a, doc_b FROM rep WHERE doc_a < doc_b
+)
 """
 
 
@@ -214,6 +237,49 @@ def _lsh_pairs(minhash: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+@query("dedup_near_minhash_full", oracle=MINHASH_PAIRS_FULL_ORACLE)
+def dedup_near_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_near_minhash + representative edges: transitive-closure-safe
+    under the mega-bucket cap.
+
+    The 64-doc bucket cap bounds pair fan-out at C(64,2) per bucket but
+    drops capped-out members from the pair graph entirely. This variant
+    unions a (bucket-min → member) edge for EVERY bucket member — |bucket|-1
+    edges, linear in bucket size, never quadratic — so capped members still
+    reach their component when the edges feed connected-components
+    (neardup.dedup_components). Within the cap these edges are a subset of
+    the capped pairs, so the union adds exactly the beyond-cap linkage.
+
+    Plan shape: the band-bucket frame is persisted once; the cap window
+    (row_number) and the representative window (min) share partition keys
+    (band, band_sig), so both run off the same exchange. The union is
+    resolved by the same final distinct the pair join already needs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bands = _band_rows(_minhash_sigs(_shingles(d))).persist()
+    bw = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    capped = (
+        bands.withColumn("_rn", F.row_number().over(bw))
+        .where(F.col("_rn") <= _BUCKET_CAP)
+        .drop("_rn")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("band_sig").alias("sig_a")
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("sig_b")
+    )
+    cpairs = a.join(
+        b, (a.band_a == b.band_b) & (a.sig_a == b.sig_b) & (a.doc_a < b.doc_b)
+    ).select("doc_a", "doc_b")
+    rep = (
+        bands.withColumn("_min", F.min("doc_id").over(Window.partitionBy("band", "band_sig")))
+        .where(F.col("doc_id") > F.col("_min"))
+        .select(F.col("_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return cpairs.unionByName(rep).distinct()
 
 
 # ----------------------------------------------------------- similarity

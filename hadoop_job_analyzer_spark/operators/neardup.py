@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 from ._common import spread
-from .llm import MINHASH_PAIRS_ORACLE, _shingles, dedup_near_minhash
+from .llm import MINHASH_PAIRS_FULL_ORACLE, MINHASH_PAIRS_ORACLE, _shingles, dedup_near_minhash
 
 _SIMHASH_BITS = 16
 _SIMHASH_BANDS = 2  # 2 bands x 8 bits
@@ -565,6 +565,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly: is_keeper marks the component representative (min doc_id).
     """
     pairs = dedup_near_minhash(spark, sf_dir)
+    return _min_label_components(spark, sf_dir, pairs)
+
+
+def _min_label_components(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over an undirected pair graph —
+    shared by dedup_components (capped pairs) and dedup_components_full
+    (capped pairs + representative edges). See dedup_components' docstring
+    for the checkpointing/convergence rationale."""
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -606,6 +614,43 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0).alias("is_keeper"),
     )
+
+
+def _components_full_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_PAIRS_FULL_ORACLE}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id,
+       MIN(dst) AS component,
+       CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS is_keeper
+FROM reach
+GROUP BY src
+"""
+
+
+@query("dedup_components_full", oracle=_components_full_oracle())
+def dedup_components_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_components over the cap-safe pair graph
+    (llm.dedup_near_minhash_full): the (bucket-min → member)
+    representative edges guarantee every bucket member — including the
+    ones beyond the 64-doc pair cap — reaches its cluster's component, so
+    keeper selection never orphans a capped-out duplicate. Same iterative
+    min-label propagation and recursive-CTE oracle as dedup_components;
+    only the edge set differs (linear extra edges, bounded fan-out
+    preserved)."""
+    from .llm import dedup_near_minhash_full
+
+    pairs = dedup_near_minhash_full(spark, sf_dir)
+    return _min_label_components(spark, sf_dir, pairs)
 
 
 _MJ_N = 16  # minhash signature length (mirrors llm._N_HASHES)
