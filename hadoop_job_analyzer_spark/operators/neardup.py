@@ -332,14 +332,19 @@ _IVF_ASSIGN_SQL = f"""cents AS (
 )"""
 
 
-def _ivf_assign(e: DataFrame) -> DataFrame:
+def _ivf_assign(e: DataFrame, n_centroids: int = _IVF_N_CENTROIDS) -> DataFrame:
     """(vec_id, cen_id): nearest-centroid assignment, Spark twin of
-    _IVF_ASSIGN_SQL. Centroids are broadcast; the 16-dots-per-vector
+    _IVF_ASSIGN_SQL. Centroids are broadcast; the k-dots-per-vector
     map runs data-parallel (spread pre-satisfies the argmax window's
-    vec_id clustering, so the window adds no extra shuffle)."""
+    vec_id clustering, so the window adds no extra shuffle).
+
+    ``n_centroids`` defaults to the oracle-pinned 16; scripts/
+    scale_stress.py passes k ≈ √n so the scale curves measure the
+    codebook growing with the corpus (per-bucket cost then stays
+    ~constant — the real 100 TB IVF discipline)."""
     from .llm import _dot
 
-    cents = e.where(F.col("vec_id") < _IVF_N_CENTROIDS).select(
+    cents = e.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cen_id"), F.col("embedding").alias("c_emb")
     )
     cos_vc = F.round(
@@ -392,11 +397,23 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The kernel accumulates dim-sequentially (float64) exactly like
     dedup_embedding, so shared pairs carry bit-identical cosines.
     """
+    return dedup_embedding_bucketed_at(spark, sf_dir)
+
+
+def dedup_embedding_bucketed_at(
+    spark: SparkSession, sf_dir: str, n_centroids: int = _IVF_N_CENTROIDS
+) -> DataFrame:
+    """dedup_embedding_bucketed with a parameterized codebook size —
+    same plan, k centroids instead of the oracle-pinned 16. Used by
+    scripts/scale_stress.py with k ≈ √n to measure the scaled-codebook
+    curve (per-bucket pair work Σ|b|² ≈ n²/k stays ~n at k ≈ √n)."""
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.join(_ivf_assign(e), "vec_id").select("cen_id", "vec_id", "embedding")
+    bucketed = e.join(_ivf_assign(e, n_centroids), "vec_id").select(
+        "cen_id", "vec_id", "embedding"
+    )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -1747,13 +1764,21 @@ def sim_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute key and the oracle on shared pairs; recall@3 vs brute force
     is pinned in tests.
     """
+    return sim_knn_join_bucketed_at(spark, sf_dir)
+
+
+def sim_knn_join_bucketed_at(
+    spark: SparkSession, sf_dir: str, n_centroids: int = _IVF_N_CENTROIDS
+) -> DataFrame:
+    """sim_knn_join_bucketed with a parameterized codebook size (see
+    dedup_embedding_bucketed_at — same scaled-codebook rationale)."""
     import numpy as np
     import pandas as pd
 
     from .llm import _dot
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < _IVF_N_CENTROIDS).select(
+    cents = e.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cen_id"), F.col("embedding").alias("c_emb")
     )
     cos_vc = F.round(
@@ -1773,7 +1798,7 @@ def sim_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cen_id")
     )
     cand = (
-        e.join(_ivf_assign(e), "vec_id")
+        e.join(_ivf_assign(e, n_centroids), "vec_id")
         .select("cen_id", "vec_id", "embedding", F.lit(False).alias("is_anchor"))
     )
     anch = (

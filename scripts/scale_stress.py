@@ -158,6 +158,44 @@ def inflate(spark, k: int) -> str:
     return out_dir
 
 
+# Scaled-codebook twins (r4 verdict task #3): the registered bucketed-ANN
+# keys pin 16 centroids for oracle parity, so their x16 curves conflate
+# "more data" with "bigger buckets". These entries re-time them with
+# k ≈ √n centroids (the real IVF discipline: per-bucket cost ~constant as
+# the corpus grows) — reported under a `_sqrtk` suffix.
+def _sqrtk_queries():
+    import math
+
+    from hadoop_job_analyzer_spark.catalog import load_table
+    from hadoop_job_analyzer_spark.operators.neardup import (
+        dedup_embedding_bucketed_at,
+        sim_knn_join_bucketed_at,
+    )
+
+    def k_sqrt(spark, sf_dir):
+        n = load_table(spark, sf_dir, "embeddings").count()
+        return max(16, int(round(math.sqrt(n))))
+
+    # k ∝ n (constant ~400-vector buckets): for the PAIR-dedup path the
+    # per-bucket work Σ|b|² is n²/k, so only k ∝ n keeps total work
+    # linear — k ≈ √n (the query-side optimum) still grows buckets as √n.
+    def k_lin(spark, sf_dir):
+        n = load_table(spark, sf_dir, "embeddings").count()
+        return max(16, n // 400)
+
+    return {
+        "dedup_embedding_bucketed_sqrtk": lambda s, d: dedup_embedding_bucketed_at(
+            s, d, k_sqrt(s, d)
+        ),
+        "sim_knn_join_bucketed_sqrtk": lambda s, d: sim_knn_join_bucketed_at(
+            s, d, k_sqrt(s, d)
+        ),
+        "dedup_embedding_bucketed_klin": lambda s, d: dedup_embedding_bucketed_at(
+            s, d, k_lin(s, d)
+        ),
+    }
+
+
 def time_query(fn, spark, sf_dir: str) -> float:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -173,7 +211,13 @@ def main() -> None:
     scales = [int(s) for s in args.scales.split(",")]
     basket = [q for q in QUERIES if not args.queries or q in args.queries.split(",")]
     spark = get_spark("hja-scale-stress")
-    reg = queries()
+    reg = dict(queries())
+    sqrtk = _sqrtk_queries()
+    reg.update(sqrtk)
+    if not args.queries:
+        basket = basket + list(sqrtk)
+    else:
+        basket = basket + [q for q in sqrtk if q in args.queries.split(",")]
     results: dict[str, dict[int, float]] = {q: {} for q in basket}
     for k in scales:
         sf_dir = inflate(spark, k)

@@ -406,3 +406,39 @@ def test_jaccard_sizes_joins_are_not_force_broadcast(plan):
         logical = p.split("== Physical Plan ==")[0]
         assert "ResolvedHint" not in logical, f"{key}: forced hint on sizes leg"
         assert "UnresolvedHint" not in logical, f"{key}: forced hint on sizes leg"
+
+
+DAY_GRID_GLOBAL_WINDOW_KEYS = {
+    # Keys whose plans intentionally contain an Exchange SinglePartition
+    # feeding a window over the DAILY rollup: partition size is the
+    # calendar span (≤ ~37k rows even at a century), not data volume.
+    # Each site documents the bound in its docstring (the win_moving_avg
+    # boundedness note). Adding a key here requires the same note.
+    "win_moving_avg",
+    "ts_ewma_daily",
+    "win_rolling_median",
+    "ts_changepoint_cusum",
+}
+
+
+def test_day_grid_global_windows_are_whitelisted_and_documented(plan):
+    """Day-grid hygiene (r3/r4 verdict): the only single-partition
+    day-grid windows allowed are the whitelisted calendar-bounded ones,
+    and each must carry the boundedness note in its docstring."""
+    from hadoop_job_analyzer_spark.registry import queries as _qs
+
+    reg = _qs()
+    for key in sorted(DAY_GRID_GLOBAL_WINDOW_KEYS):
+        p = plan(key)
+        assert "Exchange SinglePartition" in p, (
+            f"{key}: no longer uses a global day-grid window — remove it "
+            f"from the whitelist"
+        )
+        doc = (reg[key].__doc__ or "").lower()
+        assert "bounded" in doc or "calendar" in doc or "century" in doc, (
+            f"{key}: global day-grid window lacks a documented calendar bound"
+        )
+    # The day-grid keys that PARTITION their windows must stay partitioned.
+    for key in ("ts_cumulative_daily", "win_rank_delta_daily"):
+        doc = (reg[key].__doc__ or "").lower()
+        assert "calendar" in doc or "bounded" in doc
