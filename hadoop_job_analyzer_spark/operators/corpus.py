@@ -911,3 +911,82 @@ def decon_exact_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cont.alias("n_contaminated"),
         F.round(n_cont.cast("double") / F.count(F.lit(1)), 6).alias("contamination_rate"),
     )
+
+
+_EPOCH_CAP = 4  # max repetition epochs (the "don't repeat past ~4" rule)
+_EPOCH_ALPHA = 0.5  # temperature exponent, mirrors corpus_temperature_weights
+
+
+@query(
+    "corpus_epoch_plan",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+), powered AS (
+  SELECT lang, n_docs, n_chars,
+         CAST(POW(n_chars, {_EPOCH_ALPHA}) AS DECIMAL(28,10)) AS w,
+         SUM(CAST(POW(n_chars, {_EPOCH_ALPHA}) AS DECIMAL(28,10))) OVER () AS tot_w,
+         SUM(n_chars) OVER () AS budget
+  FROM counts
+)
+SELECT lang, n_docs, n_chars,
+       ROUND(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS sample_weight,
+       CAST(FLOOR(budget * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT) AS target_chars,
+       CAST(LEAST({_EPOCH_CAP}, CAST(CEIL(
+         FLOOR(budget * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) / n_chars
+       ) AS BIGINT)) AS BIGINT) AS epochs,
+       CAST(LEAST(
+         CAST(FLOOR(budget * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) AS BIGINT),
+         LEAST({_EPOCH_CAP}, CAST(CEIL(
+           FLOOR(budget * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) / n_chars
+         ) AS BIGINT)) * n_chars
+       ) AS BIGINT) AS planned_chars
+FROM powered
+""",
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repetition plan for a temperature-rebalanced mix: per
+    language, how many epochs (repetitions, capped at 4) of its char
+    mass the sampled corpus needs to hit its temperature-weighted
+    target share of the total char budget — the concrete sampling plan
+    a trainer executes (corpus_temperature_weights computes the mix;
+    this key turns it into integer repetition counts + the planned
+    char mass after the cap truncates unreachable targets).
+
+    Numeric discipline: n^α is quantized to DECIMAL(28,10) before the
+    normalizing sum (order-invariant), each ratio is one IEEE double
+    division, and all downstream arithmetic is integer (floor/ceil/
+    least on bigints) — no accumulated float anywhere. One partial-agg
+    count shuffle to #langs cells; the share window runs over ≤#langs
+    rows (metadata-sized).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    powered = counts.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.pow("n_chars", F.lit(_EPOCH_ALPHA)).cast("decimal(28,10)").alias("w"),
+    )
+    tot_w = F.sum("w").over(Window.partitionBy()).cast("double")
+    budget = F.sum("n_chars").over(Window.partitionBy())
+    weight = F.col("w").cast("double") / tot_w
+    target = F.floor(budget * weight).cast("long")
+    epochs = F.least(
+        F.lit(_EPOCH_CAP).cast("long"),
+        F.ceil(target.cast("double") / F.col("n_chars")).cast("long"),
+    )
+    return powered.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(weight, 6).alias("sample_weight"),
+        target.alias("target_chars"),
+        epochs.alias("epochs"),
+        F.least(target, epochs * F.col("n_chars")).cast("long").alias("planned_chars"),
+    )

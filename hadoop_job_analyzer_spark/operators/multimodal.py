@@ -275,3 +275,71 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payload(load_table(spark, sf_dir, "documents")).mapInPandas(
         resize, schema="doc_id bigint, pixel_idx int, px int"
     )
+
+
+@query(
+    "mm_modality_mix_report",
+    oracle=f"""
+WITH meta AS (
+  SELECT doc_id,
+         CASE ('0x' || substring({_HEX_SQL}, 17, 2))::INT % 3
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+         END AS modality,
+         octet_length(from_hex({_HEX_SQL})) AS n_bytes,
+         md5({_HEX_SQL}) AS payload_hash
+  FROM documents
+)
+SELECT modality,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT payload_hash) AS BIGINT) AS n_distinct_payloads,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM meta GROUP BY modality
+""",
+)
+def mm_modality_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-mix report over a mixed media corpus: each binary payload
+    is typed (image/audio/video — here parsed from payload byte 8, the
+    stub stand-in for real container sniffing) and the per-modality item
+    count, byte mass, and distinct-payload count roll up — the first
+    report a multimodal training-data pipeline prints, sizing each
+    modality's share before budgeting decode compute.
+
+    Plumbing is the real shape: bytes → typed metadata in an Arrow
+    mapInPandas stage (modality + size + content hash extracted
+    per-item in Python, exactly where a real sniffer runs), then a
+    partial-agg'd modality rollup — 3 groups, shuffle carries
+    per-partition partials only. The oracle re-derives every field from
+    the hex source, so a byte mangled anywhere in the Arrow path breaks
+    the match.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def sniff(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "modality": ["image", "audio", "video"][b[8] % 3],
+                        "n_bytes": len(b),
+                        "payload_hash": hashlib.md5(b.hex().encode()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    meta = _payload(load_table(spark, sf_dir, "documents")).mapInPandas(
+        sniff, schema="doc_id bigint, modality string, n_bytes int, payload_hash string"
+    )
+    return meta.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("payload_hash").alias("n_distinct_payloads"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

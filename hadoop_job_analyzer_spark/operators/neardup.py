@@ -1863,3 +1863,209 @@ def sim_knn_join_bucketed_at(
             "anchor_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "nn_rank"
         )
     )
+
+
+# ------------------------------------------------------ iterative k-means
+
+_KM_K = 8  # clusters
+_KM_ROUNDS = 3  # fixed round count (deterministic; no convergence test)
+_KM_DIM = 64  # embedding dimensionality (pinned by catalog contract)
+
+
+def _kmeans_oracle() -> str:
+    """3-round spherical k-means, unrolled CTEs (the pagerank discipline:
+    every accumulated term snapped to the DECIMAL(38,12) grid so sums are
+    exact and order-free; divisions/sqrt are single IEEE ops)."""
+    sql = [f"""
+WITH ex AS (
+  SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, {_KM_DIM})) AS u(i)
+), vnorm AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS vn2
+  FROM ex GROUP BY vec_id
+), cents0 AS (
+  SELECT vec_id AS cen_id, i, x AS c FROM ex WHERE vec_id < {_KM_K}
+)"""]
+    prev = "cents0"
+    for r in range(1, _KM_ROUNDS + 1):
+        sql.append(f""", cn{r} AS (
+  SELECT cen_id, CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS cn2
+  FROM {prev} GROUP BY cen_id
+), cos{r} AS (
+  SELECT e.vec_id, c.cen_id,
+         ROUND(CAST(SUM(CAST(e.x * c.c AS DECIMAL(38,12))) AS DOUBLE)
+               / SQRT(v.vn2 * n.cn2), 6) AS cos
+  FROM ex e
+  JOIN {prev} c ON c.i = e.i
+  JOIN vnorm v ON v.vec_id = e.vec_id
+  JOIN cn{r} n ON n.cen_id = c.cen_id
+  GROUP BY e.vec_id, c.cen_id, v.vn2, n.cn2
+), asg{r} AS (
+  SELECT vec_id, cen_id, cos FROM cos{r}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cen_id ASC) = 1
+), cents{r} AS (
+  SELECT a.cen_id, e.i,
+         CAST(SUM(CAST(e.x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM asg{r} a JOIN ex e ON e.vec_id = a.vec_id
+  GROUP BY a.cen_id, e.i
+)""")
+        prev = f"cents{r}"
+    sql.append(f"""
+SELECT vec_id, cen_id, cos AS cosine FROM asg{_KM_ROUNDS}
+""")
+    return "".join(sql)
+
+
+@query("emb_kmeans_iterative", oracle=_kmeans_oracle())
+def emb_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT iterative spherical k-means (k=8, 3 fixed rounds,
+    init = the first k vectors) — the real clustering behind the IVF
+    keys' deterministic "k-means stand-in" codebook: per round, every
+    vector joins its nearest centroid by rounded cosine (ties → lowest
+    cen_id), then centroids re-center on the per-dim member mean.
+
+    Determinism discipline (same as graph_pagerank): every accumulated
+    term — dot products, squared norms, member-component sums — is
+    snapped to the DECIMAL(38,12) grid before summing, so aggregation is
+    exact and order-free in both engines; the division, sqrt, and final
+    6-dp round are single IEEE ops. Centroid means divide an exact
+    decimal sum (cast to double) by the bigint member count.
+
+    Plan shape per round: one (pos)-join of the exploded vectors against
+    the k×64 centroid frame (broadcast — the codebook is k·dim cells at
+    any corpus size), partial-agg'd groupBy(vec_id, cen_id) for dots,
+    argmax via min(struct), then a (cen_id, pos) groupBy for the new
+    means. The vector-side explode happens ONCE and persists; rounds
+    reuse it. At 100 TB this is MLlib's k-means shuffle pattern with a
+    broadcast codebook — nothing iterates on the driver but the loop
+    counter (fixed rounds, no convergence collect).
+    """
+    snap = lambda c: (F.col(c) if isinstance(c, str) else c).cast("decimal(38,12)")
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        spread(e, "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+        .select("vec_id", (F.col("pos") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+        .persist()
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sum(snap(F.col("x") * F.col("x"))).cast("double").alias("vn2")
+    ).persist()
+    cents = ex.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cen_id"), "i", F.col("x").alias("c")
+    )
+    asg = None
+    for _ in range(_KM_ROUNDS):
+        cn = cents.groupBy("cen_id").agg(
+            F.sum(snap(F.col("c") * F.col("c"))).cast("double").alias("cn2")
+        )
+        cos = (
+            ex.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cen_id")
+            .agg(F.sum(snap(F.col("x") * F.col("c"))).cast("double").alias("dot"))
+            .join(vnorm, "vec_id")
+            .join(F.broadcast(cn), "cen_id")
+            .select(
+                "vec_id",
+                "cen_id",
+                F.round(F.col("dot") / F.sqrt(F.col("vn2") * F.col("cn2")), 6).alias("cos"),
+            )
+        )
+        asg = cos.groupBy("vec_id").agg(
+            F.min(F.struct((-F.col("cos")).alias("nc"), F.col("cen_id"))).alias("m"),
+        ).select(
+            "vec_id", F.col("m.cen_id").alias("cen_id"), (-F.col("m.nc")).alias("cos")
+        )
+        # The re-centered codebook is k×dim cells — localCheckpoint
+        # truncates the per-round lineage (the dedup_components rule)
+        # so the final plan stays shallow and each round's tiny
+        # centroid job runs once, not once per downstream reference.
+        cents = (
+            asg.join(ex, "vec_id")
+            .groupBy("cen_id", "i")
+            .agg(
+                (F.sum(snap("x")).cast("double") / F.count(F.lit(1))).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return asg.select("vec_id", "cen_id", F.col("cos").alias("cosine"))
+
+
+# ------------------------------------------------------ range similarity
+
+_RANGE_MIN_COS = 0.3
+
+
+def _range_oracle() -> str:
+    return f"""
+WITH {_IVF_ASSIGN_SQL}, probe AS (
+  SELECT cen_id FROM (
+    SELECT c.cen_id,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.cen_id ASC) AS rk
+    FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ) WHERE rk <= {_IVF_NPROBE}
+)
+SELECT v.vec_id,
+       ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings v
+JOIN assign s ON s.vec_id = v.vec_id
+JOIN probe p ON p.cen_id = s.cen_id
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE v.vec_id <> 0
+  AND ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 6) >= {_RANGE_MIN_COS}
+"""
+
+
+@query("sim_range_search", oracle=_range_oracle())
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned cosine RANGE query: every vector with cosine ≥ 0.3 to
+    the query vector (vec_id=0), searched only in the query's nprobe=2
+    nearest buckets — the radius-search twin of sim_ann_ivf's top-k
+    (retrieval wants top-k; dedup-against-one and policy filters want
+    "everything above threshold", where k is unknowable a priori).
+
+    Same scale story as sim_ann_ivf: assignment is the write path (a
+    partition column at 100 TB), probing prunes to nprobe/ncentroids of
+    the corpus, and the threshold filter runs inside the scan stage —
+    no top-k state at all, so the reduce side is empty (a pure filter
+    is even cheaper than the rank merge).
+    """
+    from .llm import _dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cents = e.where(F.col("vec_id") < _IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("c_emb")
+    )
+    cos_qc = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")) * _dot(F.col("c_emb"), F.col("c_emb"))),
+        6,
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cen_id", cos_qc.alias("cos_qc"))
+        .orderBy(F.col("cos_qc").desc(), F.col("cen_id").asc())
+        .limit(_IVF_NPROBE)
+        .select("cen_id")
+    )
+    cos_vq = F.round(
+        _dot(F.col("embedding"), F.col("q_emb"))
+        / F.sqrt(
+            _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("q_emb"), F.col("q_emb"))
+        ),
+        6,
+    )
+    return (
+        e.join(_ivf_assign(e), "vec_id")
+        .join(F.broadcast(probe), "cen_id")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos_vq.alias("cosine"))
+        .where(F.col("cosine") >= _RANGE_MIN_COS)
+    )

