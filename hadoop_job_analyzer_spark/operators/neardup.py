@@ -2069,3 +2069,76 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cos_vq.alias("cosine"))
         .where(F.col("cosine") >= _RANGE_MIN_COS)
     )
+
+
+@query(
+    "emb_outlier_mahalanobis",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, label, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, {_KM_DIM})) AS u(i)
+), stats AS (
+  SELECT label, i,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m2,
+         COUNT(*) AS n
+  FROM ex GROUP BY label, i
+), scored AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM(CAST(
+           (e.x - s.mu) * (e.x - s.mu) / (s.m2 - s.mu * s.mu)
+         AS DECIMAL(38,12))) AS DOUBLE) AS score
+  FROM ex e JOIN stats s ON s.label = e.label AND s.i = e.i
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, ROUND(score, 6) AS maha2,
+       CASE WHEN score > {_KM_DIM} * 2.0 THEN 1 ELSE 0 END AS is_outlier
+FROM scored
+""",
+)
+def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label diagonal-covariance Mahalanobis² outlier score for every
+    embedding — the distributional-health screen an embedding pipeline
+    runs before trusting a batch (a vector far from its label's
+    per-dimension envelope is a mislabel/corruption candidate; the
+    2·dim cutoff flags ~χ² tail mass).
+
+    Hash-exact via the kmeans/pagerank discipline: per-(label, dim)
+    moments from decimal-snapped exact sums (μ and E[x²] each one IEEE
+    division), each vector's per-dim term (x−μ)²/σ² one IEEE expression
+    snapped to the decimal grid before the per-vector sum, final 6-dp
+    round. Plan: one posexplode pass → (label, dim) moment groupBy
+    (#labels × 64 cells, broadcast back) → per-vector term sum — two
+    bounded shuffles, no windows, no pairs; at 100 TB the moments are
+    metadata-sized and the scoring stage is a pure map over re-exploded
+    vectors.
+    """
+    snap = lambda c: c.cast("decimal(38,12)")
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        spread(e, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("pos", "xf"),
+        )
+        .select("vec_id", "label", (F.col("pos") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    )
+    stats = ex.groupBy("label", "i").agg(
+        (F.sum(snap(F.col("x"))).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(snap(F.col("x") * F.col("x"))).cast("double") / F.count(F.lit(1))).alias("m2"),
+    )
+    term = (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")) / (
+        F.col("m2") - F.col("mu") * F.col("mu")
+    )
+    scored = (
+        ex.join(F.broadcast(stats), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(snap(term)).cast("double").alias("score"))
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        F.round("score", 6).alias("maha2"),
+        F.when(F.col("score") > _KM_DIM * 2.0, 1).otherwise(0).alias("is_outlier"),
+    )

@@ -2048,3 +2048,81 @@ def win_rank_delta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_gain"),
     )
+
+
+_DUPMASS_N = 5  # gram width (the Gopher/RefinedWeb repetition-rule width)
+
+
+@query(
+    "text_dup_gram_mass",
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, lang,
+         concat_ws(' ', {', '.join(f't[i+{j}]' for j in range(5))}) AS gram
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       UNNEST(CASE WHEN len(t) >= {5}
+                   THEN generate_series(1, len(t)-{4}) ELSE [] END) AS u(i)
+), df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM occ GROUP BY gram
+), per_doc AS (
+  SELECT o.doc_id, o.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_occ
+  FROM occ o JOIN df f ON f.gram = o.gram
+  GROUP BY o.doc_id, o.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_occ) AS BIGINT) AS total_gram_occ,
+       CAST(SUM(n_dup_occ) AS BIGINT) AS dup_gram_occ,
+       ROUND(SUM(n_dup_occ) / CAST(SUM(n_occ) AS DOUBLE), 6) AS dup_mass,
+       CAST(SUM(CASE WHEN n_dup_occ * 2 > n_occ THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_majority_dup
+FROM per_doc GROUP BY lang
+""",
+)
+def text_dup_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-5-gram MASS per language — the Gopher/RefinedWeb
+    repetition rule at corpus granularity: what fraction of all 5-gram
+    occurrences (not distinct grams — novelty covers that) belong to a
+    gram seen in more than one document, plus how many docs are
+    majority-duplicate. THE before/after metric a dedup run is sized by:
+    dup_mass is (approximately) the token mass dedup can reclaim.
+
+    Plan: one non-distinct gram explode (occurrence stream), df counts
+    as one (gram → distinct doc count) groupBy, joined back on the gram
+    key, collapsed per doc then per lang — three hash shuffles, all on
+    gram/doc keys, no windows, no pairs. At 100 TB the join key becomes
+    md5(gram) (32-byte bound, the decon_ngram_overlap note) and df fits
+    a count-min sketch if the exact join ever dominates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d.select("doc_id", "lang", "text"), "doc_id").select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("t")
+    )
+    n = _DUPMASS_N
+    idx = F.when(F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(n)])
+    )
+    occ = toks.select("doc_id", "lang", F.explode(gram).alias("gram")).persist()
+    df_counts = occ.groupBy("gram").agg(F.countDistinct("doc_id").alias("n_docs_gram"))
+    per_doc = (
+        occ.join(df_counts, "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.sum(F.when(F.col("n_docs_gram") > 1, 1).otherwise(0)).alias("n_dup_occ"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_occ").alias("total_gram_occ"),
+        F.sum("n_dup_occ").alias("dup_gram_occ"),
+        F.round(F.sum("n_dup_occ") / F.sum("n_occ").cast("double"), 6).alias("dup_mass"),
+        F.sum(F.when(F.col("n_dup_occ") * 2 > F.col("n_occ"), 1).otherwise(0)).alias(
+            "n_docs_majority_dup"
+        ),
+    )

@@ -523,3 +523,58 @@ def sink_metrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_epoch.alias("ts_epoch"),
         F.concat_ws(" ", path, F.col("val_str"), ts_epoch.cast("string")).alias("line"),
     )
+
+
+@query(
+    "ops_job_summary_report",
+    oracle=f"""
+WITH jobs AS (
+  SELECT * FROM read_json('{_JOBS_JSONL}', format='newline_delimited',
+                          columns={_JOBS_DUCK_COLS})
+)
+SELECT framework,
+       CAST(COUNT(*) AS BIGINT) AS n_jobs,
+       CAST(SUM(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       CAST(SUM(CASE WHEN status = 'KILLED' THEN 1 ELSE 0 END) AS BIGINT) AS n_killed,
+       ROUND(SUM(CASE WHEN status <> 'SUCCEEDED' THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bad_rate,
+       ROUND(QUANTILE_CONT(duration_ms, 0.5), 1) AS p50_dur_ms,
+       ROUND(QUANTILE_CONT(duration_ms, 0.99), 1) AS p99_dur_ms,
+       CAST(SUM(map_tasks) AS BIGINT) AS total_maps,
+       CAST(SUM(reduce_tasks) AS BIGINT) AS total_reduces,
+       CAST(MAX(duration_ms) AS BIGINT) AS max_dur_ms
+FROM jobs GROUP BY framework
+""",
+)
+def ops_job_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE upstream report: per-framework job health over the jobs log —
+    counts, failure/kill rates, exact p50/p99 duration, task totals —
+    the "analyze Hadoop jobs and emit per-framework metrics" capability
+    reconstructed in SURVEY.md §0.1, end-to-end from the JSONL ingest
+    (the JobTracker-history stand-in) to the report a metrics backend
+    would receive (see sink_metrics_lines for the emit formatting).
+
+    One explicit-schema JSONL scan → one partial-agg'd groupBy to
+    #frameworks cells; exact percentiles sort per group (bounded group
+    count — the agg_percentile_exact note: at 100 TB of job history
+    switch to approx_percentile's mergeable KLL sketch).
+    """
+    path = ensure_jobs_jsonl()
+    schema = (
+        "job_id STRING, user STRING, framework STRING, status STRING, "
+        "submit_ts TIMESTAMP, duration_ms BIGINT, map_tasks INT, reduce_tasks INT, "
+        "counters MAP<STRING, BIGINT>"
+    )
+    jobs = spark.read.schema(schema).json(path)
+    bad = F.sum(F.when(F.col("status") != "SUCCEEDED", 1).otherwise(0))
+    return jobs.groupBy("framework").agg(
+        F.count(F.lit(1)).alias("n_jobs"),
+        F.sum(F.when(F.col("status") == "FAILED", 1).otherwise(0)).alias("n_failed"),
+        F.sum(F.when(F.col("status") == "KILLED", 1).otherwise(0)).alias("n_killed"),
+        F.round(bad / F.count(F.lit(1)).cast("double"), 6).alias("bad_rate"),
+        F.round(F.percentile("duration_ms", F.lit(0.5)), 1).alias("p50_dur_ms"),
+        F.round(F.percentile("duration_ms", F.lit(0.99)), 1).alias("p99_dur_ms"),
+        F.sum("map_tasks").alias("total_maps"),
+        F.sum("reduce_tasks").alias("total_reduces"),
+        F.max("duration_ms").alias("max_dur_ms"),
+    )

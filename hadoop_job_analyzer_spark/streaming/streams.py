@@ -685,3 +685,52 @@ def stream_windowed_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(spark, agg, "stream_windowed_apdex", "complete")
+
+
+DOCS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def docs_stream_dir(sf_dir: str) -> str:
+    """documents.parquet staged as a file-stream directory (symlink)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(_ARTIFACTS, f"docs_src_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "documents"), link)
+    return d
+
+
+@query(
+    "stream_near_dedup_norm",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[0-9]+', '0', 'g'))))
+            AS BIGINT) AS n_canonical_docs
+FROM documents GROUP BY lang
+""",
+)
+def stream_near_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate dedup via canonical-form fingerprints:
+    each arriving document is normalized statelessly (lowercase, digits
+    collapsed to 0, trimmed — the normalization-based dedup family, the
+    only near-dup discipline that is a pure per-row map and therefore
+    streams without a pre-aggregation), fingerprinted with md5, and
+    deduped in the state store on the fingerprint; the doubled source
+    guarantees duplicate pressure. MinHash-LSH needs a per-doc
+    aggregation before its dedup and therefore runs in foreachBatch at
+    scale (see stream_foreach_batch for that seam) — this key is the
+    within-the-stream-graph shape.
+
+    State = one fingerprint per canonical doc, partitioned by the hash
+    in the state store; with a watermarked ingest time,
+    dropDuplicatesWithinWatermark bounds it at 100 TB/day.
+    """
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA).format("parquet").load(docs_stream_dir(sf_dir))
+    )
+    doubled = raw.union(raw)
+    canon = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0")))
+    deduped = doubled.withColumn("fp", canon).dropDuplicates(["fp"])
+    agg = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_canonical_docs"))
+    return run_to_memory(spark, agg, "stream_near_dedup_norm", "complete")

@@ -79,3 +79,53 @@ def test_components_full_never_coarser_than_capped(spark, sf_dir):
     n_capped = capped.select("component").distinct().count()
     n_full = full.select("component").distinct().count()
     assert n_full <= n_capped
+
+
+def test_job_summary_covers_all_frameworks(spark, sf_dir):
+    out = queries()["ops_job_summary_report"](spark, sf_dir).collect()
+    from hadoop_job_analyzer_spark.sources.fixtures import jobs_records
+
+    recs = jobs_records()
+    assert sum(r.n_jobs for r in out) == len(recs)
+    assert {r.framework for r in out} == {x["framework"] for x in recs}
+    for r in out:
+        assert 0.0 <= r.bad_rate <= 1.0
+        assert r.p50_dur_ms <= r.p99_dur_ms <= r.max_dur_ms
+
+
+def test_stream_near_dedup_matches_batch_twin(spark, sf_dir):
+    """Streaming/batch equivalence (the §5.4 streaming self-oracle)."""
+    out = {r.lang: r.n_canonical_docs for r in queries()["stream_near_dedup_norm"](spark, sf_dir).collect()}
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0")))
+    batch = {
+        r.lang: r.n
+        for r in d.select("lang", canon.alias("fp")).groupBy("lang").agg(F.countDistinct("fp").alias("n")).collect()
+    }
+    assert out == batch
+
+
+def test_mahalanobis_scores_are_chi2_shaped(spark, sf_dir):
+    out = queries()["emb_outlier_mahalanobis"](spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == n_vecs
+    assert all(r.maha2 >= 0 for r in out)
+    # mean of maha2 over each label ~ dim (exact under the diagonal model:
+    # sum over dims of normalized variance contributions averages to dim)
+    import collections
+
+    by_label = collections.defaultdict(list)
+    for r in out:
+        by_label[r.label].append(r.maha2)
+    for label, scores in by_label.items():
+        m = sum(scores) / len(scores)
+        assert abs(m - 64.0) < 1.0, (label, m)
+
+
+def test_dup_gram_mass_bounds(spark, sf_dir):
+    out = queries()["text_dup_gram_mass"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r.dup_mass <= 1.0
+        assert r.dup_gram_occ <= r.total_gram_occ
+        assert r.n_docs_majority_dup <= r.n_docs
