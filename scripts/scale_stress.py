@@ -121,6 +121,18 @@ QUERIES = [
     "profile_column_stats",
     "text_casing_profile",
     "win_rank_delta_daily",
+    # r5 keys — every new key carries a curve (the r4 discipline)
+    "sink_metrics_lines",
+    "dedup_near_minhash_full",
+    "dedup_components_full",
+    "emb_kmeans_iterative",
+    "mm_modality_mix_report",
+    "sim_range_search",
+    "corpus_epoch_plan",
+    "ops_job_summary_report",
+    "stream_near_dedup_norm",
+    "emb_outlier_mahalanobis",
+    "text_dup_gram_mass",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated

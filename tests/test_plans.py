@@ -442,3 +442,27 @@ def test_day_grid_global_windows_are_whitelisted_and_documented(plan):
     for key in ("ts_cumulative_daily", "win_rank_delta_daily"):
         doc = (reg[key].__doc__ or "").lower()
         assert "calendar" in doc or "bounded" in doc
+
+
+def test_metrics_sink_is_single_shuffle(plan):
+    """sink_metrics_lines: one hash exchange for the hourly rollup; the
+    stack-to-lines projection is per-row and must add no exchange."""
+    p = plan("sink_metrics_lines")
+    assert p.count("Exchange") == 1
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_mahalanobis_moments_are_broadcast(plan):
+    """emb_outlier_mahalanobis: the (label, dim) moment frame is
+    metadata-sized and must broadcast back to the scoring stage."""
+    p = plan("emb_outlier_mahalanobis")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p  # no windows anywhere in this plan
+
+
+def test_kmeans_codebook_joins_are_broadcast(plan):
+    """emb_kmeans_iterative: every per-round codebook join (k x 64 cells)
+    must broadcast — the vector side never reshuffles for the codebook."""
+    p = plan("emb_kmeans_iterative")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
