@@ -2142,3 +2142,99 @@ def emb_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("maha2"),
         F.when(F.col("score") > _KM_DIM * 2.0, 1).otherwise(0).alias("is_outlier"),
     )
+
+
+_DECON_EMB_MIN_COS = 0.4
+_DECON_EMB_CAP = 64  # per (bucket, side) pair-generation cap (decon_near_minhash rule)
+
+
+@query(
+    "decon_embedding",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}, capped AS (
+  SELECT d.doc_id, d.lang, d.source, a.cen_id
+  FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY a.cen_id, (d.source = 'src0') ORDER BY d.doc_id
+  ) <= {_DECON_EMB_CAP}
+), hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM capped t
+  JOIN capped b ON b.cen_id = t.cen_id AND b.source = 'src0'
+  JOIN embeddings et ON et.vec_id = t.doc_id
+  JOIN embeddings eb ON eb.vec_id = b.doc_id
+  WHERE t.source <> 'src0'
+    AND ROUND(list_cosine_similarity(CAST(et.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6)
+        >= {_DECON_EMB_MIN_COS}
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_rate
+FROM documents d
+JOIN embeddings e ON e.vec_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.source <> 'src0'
+GROUP BY d.lang
+""",
+)
+def decon_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space decontamination — completes the decon quartet
+    (exact hash / minhash-LSH / n-gram overlap / semantic embedding):
+    per language, train docs (source ≠ src0) whose embedding sits within
+    cosine ≥ 0.4 of any benchmark doc (src0) in its IVF bucket — the
+    paraphrase-leak detector that survives rewording no lexical pass
+    catches.
+
+    Scale shape mirrors decon_near_minhash: both sides IVF-assigned
+    (broadcast codebook), a 64-doc per-(bucket, side) cap bounds the
+    train×bench pair join at 64×64 per bucket at ANY corpus size, the
+    cosine threshold runs inside the join stage (JVM lambda dot — no
+    Python), and the hit set joins back as a 32-byte-id membership
+    probe. Own-bucket-only matching is the recall tradeoff the bucketed
+    dedup keys document; multi-probe (sim_knn_join_bucketed's anchor
+    replication) is the recall fix at real scale.
+    """
+    from .llm import _dot
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = d.join(e, d.doc_id == e.vec_id).select("doc_id", "lang", "source", "embedding")
+    assigned = docs.join(
+        _ivf_assign(e).withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    )
+    cap_w = Window.partitionBy("cen_id", F.col("source") == "src0").orderBy("doc_id")
+    capped = (
+        assigned.withColumn("_rn", F.row_number().over(cap_w))
+        .where(F.col("_rn") <= _DECON_EMB_CAP)
+        .drop("_rn")
+        .persist()
+    )
+    train = capped.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("t_id"), F.col("cen_id"), F.col("embedding").alias("t_emb")
+    )
+    bench = capped.where(F.col("source") == "src0").select(
+        F.col("cen_id"), F.col("embedding").alias("b_emb")
+    )
+    cos = F.round(
+        _dot(F.col("t_emb"), F.col("b_emb"))
+        / F.sqrt(_dot(F.col("t_emb"), F.col("t_emb")) * _dot(F.col("b_emb"), F.col("b_emb"))),
+        6,
+    )
+    hits = (
+        train.join(bench, "cen_id")
+        .where(cos >= _DECON_EMB_MIN_COS)
+        .select(F.col("t_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    base = docs.where(F.col("source") != "src0").select("doc_id", "lang")
+    n_cont = F.sum(F.coalesce("_hit", F.lit(0)))
+    return base.join(hits, "doc_id", "left").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont.cast("double") / F.count(F.lit(1)), 6).alias("contamination_rate"),
+    )

@@ -2126,3 +2126,45 @@ def text_dup_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_majority_dup"
         ),
     )
+
+
+@query(
+    "win_percent_rank_global",
+    oracle="""
+WITH activity AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       ROUND(PERCENT_RANK() OVER (ORDER BY n_events DESC, user_id ASC), 6)
+         AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY n_events DESC, user_id ASC), 6)
+         AS cume_dist
+FROM activity
+""",
+)
+def win_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global PERCENT_RANK + CUME_DIST over every user's activity —
+    WITHOUT a single-partition window: the ordering key (n_events DESC,
+    user_id) is unique per row, so rank == row_number and both
+    quantities are closed forms of the distributed_rank output
+    (pct = (rn−1)/(N−1), cume = rn/N — the definitions SQL uses when
+    no ties exist, which the unique tie-break guarantees in BOTH
+    engines).
+
+    Plan: per-user count (partial-agg'd), distributed_rank (range
+    partition + per-partition row_number + broadcast offsets — the
+    win_activity_rank_global machinery), one metadata-sized count
+    broadcast for N. Each division is a single IEEE op on exact
+    integers, rounded once — hash-deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ranked = distributed_rank(activity, F.col("n_events").desc(), F.col("user_id").asc())
+    n = activity.count()
+    return ranked.select(
+        "user_id",
+        "n_events",
+        F.round((F.col("rn") - 1).cast("double") / F.lit(float(n - 1)), 6).alias("pct_rank"),
+        F.round(F.col("rn").cast("double") / F.lit(float(n)), 6).alias("cume_dist"),
+    )

@@ -281,3 +281,97 @@ def set_union_byname_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n_with_value"),
         F.count("props").alias("n_with_props"),
     )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey, c_acctbal FROM customer
+), changes AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+  FROM dim WHERE {_SCD_BUCKET} = 0
+), scd AS (
+  SELECT d.c_custkey, d.c_acctbal, 1 AS version,
+         DATE '1992-01-01' AS valid_from, DATE '9999-12-31' AS valid_to
+  FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changes)
+  UNION ALL
+  SELECT d.c_custkey, d.c_acctbal, 1 AS version,
+         DATE '1992-01-01', DATE '1995-01-01'
+  FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changes)
+  UNION ALL
+  SELECT c_custkey, new_bal, 2 AS version, DATE '1995-01-01', DATE '9999-12-31'
+  FROM changes
+)
+SELECT s.version,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_custkeys,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_spend,
+       ROUND(CAST(SUM(CAST(s.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_bal_at_order
+FROM orders o
+JOIN scd s ON s.c_custkey = o.o_custkey
+          AND o.o_orderdate >= s.valid_from AND o.o_orderdate < s.valid_to
+GROUP BY s.version
+""",
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD-type-2 dimension — the read
+    side of merge_scd2's write verb: each order joins the dimension
+    VERSION that was valid on its order date (validity windows: the
+    changed 10% flip from v1 to v2 on 1995-01-01; everyone else is v1
+    forever), then rolls up per version — "what did the customer look
+    like WHEN the fact happened", the question SCD2 exists to answer.
+
+    Plan shape: the validity predicate is a residual filter on an
+    EQUI hash join (custkey) — never a range-only join — so at 100 TB
+    the fact side streams through one hash probe; the dimension's
+    ~1.1 rows/key never blow up the build side. avg balance follows
+    the exact-decimal-sum / bigint-count division discipline
+    (AVG over c_acctbal's 2-dp values is exact in decimal on both
+    engines, rounded once).
+    """
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    b = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10
+    )
+    changes = dim.where(b == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("new_bal")
+    )
+    ckeys = changes.select("c_custkey")
+    d0 = F.lit("1992-01-01").cast("date")
+    d1 = F.lit("1995-01-01").cast("date")
+    d9 = F.lit("9999-12-31").cast("date")
+    scd = (
+        dim.join(F.broadcast(ckeys), "c_custkey", "left_anti")
+        .select("c_custkey", "c_acctbal", F.lit(1).alias("version"),
+                d0.alias("valid_from"), d9.alias("valid_to"))
+        .unionByName(
+            dim.join(F.broadcast(ckeys), "c_custkey", "left_semi").select(
+                "c_custkey", "c_acctbal", F.lit(1).alias("version"),
+                d0.alias("valid_from"), d1.alias("valid_to"))
+        )
+        .unionByName(
+            changes.select(
+                "c_custkey", F.col("new_bal").alias("c_acctbal"),
+                F.lit(2).alias("version"), d1.alias("valid_from"), d9.alias("valid_to"))
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    joined = o.join(
+        scd,
+        (o.o_custkey == scd.c_custkey)
+        & (o.o_orderdate >= scd.valid_from)
+        & (o.o_orderdate < scd.valid_to),
+    )
+    return joined.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_spend"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_bal_at_order"),
+    )

@@ -129,3 +129,33 @@ def test_dup_gram_mass_bounds(spark, sf_dir):
         assert 0.0 <= r.dup_mass <= 1.0
         assert r.dup_gram_occ <= r.total_gram_occ
         assert r.n_docs_majority_dup <= r.n_docs
+
+
+def test_decon_embedding_rates_bounded(spark, sf_dir):
+    out = queries()["decon_embedding"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r.contamination_rate <= 1.0
+        assert r.n_contaminated <= r.n_train
+
+
+def test_scd2_lookup_partitions_orders(spark, sf_dir):
+    """Every order matches exactly one dimension version (validity
+    windows partition the timeline), so version rollups sum to |orders|."""
+    out = queries()["join_scd2_pointintime"](spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in out) == n_orders
+    assert {r.version for r in out} <= {1, 2}
+
+
+def test_percent_rank_endpoints(spark, sf_dir):
+    out = sorted(
+        queries()["win_percent_rank_global"](spark, sf_dir).collect(),
+        key=lambda r: r.pct_rank,
+    )
+    assert out[0].pct_rank == 0.0
+    assert out[-1].pct_rank == 1.0
+    assert abs(out[-1].cume_dist - 1.0) < 1e-9
+    # monotone: higher pct_rank never has more events
+    for a, b in zip(out, out[1:]):
+        assert a.n_events >= b.n_events
