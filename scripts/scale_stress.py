@@ -133,6 +133,9 @@ QUERIES = [
     "stream_near_dedup_norm",
     "emb_outlier_mahalanobis",
     "text_dup_gram_mass",
+    "decon_embedding",
+    "join_scd2_pointintime",
+    "win_percent_rank_global",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
