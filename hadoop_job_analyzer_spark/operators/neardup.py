@@ -2238,3 +2238,75 @@ def decon_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cont.alias("n_contaminated"),
         F.round(n_cont.cast("double") / F.count(F.lit(1)), 6).alias("contamination_rate"),
     )
+
+
+def _binq_oracle() -> str:
+    half = _KM_DIM // 2
+    # CASE (lazy per-row) rather than FILTER: DuckDB evaluates aggregate
+    # arguments for every row before filtering, and the out-of-segment
+    # shift amounts would be negative/overflowing.
+    w1 = f"""SUM(CASE WHEN u.i <= {half} AND embedding[u.i] >= 0
+                 THEN (1::BIGINT << (u.i - 1)) ELSE 0 END)"""
+    w2 = f"""SUM(CASE WHEN u.i > {half} AND embedding[u.i] >= 0
+                 THEN (1::BIGINT << (u.i - {half} - 1)) ELSE 0 END)"""
+    return f"""
+WITH sig AS (
+  SELECT vec_id,
+         CAST({w1} AS BIGINT) AS sig_lo,
+         CAST({w2} AS BIGINT) AS sig_hi
+  FROM embeddings, UNNEST(generate_series(1, {_KM_DIM})) AS u(i)
+  GROUP BY vec_id
+), q AS (
+  SELECT sig_lo AS q_lo, sig_hi AS q_hi FROM sig WHERE vec_id = 0
+)
+SELECT s.vec_id, s.sig_lo, s.sig_hi,
+       CAST(bit_count(CAST(xor(s.sig_lo, q.q_lo) AS BIGINT))
+          + bit_count(CAST(xor(s.sig_hi, q.q_hi) AS BIGINT)) AS INT) AS hamming_to_q
+FROM sig s CROSS JOIN q
+WHERE s.vec_id <> 0
+"""
+
+
+@query("emb_binary_quantize", oracle=_binq_oracle())
+def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) quantization of every embedding into two 32-bit
+    words + Hamming distance to the query vector (vec_id=0) — the
+    64×-compression tier below int8 (emb_quantize_int8) and PQ
+    (emb_pq_quantize): binary signatures turn candidate generation into
+    xor+popcount, the cheapest ANN pre-filter there is (rerank the
+    Hamming top-k with true cosine — sim_cosine_topk's job).
+
+    All-integer pipeline, so hash-exact with no float policy at all:
+    bit i set iff dim i ≥ 0, packed via exact power-of-two literals
+    (two 32-bit halves — a 1<<63 would overflow signed int64 in both
+    engines), distance = popcount(xor) per word. One zip_with fold per
+    word (JVM lambda), one broadcast of the 16-byte query signature;
+    at 100 TB signatures are a 16-byte column you persist next to the
+    vectors and scan at memory bandwidth.
+    """
+    half = _KM_DIM // 2
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def word(lo: int) -> F.Column:
+        bits = F.array(*[F.lit(1 << i).cast("long") for i in range(half)])
+        seg = F.slice(F.col("embedding"), lo + 1, half)
+        contrib = F.zip_with(
+            seg, bits, lambda x, b: F.when(x >= 0, b).otherwise(F.lit(0).cast("long"))
+        )
+        return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sig = e.select(
+        "vec_id", word(0).alias("sig_lo"), word(half).alias("sig_hi")
+    ).persist()
+    q = sig.where(F.col("vec_id") == 0).select(
+        F.col("sig_lo").alias("q_lo"), F.col("sig_hi").alias("q_hi")
+    )
+    ham = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("int")
+    return (
+        sig.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "sig_lo", "sig_hi", ham.alias("hamming_to_q"))
+    )

@@ -578,3 +578,67 @@ def ops_job_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("reduce_tasks").alias("total_reduces"),
         F.max("duration_ms").alias("max_dur_ms"),
     )
+
+
+_DIRTY_CSV = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures", "nations_dirty.csv",
+)
+
+
+@query(
+    "scan_csv_malformed_permissive",
+    oracle=f"""
+WITH good AS (
+  SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+  FROM read_csv('{_DIRTY_CSV}', header=false,
+    columns={{'n_nationkey':'INT','n_name':'VARCHAR','n_regionkey':'INT','n_comment':'VARCHAR'}},
+    ignore_errors=true)
+  GROUP BY n_regionkey
+), totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM read_csv('{_DIRTY_CSV}', header=false, columns={{'line':'VARCHAR'}},
+                delim=chr(1), quote='')
+)
+SELECT g.n_regionkey, g.n_rows, g.max_key,
+       CAST(t.n_lines - (SELECT SUM(n_rows) FROM good) AS BIGINT) AS n_corrupt_total
+FROM good g CROSS JOIN totals t
+""",
+)
+def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-CSV ingest under PERMISSIVE mode: a nation-shaped file where
+    every 7th line is malformed (non-numeric key, wrong arity). The scan
+    must (a) parse every clean line, (b) quarantine — not crash on, not
+    silently drop — the bad ones into the corrupt-record column, and
+    (c) report both: the per-region rollup of good rows plus the total
+    corrupt count. The real-ingest contract at 100 TB: a crawl delivery
+    with 0.1% bad lines must not kill the job NOR skew the stats
+    silently (DROPMALFORMED's failure mode).
+
+    Oracle: DuckDB ignore_errors=true supplies the good rows; the
+    corrupt total is total-raw-lines minus good (raw lines read with a
+    never-occurring delimiter) — an independent derivation of the same
+    quarantine count.
+    """
+    from ..sources.fixtures import ensure_malformed_csv
+
+    path = ensure_malformed_csv()
+    raw = (
+        spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT, n_comment STRING, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    ).persist()
+    good = raw.where(F.col("_corrupt").isNull())
+    n_corrupt = raw.where(F.col("_corrupt").isNotNull()).count()
+    return (
+        good.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("n_nationkey").cast("long").alias("max_key"),
+        )
+        .withColumn("n_corrupt_total", F.lit(n_corrupt).cast("long"))
+    )

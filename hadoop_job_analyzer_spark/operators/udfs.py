@@ -20,6 +20,7 @@ places (l_quantity is integral; prices have 2dp).
 from __future__ import annotations
 
 import math
+from typing import Iterator, Tuple
 
 import pandas as pd
 
@@ -377,4 +378,43 @@ def udtf_python_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT e.event_id, t.k_value "
         "FROM hja_events_udtf e, LATERAL hja_extract_json(e.props, 'k') t"
+    )
+
+
+@query(
+    "udf_pandas_iter",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+FROM lineitem
+""",
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-batches pandas UDF (SCALAR_ITER) — the third Arrow
+    UDF shape beside per-batch scalar (udf_pandas_scalar) and
+    mapInPandas (udf_map_in_arrow): the worker sees an iterator over
+    ALL of its partition's Arrow batches in one Python process, which
+    is the shape you want when per-worker setup is expensive (load a
+    model/tokenizer ONCE before the loop, then stream batches through
+    it). Here the "expensive init" is a trivial constant so the math
+    stays an exact IEEE expression; the seam where a real model load
+    goes is marked.
+    """
+    # typing.Iterator/Tuple (module-level imports, not builtins): the
+    # pandas_udf signature parser evaluates the annotation strings in
+    # the function's MODULE globals and only recognizes the
+    # typing-module spellings.
+    @F.pandas_udf("double")
+    def charge(
+        batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        one = 1.0  # per-worker init happens HERE, once per executor task
+        for price, disc, tax in batches:
+            yield price * (one - disc) * (one + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")).alias("charge"),
     )

@@ -137,3 +137,21 @@ def ensure_zlib_ratio() -> str:
             path,
         )
     return path
+
+
+def ensure_malformed_csv() -> str:
+    """Nation-shaped CSV with deterministic malformed lines (every 7th:
+    a non-numeric key and a missing column) — the dirty-ingest fixture
+    for scan_csv_malformed_permissive. Both engines must classify the
+    same lines as bad: the corruption is unambiguous (type violation in
+    column 1 + wrong arity)."""
+    os.makedirs(_FIXDIR, exist_ok=True)
+    path = os.path.join(_FIXDIR, "nations_dirty.csv")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            for i in range(100):
+                if i % 7 == 3:
+                    f.write(f"BADKEY{i},corrupted\n")
+                else:
+                    f.write(f"{i},NATION {i},{i % 5},steady comment {i}\n")
+    return path

@@ -159,3 +159,30 @@ def test_percent_rank_endpoints(spark, sf_dir):
     # monotone: higher pct_rank never has more events
     for a, b in zip(out, out[1:]):
         assert a.n_events >= b.n_events
+
+
+def test_binary_quantize_hamming_bounds(spark, sf_dir):
+    out = queries()["emb_binary_quantize"](spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == n_vecs - 1  # query vector excluded
+    for r in out:
+        assert 0 <= r.hamming_to_q <= 64
+        assert 0 <= r.sig_lo < (1 << 32) and 0 <= r.sig_hi < (1 << 32)
+
+
+def test_malformed_csv_quarantine_exact(spark, sf_dir):
+    out = queries()["scan_csv_malformed_permissive"](spark, sf_dir).collect()
+    # fixture: 100 lines, every i % 7 == 3 malformed → 14 corrupt, 86 good
+    assert all(r.n_corrupt_total == 14 for r in out)
+    assert sum(r.n_rows for r in out) == 86
+
+
+def test_pandas_iter_matches_jvm_expression(spark, sf_dir):
+    out = queries()["udf_pandas_iter"](spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    jvm = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * (1.0 + F.col("l_tax"))).alias("charge"),
+    )
+    assert out.exceptAll(jvm).count() == 0 and jvm.exceptAll(out).count() == 0
