@@ -2310,3 +2310,173 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", "sig_lo", "sig_hi", ham.alias("hamming_to_q"))
     )
+
+
+_RERANK_SHORTLIST = 32  # Hamming-stage candidates
+_RERANK_K = 10  # final exact top-k
+
+
+def _rerank_oracle() -> str:
+    half = _KM_DIM // 2
+    w1 = f"""SUM(CASE WHEN u.i <= {half} AND embedding[u.i] >= 0
+                 THEN (1::BIGINT << (u.i - 1)) ELSE 0 END)"""
+    w2 = f"""SUM(CASE WHEN u.i > {half} AND embedding[u.i] >= 0
+                 THEN (1::BIGINT << (u.i - {half} - 1)) ELSE 0 END)"""
+    return f"""
+WITH sig AS (
+  SELECT vec_id,
+         CAST({w1} AS BIGINT) AS sig_lo,
+         CAST({w2} AS BIGINT) AS sig_hi
+  FROM embeddings, UNNEST(generate_series(1, {_KM_DIM})) AS u(i)
+  GROUP BY vec_id
+), q AS (
+  SELECT sig_lo AS q_lo, sig_hi AS q_hi FROM sig WHERE vec_id = 0
+), shortlist AS (
+  SELECT s.vec_id,
+         CAST(bit_count(CAST(xor(s.sig_lo, q.q_lo) AS BIGINT))
+            + bit_count(CAST(xor(s.sig_hi, q.q_hi) AS BIGINT)) AS INT) AS hamming
+  FROM sig s CROSS JOIN q
+  WHERE s.vec_id <> 0
+  QUALIFY ROW_NUMBER() OVER (ORDER BY hamming ASC, s.vec_id ASC) <= {_RERANK_SHORTLIST}
+)
+SELECT vec_id, hamming, cosine, rank_pos FROM (
+  SELECT sl.vec_id, sl.hamming,
+         ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                      CAST(qv.embedding AS DOUBLE[])), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                                 CAST(qv.embedding AS DOUBLE[])), 6) DESC,
+                    sl.vec_id ASC) AS rank_pos
+  FROM shortlist sl
+  JOIN embeddings v ON v.vec_id = sl.vec_id
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qv
+)
+WHERE rank_pos <= {_RERANK_K}
+"""
+
+
+@query("sim_rerank_two_stage", oracle=_rerank_oracle())
+def sim_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: binary-signature Hamming shortlist (top-32,
+    xor+popcount over the emb_binary_quantize signatures) → EXACT cosine
+    rerank (top-10) over the shortlist only — the canonical
+    cheap-filter-then-exact-rerank composition every production vector
+    search runs (the binary stage scans 16-byte signatures at memory
+    bandwidth; the float math touches 32 vectors no matter how big the
+    corpus is).
+
+    Stage 1 is all-integer (hash-exact for free, ties broken by vec_id);
+    stage 2's cosines go through the JVM lambda dot on exactly the
+    shortlist. Both top-ks are orderBy().limit() — distributed
+    TakeOrdered, no global window over data-sized input (the final rank
+    window sees ≤32 rows).
+    """
+    from .llm import _dot
+
+    half = _KM_DIM // 2
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def word(lo: int) -> F.Column:
+        bits = F.array(*[F.lit(1 << i).cast("long") for i in range(half)])
+        seg = F.slice(F.col("embedding"), lo + 1, half)
+        contrib = F.zip_with(
+            seg, bits, lambda x, b: F.when(x >= 0, b).otherwise(F.lit(0).cast("long"))
+        )
+        return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sig = e.select("vec_id", word(0).alias("sig_lo"), word(half).alias("sig_hi"))
+    q = sig.where(F.col("vec_id") == 0).select(
+        F.col("sig_lo").alias("q_lo"), F.col("sig_hi").alias("q_hi")
+    )
+    ham = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("int")
+    shortlist = (
+        sig.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(_RERANK_SHORTLIST)
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_emb"))
+        / F.sqrt(
+            _dot(F.col("embedding"), F.col("embedding")) * _dot(F.col("q_emb"), F.col("q_emb"))
+        ),
+        6,
+    )
+    reranked = (
+        shortlist.join(e, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "hamming", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(_RERANK_K)
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return reranked.withColumn("rank_pos", F.row_number().over(w))
+
+
+def _keeper_quality_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_PAIRS_ORACLE}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+), comp AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+), keepers AS (
+  SELECT c.component, d.doc_id AS keeper_doc_id, d.n_chars AS keeper_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY c.component ORDER BY d.n_chars DESC, d.doc_id ASC
+  ) = 1
+)
+SELECT k.component,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       k.keeper_doc_id,
+       CAST(k.keeper_chars AS BIGINT) AS keeper_chars
+FROM comp c
+JOIN keepers k ON k.component = c.component
+GROUP BY k.component, k.keeper_doc_id, k.keeper_chars
+"""
+
+
+@query("dedup_keeper_quality", oracle=_keeper_quality_oracle())
+def dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-based keeper selection over the near-dup components:
+    instead of min-doc_id (dedup_components' tie-break, which throws
+    away the best copy whenever a longer/cleaner duplicate has a higher
+    id), each cluster keeps its LONGEST document (n_chars, ties → lowest
+    id) — what production dedup actually does (keep the highest-quality
+    representative, drop the rest).
+
+    Composition: the label-propagation components (shared machinery),
+    one join to the documents' metadata (id + n_chars only — never the
+    text), and a per-component argmax via min(struct(-n_chars, doc_id))
+    — partial-aggregatable, so the keeper election is one bounded
+    shuffle over (component, 16-byte struct) rows.
+    """
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = comp.join(d, "doc_id")
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))).alias("_k"),
+        )
+        .select(
+            "component",
+            "cluster_size",
+            F.col("_k.doc_id").alias("keeper_doc_id"),
+            (-F.col("_k.neg")).cast("long").alias("keeper_chars"),
+        )
+    )

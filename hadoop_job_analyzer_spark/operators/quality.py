@@ -2168,3 +2168,74 @@ def win_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("rn") - 1).cast("double") / F.lit(float(n - 1)), 6).alias("pct_rank"),
         F.round(F.col("rn").cast("double") / F.lit(float(n)), 6).alias("cume_dist"),
     )
+
+
+@query(
+    "agg_session_bounce_rate",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         FIRST(event_type ORDER BY ts, event_id) AS entry_type
+  FROM numbered GROUP BY user_id, session_idx
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM sessions GROUP BY entry_type
+""",
+)
+def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type — the product-analytics KPI on
+    top of the win_sessionize machinery: single-event sessions / all
+    sessions, split by the first event's type (which page/action the
+    session landed on).
+
+    Same gaps-and-islands pipeline (one user partitioning serves all
+    three windows), sessions collapse to one row each, then a
+    #entry-types-cell rollup — nothing beyond win_sessionize's shuffle
+    budget. Entry type via min(event_type ORDER BY ts) mirrored as
+    min_by struct in Spark (ties impossible: ts strictly ordered within
+    a session after the event_id tie-break).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sessions = numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))).alias("_first"),
+    )
+    sessions = sessions.select(
+        "n_events", F.col("_first.event_type").alias("entry_type")
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        F.round(bounces.cast("double") / F.count(F.lit(1)), 6).alias("bounce_rate"),
+    )

@@ -186,3 +186,41 @@ def test_pandas_iter_matches_jvm_expression(spark, sf_dir):
         (F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * (1.0 + F.col("l_tax"))).alias("charge"),
     )
     assert out.exceptAll(jvm).count() == 0 and jvm.exceptAll(out).count() == 0
+
+
+def test_rerank_two_stage_subset_of_shortlist(spark, sf_dir):
+    out = queries()["sim_rerank_two_stage"](spark, sf_dir).collect()
+    assert len(out) == 10
+    assert [r.rank_pos for r in sorted(out, key=lambda r: r.rank_pos)] == list(range(1, 11))
+    # cosine ordering is consistent with rank
+    ranked = sorted(out, key=lambda r: r.rank_pos)
+    for a, b in zip(ranked, ranked[1:]):
+        assert a.cosine >= b.cosine
+
+
+def test_bounce_rate_consistency(spark, sf_dir):
+    out = queries()["agg_session_bounce_rate"](spark, sf_dir).collect()
+    sessions = queries()["win_sessionize"](spark, sf_dir)
+    n_sessions = sessions.count()
+    n_bounces = sessions.where(F.col("n_events") == 1).count()
+    assert sum(r.n_sessions for r in out) == n_sessions
+    assert sum(r.n_bounces for r in out) == n_bounces
+
+
+def test_keeper_quality_beats_min_id(spark, sf_dir):
+    """Quality keeper must have n_chars >= the min-id keeper's n_chars
+    in every cluster (argmax property), and cluster sizes must agree
+    with dedup_components."""
+    q = queries()
+    kq = {r.component: r for r in q["dedup_keeper_quality"](spark, sf_dir).collect()}
+    comp = q["dedup_components"](spark, sf_dir).collect()
+    d = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars").rdd.map(tuple).collect()
+    )
+    import collections
+
+    sizes = collections.Counter(r.component for r in comp)
+    assert {c: r.cluster_size for c, r in kq.items()} == dict(sizes)
+    for c, r in kq.items():
+        assert r.keeper_chars >= d[c]  # component label IS the min doc_id
