@@ -832,3 +832,81 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "join_q4_priority_semi",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08
+)
+GROUP BY o_orderpriority
+""",
+)
+def join_q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: count orders, per priority
+    class, having at least one qualifying line (here: deep-discount,
+    l_discount ≥ 0.08 — this fixture has no commit/receipt dates, so
+    the lateness predicate is adapted; the PLAN is Q4's: EXISTS →
+    left-semi join → tiny rollup).
+
+    Scale shape: the semi-join probes lineitem's filtered keys
+    (projection = the 8-byte orderkey only, predicate pushed to the
+    scan), never materializes the match multiplicity, and the rollup is
+    #priorities cells — Q4 is THE benchmark for exists-decorrelation
+    and this is the same Catalyst rewrite join_left_semi pins.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.where(F.col("l_discount") >= 0.08).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(keys, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "join_q18_large_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(t.sum_qty AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+) t ON t.l_orderkey = o.o_orderkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+""",
+)
+def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): aggregate lineitem per order,
+    HAVING filters the heavy ones, join back to orders, global top-20
+    by price — the agg→having→join-back→top-k composition that stresses
+    whether the HAVING filter lands BEFORE the join (it must: the
+    filtered aggregate is tiny, so AQE broadcasts it into orders).
+
+    Quantities are integral doubles, so their sums are exact in ANY
+    accumulation order — no decimal policy needed (the one float-sum
+    case that's naturally deterministic). Top-20 is TakeOrdered
+    (distributed partial top-k), never a global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    return (
+        o.join(heavy, "o_orderkey")
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
