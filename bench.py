@@ -79,6 +79,14 @@ HEADLINE = [
     "ts_seasonal_strength_dow",
     # r4 wave 10: the ops flagship composition
     "ops_session_report_e2e",
+    # r5 flagships: cap-safe LSH + components, iterative k-means, the
+    # two-stage rerank, corpus dup-mass report, upstream job report
+    "dedup_near_minhash_full",
+    "dedup_components_full",
+    "emb_kmeans_iterative",
+    "sim_rerank_two_stage",
+    "text_dup_gram_mass",
+    "ops_job_summary_report",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]

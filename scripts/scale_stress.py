@@ -136,6 +136,14 @@ QUERIES = [
     "decon_embedding",
     "join_scd2_pointintime",
     "win_percent_rank_global",
+    "emb_binary_quantize",
+    "scan_csv_malformed_permissive",
+    "udf_pandas_iter",
+    "sim_rerank_two_stage",
+    "agg_session_bounce_rate",
+    "dedup_keeper_quality",
+    "join_q4_priority_semi",
+    "join_q18_large_orders",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
