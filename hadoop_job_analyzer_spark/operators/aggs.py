@@ -131,16 +131,41 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketches differ across engines by design
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= GREATEST(2, 0.05 * COUNT(DISTINCT user_id)) AS within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct users per event type.
+    """HLL approximate distinct users per event type — the 100 TB path
+    for distinct counting: constant memory per group vs countDistinct's
+    row expansion.
 
-    The 100 TB path for distinct counting: constant memory per group vs
-    countDistinct's row expansion. Self-check (tests): within 5% of exact.
+    Round-6 reshape (VERDICT r5 task #3): HLL sketches differ across
+    engines by design, so instead of emitting the raw estimate (which
+    only a rows-only check could grade) the key emits the exact count
+    plus a ``within_5pct`` verdict comparing EACH ENGINE'S OWN sketch
+    estimate against its own exact count under the same max(2, 5%)
+    tolerance — a deterministic boolean both engines agree on, making
+    the key hash-gradeable while still exercising the sketch path.
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    ).select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_users_exact"))
+            <= F.greatest(F.lit(2.0), 0.05 * F.col("n_users_exact"))
+        ).alias("within_5pct"),
     )
 
 
@@ -829,4 +854,45 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("n_chars").alias("n_distinct_lengths"),
         F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+WITH ua AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS n_events,
+       ROUND(SUM(CAST(x AS DOUBLE) * LN(CAST(x AS DOUBLE))) / CAST(SUM(x) AS DOUBLE)
+             - LN(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS theil_t
+FROM ua GROUP BY event_type
+""",
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-user activity, per event type —
+    the log-based concentration companion to agg_gini_user_activity
+    (Gini needs a rank, Theil doesn't: T = Σ(x·ln x)/Σx − ln(Σx/n) is
+    a pure two-level aggregation). Zero inequality ⇒ 0; all activity
+    on one user ⇒ ln n. The per-(type,user) counts are exact integers;
+    the only float work is one ln per user and a final closed form, so
+    both shuffles are partial-agg'd and the group state is 3 numbers —
+    flat to any corpus size. ROUND(...,6) absorbs the ~1e-11 cross-
+    engine accumulation-order noise of the Σ x·ln x double sum
+    (_common.py policy for intrinsically-float aggregates).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("x"))
+    xd = F.col("x").cast("double")
+    return ua.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("n_events"),
+        F.round(
+            F.sum(xd * F.log(xd)) / F.sum("x").cast("double")
+            - F.log(F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("theil_t"),
     )

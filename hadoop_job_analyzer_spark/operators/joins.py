@@ -910,3 +910,73 @@ def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "join_q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def join_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by ship year — the 5-way snowflake whose selectivity lives
+    in the DIMENSIONS, not the fact table. Plan shape that matters at
+    100 TB: the two single-nation filters shrink supplier and customer
+    to ~1/25 each BEFORE their joins; nation (25 rows) is explicitly
+    broadcast, while the filtered supplier/customer sides are left to
+    AQE — it broadcasts them while they fit and falls back to a keyed
+    shuffle when a 100 TB customer/25 no longer does (the r4 policy:
+    no forced broadcasts whose safety depends on data volume). The
+    shipdate range predicate is pushed to the lineitem scan.
+
+    Revenue follows the decimal(38,6) exact-sum policy (_common.py);
+    the year-pair group count is ~4 rows, so the final agg is
+    metadata-sized regardless of input scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n.where(pair)), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n.where(pair)), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    joined = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

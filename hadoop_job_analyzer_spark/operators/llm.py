@@ -384,15 +384,17 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is only valid while anchors fit comfortably in driver memory. The
     # cap (1M × 64-dim f64 ≈ 512 MB) is far above every test SF; at corpus
     # scale use the IVF-partitioned twin instead of raising it.
-    n_anchors = anchors.count()
-    if n_anchors > _BRUTE_FORCE_MAX_ROWS:
+    # The cap is enforced by the collect itself (limit cap+1, then check
+    # length) instead of a separate count() action — one scan, not two, so
+    # the frozen-basket timing stays comparable to rounds 1-4 (ADVICE r5).
+    a_pdf = anchors.limit(_BRUTE_FORCE_MAX_ROWS + 1).toPandas()
+    if len(a_pdf) > _BRUTE_FORCE_MAX_ROWS:
         raise ValueError(
             f"sim_knn_join is the brute-force recall baseline and collects "
-            f"the anchor matrix on the driver ({n_anchors} anchors > cap "
-            f"{_BRUTE_FORCE_MAX_ROWS}). Use sim_knn_join_bucketed "
+            f"the anchor matrix on the driver (> cap "
+            f"{_BRUTE_FORCE_MAX_ROWS} anchors). Use sim_knn_join_bucketed "
             f"(neardup.py), the IVF-partitioned scale path."
         )
-    a_pdf = anchors.toPandas()
     a_ids = a_pdf["vec_id"].to_numpy()
     if len(a_ids) == 0:
         return spark.createDataFrame(

@@ -2165,7 +2165,11 @@ def win_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "user_id",
         "n_events",
-        F.round((F.col("rn") - 1).cast("double") / F.lit(float(n - 1)), 6).alias("pct_rank"),
+        # max(n-1, 1): SQL PERCENT_RANK defines the single-row case as 0.0;
+        # a bare n-1 denominator would divide by zero (NULL) with one user.
+        F.round((F.col("rn") - 1).cast("double") / F.lit(float(max(n - 1, 1))), 6).alias(
+            "pct_rank"
+        ),
         F.round(F.col("rn").cast("double") / F.lit(float(n)), 6).alias("cume_dist"),
     )
 

@@ -559,7 +559,14 @@ def ops_job_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the agg_percentile_exact note: at 100 TB of job history
     switch to approx_percentile's mergeable KLL sketch).
     """
-    path = ensure_jobs_jsonl()
+    return job_summary_report_at(spark, ensure_jobs_jsonl())
+
+
+def job_summary_report_at(spark: SparkSession, path: str) -> DataFrame:
+    """ops_job_summary_report's plan over an arbitrary jobs-JSONL path —
+    shared with scripts/scale_stress.py, which stages inflated copies so
+    the report path gets a REAL scale curve (r5 verdict task #8) instead
+    of the fixture-sized flat line."""
     schema = (
         "job_id STRING, user STRING, framework STRING, status STRING, "
         "submit_ts TIMESTAMP, duration_ms BIGINT, map_tasks INT, reduce_tasks INT, "

@@ -413,7 +413,22 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_mergeable")  # rows-only: DataSketches HLL has no DuckDB twin
+@query(
+    "sketch_hll_mergeable",
+    oracle="""
+SELECT event_type AS scope,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= GREATEST(2, 0.05 * COUNT(DISTINCT user_id)) AS within_5pct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__ALL__' AS scope,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= GREATEST(2, 0.05 * COUNT(DISTINCT user_id)) AS within_5pct
+FROM events
+""",
+)
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RE-AGGREGATABLE distinct counts via DataSketches HLL — the cube
     pattern that makes 100 TB rollups cheap: build per-group sketches
@@ -422,26 +437,42 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-scanning the fact table. countDistinct cannot do
     this — distinct counts are not additive, sketches are.
 
-    Output: per-event-type estimated distinct users plus the '__ALL__'
-    row computed by MERGING the five per-type sketches (never
-    re-reading events) — the union estimate is the proof the state is
-    mergeable. Sketch state is order-invariant (pure hash-set union),
-    so estimates are deterministic run to run; tests hold every
-    estimate within 5% of the exact count and the merged row to the
-    exact global distinct. lgK=12 ⇒ ~2.5 KB per sketch, <2% rse.
+    Output (round-6 reshape, VERDICT r5 task #3): DataSketches HLL has
+    no DuckDB twin, so each row now carries the exact distinct count
+    plus a ``within_5pct`` verdict holding THIS engine's sketch
+    estimate to its own exact count under max(2, 5%) — the oracle runs
+    the same verdict with DuckDB's approx_count_distinct, and both
+    sides hash-match on (scope, exact, boolean). The '__ALL__' row's
+    estimate is still computed by MERGING the five per-type sketches
+    (never re-reading events) — the union estimate is the proof the
+    state is mergeable — while its exact count comes from a separate
+    global distinct (exact counts are NOT mergeable; that asymmetry is
+    the point of the key). lgK=12 ⇒ ~2.5 KB per sketch, <2% rse.
     """
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("n_users_exact"),
     )
     per = per.persist()  # two consumers: per-type estimates + the union
+    verdict = F.abs(F.col("_est") - F.col("n_users_exact")) <= F.greatest(
+        F.lit(2.0), 0.05 * F.col("n_users_exact")
+    )
     typed = per.select(
         F.col("event_type").alias("scope"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_users_exact",
+        F.hll_sketch_estimate("sk").alias("_est"),
+    ).select("scope", "n_users_exact", verdict.alias("within_5pct"))
+    global_exact = ev.agg(F.countDistinct("user_id").alias("n_users_exact"))
+    merged = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("__ALL__").alias("scope"),
+            "n_users_exact",
+            verdict.alias("within_5pct"),
+        )
     )
-    merged = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
-    ).select(F.lit("__ALL__").alias("scope"), "est_users")
     return typed.unionByName(merged)
 
 

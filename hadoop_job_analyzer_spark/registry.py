@@ -61,15 +61,37 @@ _OP_MODULES = (
 
 _loaded = False
 
-# Round-5 driver window (the driver hard-verifies the FIRST 50 keys of
-# ``queries()``). Module import order above is constrained by oracle
-# composition (neardup needs llm, corpus needs textops), so the window is
-# pinned here explicitly instead of via module rotation: 49 keys that have
-# never appeared in CORRECTNESS_r01-r04 (33 quality + 14 corpus + first 2
-# sketches) plus ``agg_collect_sorted``, whose only driver datapoint is a
-# stale round-2 ERR (fixed since; pinned by tests/test_catalog_types.py).
-# After round 5, cumulative driver coverage = 151/253 distinct keys.
-# tests/test_registry.py pins this property.
+# ---------------------------------------------------------------------------
+# DRIVER-WINDOW ROTATION POLICY (documented per ADVICE r5 #2)
+#
+# The external driver hard-verifies (hash vs DuckDB) only the FIRST 50 keys
+# of ``queries()`` each round. With a 275-key surface, a fixed order would
+# leave 225 keys permanently outside the external gate, so the window is
+# ROTATED each round onto keys the driver has never sampled, until every key
+# has been driver-hash-verified at least once. The policy, explicitly:
+#
+#   1. Every key stays registered and sweep-verified (scripts/sweep_oracle.py
+#      runs the driver's own comparator over ALL keys at both SFs each round;
+#      logs committed under verification/). Rotation changes only WHICH 50
+#      get the external hard signal this round, never what is tested.
+#   2. Keys added or behaviour-changed in the CURRENT round are placed INSIDE
+#      the current window whenever slots allow, so new code cannot dodge the
+#      external gate (the r5 ADVICE concern): the r6 window carries the three
+#      keys whose output shape changed this round (agg_approx_distinct,
+#      sketch_hll_mergeable, emb_pca_top_component — reshaped from rows-only
+#      to hash-gradeable) and every brand-new r6 key.
+#   3. Remaining slots go to the largest never-sampled pools, oldest first.
+#   4. The rotation schedule is committed ahead of time (see _R7_WINDOW plan
+#      below), so the sample is predictable, not curated after the fact.
+#
+# Cumulative driver-hash coverage: r1-r3 = 102 keys, r4 = +49, r5 = +50
+# (151 total). r6 window below = 50 keys (44 never-sampled + 3 reshaped +
+# 3 new) -> cumulative ~201. _R7_WINDOW (planned, see comment after the
+# tuple) takes 50 of the ~74 then-remaining never-sampled keys; r8 closes
+# the rest. tests/test_registry.py pins the window-first property.
+# ---------------------------------------------------------------------------
+
+# Round-5 window, kept for provenance (CORRECTNESS_r05 sampled these).
 _R5_WINDOW = (
     "agg_collect_sorted",
     "agg_first_digit_benford",
@@ -123,12 +145,102 @@ _R5_WINDOW = (
     "sketch_kmv_distinct",
 )
 
+# Round-6 driver window: 21 fn_* scalar keys + 13 streaming keys + 10
+# UDF/UDTF keys (the three biggest never-sampled pools, VERDICT r5 task #1)
+# + the 3 keys reshaped this round from rows-only to hash-gradeable
+# (VERDICT r5 task #3) + the 3 brand-new r6 keys (policy rule 2 above).
+_R6_WINDOW = (
+    # never-sampled: the whole §2.H scalar-function family
+    "fn_string_basic",
+    "fn_string_split",
+    "fn_regexp_extract",
+    "fn_hash",
+    "fn_date_parts",
+    "fn_date_trunc",
+    "fn_date_arith",
+    "fn_math",
+    "fn_conditional",
+    "fn_cast",
+    "fn_array_basic",
+    "fn_array_higher_order",
+    "fn_json",
+    "fn_map_ops",
+    "fn_variant_semistructured",
+    "fn_levenshtein_fuzzy",
+    "fn_try_arithmetic",
+    "fn_bitwise",
+    "fn_url_parse",
+    "fn_trig",
+    "fn_base64_roundtrip",
+    # never-sampled: the whole §2.I streaming family
+    "stream_file_source",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session_window",
+    "stream_late_data",
+    "stream_dedup",
+    "stream_stateful_counter",
+    "stream_foreach_batch",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_custom_sessionize",
+    "stream_windowed_apdex",
+    "stream_near_dedup_norm",
+    # never-sampled: the whole §2.J UDF/UDAF/UDTF family
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_apply_in_pandas",
+    "udtf_cogroup_pandas",
+    "udf_map_in_arrow",
+    "udtf_python",
+    "udtf_python_analyze",
+    "udf_pandas_iter",
+    "udf_sql_registered",
+    # reshaped this round (rows-only -> hash-gradeable; output changed)
+    "agg_approx_distinct",
+    "sketch_hll_mergeable",
+    "emb_pca_top_component",
+    # new this round (policy rule 2: new keys face the external gate)
+    "join_q7_volume_shipping",
+    "agg_theil_index",
+    "text_edit_distance_join",
+)
+
+# _R7_WINDOW plan (VERDICT r5 task #2 — committed ahead of time): the 50
+# slots go to the never-sampled remainder, largest pools first:
+#   - 9 setops/merge: set_union_all, set_union_distinct, set_intersect,
+#     set_except, merge_scd2, set_except_all, set_intersect_all,
+#     set_symmetric_diff, set_union_byname_evolution, join_scd2_pointintime
+#   - 5 scans/sinks: sink_jsonl_roundtrip, scan_partition_pruned_read,
+#     sink_metrics_lines, ops_job_summary_report, scan_csv_malformed_permissive
+#   - 5 multimodal: mm_decode_meta, mm_frame_sample, mm_audio_features,
+#     mm_image_resize, mm_modality_mix_report
+#   - 4 sketches: sketch_bloom_membership, sketch_histogram_quantile,
+#     sketch_heavy_hitters, sketch_ams_selfjoin_size
+#   - 4 sorts: sort_multi_null, limit_topk_global, distinct_values,
+#     sort_pagination_page2
+#   - 12 agg: agg_percentile_exact, agg_pivot_wide, agg_unpivot_melt,
+#     agg_bool_count_if, agg_string_concat_ordered, agg_regr_slope_grouped,
+#     agg_bitmap_types, agg_gini_user_activity, agg_mode_exact,
+#     agg_moments_skew, agg_weighted_median, agg_dow_hour_heatmap
+#   - 10 text/emb/dedup: text_langid, text_quality, text_token_stats,
+#     text_fingerprint, text_lm_unigram_score, dedup_near_minhash_full,
+#     dedup_components_full, emb_mrl_truncate_recall, emb_pq_quantize,
+#     graph_degree_stats
+#   plus any keys added in round 7 itself (displacing tail items to r8).
+# Round 8 then closes the ~30 remaining (agg_multi_distinct, sim_*/emb_*
+# wave-19+ keys, join_q4/q18/range_bucketed/bloom_prejoin, filter_blocklist,
+# corpus_epoch_plan, text wave-2 tail, win_percent_rank_global,
+# agg_session_bounce_rate, text_dup_gram_mass, ...), reaching 275/275
+# driver-hash coverage.
+
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R5_WINDOW if k in d}
+    head = {k: d[k] for k in _R6_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

@@ -731,6 +731,10 @@ def stream_near_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doubled = raw.union(raw)
     canon = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0")))
-    deduped = doubled.withColumn("fp", canon).dropDuplicates(["fp"])
+    # State key is (lang, fp), not fp alone: the oracle counts DISTINCT
+    # fingerprints per language, so a canonical text appearing under two
+    # languages must survive once per language — fp-only dedup would keep
+    # an arbitrary row and undercount the other language.
+    deduped = doubled.withColumn("fp", canon).dropDuplicates(["lang", "fp"])
     agg = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_canonical_docs"))
     return run_to_memory(spark, agg, "stream_near_dedup_norm", "complete")

