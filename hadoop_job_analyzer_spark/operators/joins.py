@@ -980,3 +980,54 @@ def join_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lineitems"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+@query(
+    "join_q19_disjunctive",
+    oracle=f"""
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 30 AND l.l_quantity BETWEEN 20 AND 40)
+GROUP BY p.p_brand
+""",
+)
+def join_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): a join whose predicate is an
+    OR-of-ANDs SPANNING both tables — the shape naive planners execute
+    as join-everything-then-filter. What Catalyst does instead (and why
+    this key exists): each disjunct's single-table conjuncts are
+    extracted and pushed through the OR, so the part scan receives
+    (brand1 ∧ size≤10) ∨ (brand2 ∧ size≤20) ∨ (brand3 ∧ size≤30) and
+    lineitem receives the quantity-band union — both BEFORE the join,
+    shrinking the build side ~25× at the scan. The residual cross-table
+    disjunction evaluates post-join on survivors only. At 100 TB the
+    pushed brand/size filter is also a row-group pruning predicate in
+    parquet (min/max stats), so most part row groups never decompress.
+
+    Revenue follows the decimal(38,6) exact-sum policy; the output is
+    a ≤3-row per-brand rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(band)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )

@@ -2243,3 +2243,115 @@ def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounces.alias("n_bounces"),
         F.round(bounces.cast("double") / F.count(F.lit(1)), 6).alias("bounce_rate"),
     )
+
+
+@query(
+    "win_new_vs_returning",
+    oracle="""
+WITH fe AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+), daily AS (
+  SELECT a.day,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM act a JOIN fe f USING (user_id)
+  GROUP BY a.day
+)
+SELECT day, n_active, n_new,
+       CAST(n_active - n_new AS BIGINT) AS n_returning,
+       CAST(SUM(n_new) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users,
+       ROUND(CAST(n_new AS DOUBLE) / n_active, 6) AS new_share
+FROM daily
+""",
+)
+def win_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users split into NEW (first-ever
+    day) vs RETURNING, plus the cumulative registered-user curve — the
+    first chart on every growth dashboard and the denominator feed for
+    retention math (cohort_retention's day-0 row is exactly n_new).
+
+    Plan: per-user first day (one partial-agg'd groupBy), distinct
+    (user, day) activity (one dedup shuffle), an equi-join on user_id
+    (both sides user-hash-partitioned), then a ≤#days rollup. The
+    cumulative sum is a running frame over the DAY GRID — a
+    calendar-bounded partition-less window (≤ a few thousand rows at
+    any corpus size; the whitelisted day-grid pattern, see
+    ts_cumulative_daily). n_returning is derived as active − new
+    (identical integers both engines) rather than a second conditional
+    sum.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fe = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("first_day"))
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    daily = (
+        act.join(fe, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+        )
+    )
+    w_day = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w_day).alias("cum_users"),
+        F.round(F.col("n_new").cast("double") / F.col("n_active"), 6).alias("new_share"),
+    )
+
+
+@query(
+    "ts_burstiness_fano",
+    oracle="""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND((CAST(SUM(n * n) AS DOUBLE) / COUNT(*)
+              - POW(CAST(SUM(n) AS DOUBLE) / COUNT(*), 2))
+             / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS fano
+FROM h GROUP BY event_type
+""",
+)
+def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type: the Fano factor (dispersion index)
+    variance/mean of the hourly arrival counts over OBSERVED hour
+    buckets — ≈1 for Poisson-like traffic, ≫1 for bursty/incident-drive
+    n arrivals, ≪1 for rate-limited/heartbeat streams. Complements the
+    seasonal keys (ts_seasonal_strength_dow asks "is there a weekly
+    pattern"; this asks "how clumpy is it at all").
+
+    Exactness: hourly counts n are integers, so Σn and Σn² are exact
+    BIGINTs in any accumulation order — the variance-over-mean is then
+    a fixed chain of IEEE divisions on exact integers, rounded once
+    (no decimal machinery needed; the agg_moments_skew discipline with
+    integer inputs). Two partial-agg'd groupBys: hour buckets
+    (#types × #hours cells), then #types cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cnt = F.count(F.lit(1))
+    mean = F.sum("n").cast("double") / cnt
+    return h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("n_events"),
+        F.round(
+            (F.sum(F.col("n") * F.col("n")).cast("double") / cnt - F.pow(mean, F.lit(2)))
+            / mean,
+            6,
+        ).alias("fano"),
+    )

@@ -144,6 +144,14 @@ QUERIES = [
     "dedup_keeper_quality",
     "join_q4_priority_semi",
     "join_q18_large_orders",
+    # r6 keys
+    "join_q7_volume_shipping",
+    "agg_theil_index",
+    "text_edit_distance_join",
+    "emb_pca_top_component",
+    "join_q19_disjunctive",
+    "win_new_vs_returning",
+    "ts_burstiness_fano",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
@@ -199,6 +207,7 @@ def _inflate_jobs(out_dir: str, k: int) -> str:
 def inflate(spark, k: int, skew: bool = False) -> str:
     out_dir = f"{OUT}/{'skew_' if skew else ''}x{k}"
     if os.path.exists(f"{out_dir}/_DONE"):
+        _inflate_jobs(out_dir, k)  # r6 addition; older cached dirs lack it
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:

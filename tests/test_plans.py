@@ -466,3 +466,30 @@ def test_kmeans_codebook_joins_are_broadcast(plan):
     p = plan("emb_kmeans_iterative")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q19_disjunction_pushes_to_both_scans(plan):
+    """join_q19_disjunctive: Catalyst must extract each OR-branch's
+    single-table conjuncts and push the disjunction to BOTH scans —
+    part receives the brand/size band union, lineitem the quantity band
+    union — so neither side is scanned unfiltered."""
+    p = plan("join_q19_disjunctive")
+    assert "PushedFilters: [IsNotNull(p_partkey), Or(" in p or (
+        "p_brand" in p.split("PushedFilters")[1][:400]
+    )
+    # lineitem side: the quantity-band union reaches its scan too
+    li_pushed = [s for s in p.split("PushedFilters: ")[1:] if "l_quantity" in s[:400]]
+    assert li_pushed, "quantity disjunction not pushed to the lineitem scan"
+
+
+def test_q7_filters_dimensions_before_join(plan):
+    """join_q7_volume_shipping: the nation-pair filter must reach the
+    nation scans (dims shrink before joining) and the shipdate range
+    must be pushed to the lineitem scan."""
+    p = plan("join_q7_volume_shipping")
+    assert any(
+        "n_name" in s[:300] for s in p.split("PushedFilters: ")[1:]
+    ), "nation-name filter not pushed to the nation scan"
+    assert any(
+        "l_shipdate" in s[:300] for s in p.split("PushedFilters: ")[1:]
+    ), "shipdate range not pushed to the lineitem scan"
