@@ -649,3 +649,90 @@ def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .withColumn("n_corrupt_total", F.lit(n_corrupt).cast("long"))
     )
+
+
+_ROWGROUPS_PARQUET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "rowgroups.parquet",
+)
+
+
+@query(
+    "scan_parquet_metadata",
+    oracle=f"""
+SELECT CAST(row_group_id AS INT) AS row_group_id,
+       path_in_schema AS column_name,
+       CAST(num_values AS BIGINT) AS num_values,
+       CAST(stats_null_count AS BIGINT) AS n_nulls,
+       stats_min_value AS min_value,
+       stats_max_value AS max_value
+FROM parquet_metadata('{_ROWGROUPS_PARQUET}')
+""",
+)
+def scan_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER audit: per-(row group, column) value counts, null
+    counts and min/max statistics read straight from the file metadata —
+    no data pages touched. This is the layout-observability tool behind
+    every 100 TB pruning decision: whether a range predicate can skip
+    row groups is exactly whether these min/max tiles are disjoint (the
+    fixture's sorted ids tile [0,4096) across 8 groups — the layout a
+    clustered write produces and a zone-map scan exploits).
+
+    Plan shape: a DataFrame of file paths fans out via mapInPandas and
+    each task opens ONLY the footer of its files (pyarrow ParquetFile
+    .metadata — ~KB reads regardless of file size). At corpus scale the
+    path list is millions of files and this is an embarrassingly
+    parallel metadata sweep — the audit that finds unsorted/bloated
+    layouts BEFORE they burn a full-scan query. Oracle: DuckDB's
+    parquet_metadata() over the same fixture — two independent footer
+    parsers must agree byte-for-byte on the stats.
+    """
+    import pandas as pd
+
+    from ..sources.fixtures import ensure_rowgroup_parquet
+
+    path = ensure_rowgroup_parquet()
+    paths = spark.createDataFrame([(path,)], "path string")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq_
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq_.ParquetFile(p).metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    for j in range(rg.num_columns):
+                        c = rg.column(j)
+                        st = c.statistics
+                        rows.append(
+                            (
+                                i,
+                                c.path_in_schema,
+                                c.num_values,
+                                st.null_count if st is not None else None,
+                                str(st.min) if st is not None and st.has_min_max else None,
+                                str(st.max) if st is not None and st.has_min_max else None,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "row_group_id",
+                    "column_name",
+                    "num_values",
+                    "n_nulls",
+                    "min_value",
+                    "max_value",
+                ],
+            )
+
+    return paths.repartition(1).mapInPandas(
+        read_footers,
+        schema=(
+            "row_group_id int, column_name string, num_values bigint, "
+            "n_nulls bigint, min_value string, max_value string"
+        ),
+    )

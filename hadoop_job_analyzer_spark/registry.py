@@ -211,8 +211,9 @@ _R6_WINDOW = (
 # slots open with the r6 wave-2 keys that arrived after the r6 window was
 # already full (policy rule 2 — they must face the external gate at the
 # first opportunity): join_q19_disjunctive, win_new_vs_returning,
-# ts_burstiness_fano. The remaining slots go to the never-sampled
-# remainder, largest pools first:
+# ts_burstiness_fano, scan_parquet_metadata, agg_percentile_approx_verdict.
+# The remaining slots go to the never-sampled remainder, largest pools
+# first:
 #   - 9 setops/merge: set_union_all, set_union_distinct, set_intersect,
 #     set_except, merge_scd2, set_except_all, set_intersect_all,
 #     set_symmetric_diff, set_union_byname_evolution, join_scd2_pointintime

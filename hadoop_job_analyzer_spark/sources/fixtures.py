@@ -155,3 +155,25 @@ def ensure_malformed_csv() -> str:
                 else:
                     f.write(f"{i},NATION {i},{i % 5},steady comment {i}\n")
     return path
+
+
+def ensure_rowgroup_parquet() -> str:
+    """A parquet file with MANY row groups and sorted, non-overlapping
+    per-group id ranges — the fixture for scan_parquet_metadata (the
+    footer/statistics audit key). 4096 rows, row_group_size=512 ⇒ 8 row
+    groups whose id min/max tile [0, 4096) — the layout a range query
+    can prune against. Deterministic (ids sorted, grp = id % 4)."""
+    import pyarrow as pa
+
+    os.makedirs(_FIXDIR, exist_ok=True)
+    path = os.path.join(_FIXDIR, "rowgroups.parquet")
+    if not os.path.exists(path):
+        n = 4096
+        tbl = pa.table(
+            {
+                "id": pa.array(range(n), type=pa.int64()),
+                "grp": pa.array([f"g{i % 4}" for i in range(n)], type=pa.string()),
+            }
+        )
+        pq.write_table(tbl, path, row_group_size=512)
+    return path

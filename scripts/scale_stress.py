@@ -152,6 +152,8 @@ QUERIES = [
     "join_q19_disjunctive",
     "win_new_vs_returning",
     "ts_burstiness_fano",
+    "scan_parquet_metadata",
+    "agg_percentile_approx_verdict",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated

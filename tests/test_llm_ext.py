@@ -201,3 +201,31 @@ def test_bucketed_knn_join_recall_and_exactness(spark, sf_dir):
                 hits += 1
         total += len(brute[a])
     assert total and hits / total >= 0.2, f"recall@3 {hits}/{total}"
+
+
+def test_components_deep_chain_converges_within_round_cap(spark, sf_dir):
+    """A 500-node PATH graph has diameter 499: one-hop min propagation
+    alone cannot converge within the 20-round cap (it moves the min
+    label one hop per round), so correct labels on this graph prove the
+    deferred pointer-jump is live and gives the documented O(log d)
+    convergence — the correctness-at-scale property, not a perf nicety."""
+    from pyspark.sql import functions as F
+
+    from hadoop_job_analyzer_spark.catalog import load_table
+    from hadoop_job_analyzer_spark.operators.neardup import _min_label_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = sorted(r.doc_id for r in docs.collect())
+    assert len(ids) >= 100, "fixture unexpectedly small for a deep-chain test"
+    chain = spark.createDataFrame(
+        [(a, b) for a, b in zip(ids, ids[1:])], "doc_a bigint, doc_b bigint"
+    )
+    out = {
+        r.doc_id: (r.component, r.is_keeper)
+        for r in _min_label_components(spark, sf_dir, chain).collect()
+    }
+    # every chained doc must collapse to the global min; exactly one keeper
+    mn = ids[0]
+    for d in ids:
+        assert out[d][0] == mn, (d, out[d])
+    assert sum(k for (_, k) in out.values()) == 1
