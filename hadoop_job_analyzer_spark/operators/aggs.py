@@ -941,3 +941,258 @@ def agg_percentile_approx_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
             & (approx <= F.expr("percentile(value, 0.99)"))
         ).alias("within_band"),
     )
+
+
+_PSI_BINS = 10
+_KS_BINS = 256
+
+
+@query(
+    "agg_psi_drift",
+    oracle=f"""
+WITH rng AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), t AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR((value - rng.mn) / ((rng.mx - rng.mn) / {_PSI_BINS}.0)) AS INT),
+               {_PSI_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, rng GROUP BY 1, 2
+), grid AS (
+  SELECT et.event_type, gb.bin
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT UNNEST(generate_series(0, {_PSI_BINS - 1})) AS bin) gb
+), f AS (
+  SELECT g.event_type, g.bin, COALESCE(t.n, 0) AS n
+  FROM grid g LEFT JOIN t ON t.event_type = g.event_type AND t.bin = g.bin
+), tot AS (
+  SELECT bin, CAST(SUM(n) AS BIGINT) AS gn FROM f GROUP BY bin
+), per AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn FROM f GROUP BY event_type
+), alln AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS all_n FROM f
+)
+SELECT f.event_type,
+       per.tn AS n_events,
+       ROUND(SUM(
+         ((f.n + 0.5) / (per.tn + {_PSI_BINS} * 0.5)
+          - (tot.gn + 0.5) / (alln.all_n + {_PSI_BINS} * 0.5))
+         * LN(((f.n + 0.5) / (per.tn + {_PSI_BINS} * 0.5))
+              / ((tot.gn + 0.5) / (alln.all_n + {_PSI_BINS} * 0.5)))
+       ), 6) AS psi
+FROM f JOIN tot USING (bin) JOIN per USING (event_type) CROSS JOIN alln
+GROUP BY 1, 2
+""",
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each event type's value distribution
+    vs the global mix — THE standard ML-ops drift score (<0.1 stable,
+    0.1-0.25 shifting, >0.25 drifted), here over 10 fixed-width
+    bins with Laplace 0.5-smoothing so empty bins are well-defined at any
+    fixture size (deterministic in both engines; no data-dependent
+    decile boundaries to disagree on).
+
+    Scale shape: one global min/max (metadata broadcast), one binning
+    map, one (type, bin) partial-agg'd count — <= #types x 10 cells of
+    shuffle state at any corpus size; the PSI fold is a fixed chain of
+    IEEE ops over exact integers, rounded once. The per-type ln sum has
+    ≤10 terms so accumulation order cannot move the 6th decimal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / _PSI_BINS))
+            .cast("int"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    t = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin")))
+    )
+    f = grid.join(t, ["event_type", "bin"], "left").select(
+        "event_type", "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    f = f.persist()  # three consumers: per-bin totals, per-type totals, the fold
+    tot = f.groupBy("bin").agg(F.sum("n").alias("gn"))
+    per = f.groupBy("event_type").agg(F.sum("n").alias("tn"))
+    alln = f.agg(F.sum("n").alias("all_n"))
+    smooth = _PSI_BINS * 0.5
+    p = (F.col("n") + 0.5) / (F.col("tn") + smooth)
+    q = (F.col("gn") + 0.5) / (F.col("all_n") + smooth)
+    return (
+        f.join(tot, "bin")
+        .join(per, "event_type")
+        .crossJoin(F.broadcast(alln))
+        .groupBy("event_type", F.col("tn").alias("n_events"))
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+    )
+
+
+@query(
+    "agg_ks_binned_drift",
+    oracle=f"""
+WITH rng AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), t AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR((value - rng.mn) / ((rng.mx - rng.mn) / {_KS_BINS}.0)) AS INT),
+               {_KS_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, rng GROUP BY 1, 2
+), grid AS (
+  SELECT et.event_type, gb.bin
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT UNNEST(generate_series(0, {_KS_BINS - 1})) AS bin) gb
+), f AS (
+  SELECT g.event_type, g.bin, COALESCE(t.n, 0) AS n
+  FROM grid g LEFT JOIN t ON t.event_type = g.event_type AND t.bin = g.bin
+), c AS (
+  SELECT event_type, bin, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tn
+  FROM f
+), g AS (
+  SELECT bin,
+         CAST(SUM(n) AS BIGINT) AS gn
+  FROM f GROUP BY bin
+), gc AS (
+  SELECT bin,
+         CAST(SUM(gn) OVER (ORDER BY bin) AS BIGINT) AS gcum,
+         CAST(SUM(gn) OVER () AS BIGINT) AS all_n
+  FROM g
+)
+SELECT c.event_type,
+       c.tn AS n_events,
+       ROUND(MAX(ABS(CAST(c.cum AS DOUBLE) / c.tn
+                     - CAST(gc.gcum AS DOUBLE) / gc.all_n)), 6) AS ks_d
+FROM c JOIN gc USING (bin)
+GROUP BY 1, 2
+""",
+)
+def agg_ks_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov distance between each event
+    type's value distribution and the global mix: D = max over the
+    256-bin grid of |CDF_type − CDF_global| — the
+    distribution-shape drift detector that complements PSI's
+    mass-reallocation score (KS is sensitive to WHERE mass moved, PSI
+    to how much). Binned deliberately: exact KS needs a rank over every
+    value (a global-sort shape); the 256-bin CDF bounds the
+    error at 1/256 while keeping ALL state <= #types x 256
+    integer cells — partial-agg'd, mergeable, flat at any corpus size.
+    Both cumsum windows run over the bounded bin grid (<=256 rows
+    per partition — the whitelisted calendar/grid window class), never
+    over data rows. MAX of exact-integer-ratio differences is
+    accumulation-order-free, rounded once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / _KS_BINS))
+            .cast("int"),
+            F.lit(_KS_BINS - 1),
+        ).alias("bin"),
+    )
+    t = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_KS_BINS).select(F.col("id").cast("int").alias("bin")))
+    )
+    f = grid.join(t, ["event_type", "bin"], "left").select(
+        "event_type", "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    f = f.persist()  # two consumers: per-type CDF and the global CDF
+    w_t = Window.partitionBy("event_type").orderBy("bin")
+    c = f.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(w_t).alias("cum"),
+        F.sum("n").over(Window.partitionBy("event_type")).alias("tn"),
+    )
+    g = f.groupBy("bin").agg(F.sum("n").alias("gn"))
+    w_g = Window.orderBy("bin")
+    gc = g.select(
+        "bin",
+        F.sum("gn").over(w_g).alias("gcum"),
+        F.sum("gn").over(Window.partitionBy()).alias("all_n"),
+    )
+    return (
+        c.join(gc, "bin")
+        .groupBy("event_type", F.col("tn").alias("n_events"))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum").cast("double") / F.col("tn")
+                        - F.col("gcum").cast("double") / F.col("all_n")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+    )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(b.lo, 6) AS p05,
+       ROUND(b.hi, 6) AS p95,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi) AS DECIMAL(38,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS winsorized_mean,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+         AS raw_mean
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, b.lo, b.hi
+""",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type (values clamped to the group's own
+    [p05, p95] before averaging), reported beside the raw mean — the
+    robust-location staple that makes corrupted-tail metrics readable
+    (one 1e9 outlier moves a raw mean arbitrarily; it moves the
+    winsorized mean by at most p95−p05 weight). The p05/p95 bounds are
+    exact per-group percentiles (bounded group count — the
+    agg_percentile_exact discipline; at 100 TB swap in the
+    agg_percentile_approx_verdict sketch bounds).
+
+    Two-pass shape: percentile agg to ≤#types rows (broadcast back),
+    then one clamp map + decimal-exact sum — both aggregations
+    partial-agg'd, the join a broadcast, no second full shuffle. The
+    clamped addends follow the decimal(38,6) policy; the interpolated
+    bounds appear as addends only for clamped rows (≤10% of each
+    group, one distinct value per side).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    n = F.count(F.lit(1))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            n.alias("n_events"),
+            F.round(F.first("lo"), 6).alias("p05"),
+            F.round(F.first("hi"), 6).alias("p95"),
+            F.round(dsum(clamped) / n, 6).alias("winsorized_mean"),
+            F.round(dsum("value") / n, 6).alias("raw_mean"),
+        )
+    )

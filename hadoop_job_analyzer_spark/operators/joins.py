@@ -1031,3 +1031,76 @@ def join_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+@query(
+    "join_q21_sole_failing_supplier",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), r_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), multi AS (
+  SELECT r.l_orderkey, r.l_suppkey FROM r_pairs r
+  WHERE EXISTS (SELECT 1 FROM pairs o
+                WHERE o.l_orderkey = r.l_orderkey AND o.l_suppkey <> r.l_suppkey)
+), only_failed AS (
+  SELECT m.l_orderkey, m.l_suppkey FROM multi m
+  WHERE NOT EXISTS (SELECT 1 FROM r_pairs r2
+                    WHERE r2.l_orderkey = m.l_orderkey AND r2.l_suppkey <> m.l_suppkey)
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM only_failed o JOIN supplier s ON s.s_suppkey = o.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+""",
+)
+def join_q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this fixture's columns (return flag stands in for the missing
+    receipt/commit dates): suppliers whose lines were RETURNED on
+    multi-supplier orders where NO OTHER supplier's lines were returned
+    — the double-correlated-subquery shape (EXISTS + NOT EXISTS against
+    the same fact table) that separates planners which decorrelate from
+    planners which re-scan per row.
+
+    Spark-first decorrelation, explicit: both subqueries become keyed
+    joins on the DISTINCT (orderkey, suppkey) pair sets — EXISTS → a
+    left-semi join (other-supplier pairs on the order), NOT EXISTS → a
+    left-anti join (other RETURNED pairs) — so the fact table is scanned
+    ONCE for each pair set and everything after is hash-partitioned on
+    l_orderkey (two shuffles of 16-byte pairs, never lineitem rows).
+    The final top-20 is TakeOrdered, not a global sort. At 100 TB both
+    pair sets are ~|orders|·avg-suppliers rows — the dedup happens
+    BEFORE the self-joins, which is the whole trick.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    r_pairs = (
+        li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    multi = r_pairs.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
+        "left_semi",
+    )
+    other_r = r_pairs.select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    )
+    only_failed = multi.join(
+        other_r,
+        (F.col("l_orderkey") == F.col("r_ok")) & (F.col("l_suppkey") != F.col("r_sk")),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        only_failed.join(s, only_failed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

@@ -1205,3 +1205,55 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("lag").agg(
         n.alias("n_pairs"), F.round(r, 6).alias("autocorr")
     )
+
+
+_SURV_THRESHOLDS = ((60, "1m"), (300, "5m"), (1800, "30m"), (7200, "2h"), (86400, "1d"))
+
+
+def _surv_oracle() -> str:
+    cols = ",\n       ".join(
+        f"ROUND(SUM(CASE WHEN gap_sec > {t} THEN 1 ELSE 0 END)"
+        f" / CAST(COUNT(*) AS DOUBLE), 6) AS surv_{lbl}"
+        for t, lbl in _SURV_THRESHOLDS
+    )
+    return f"""
+WITH g AS (
+  SELECT date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_sec
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       {cols}
+FROM g WHERE gap_sec IS NOT NULL
+"""
+
+
+@query("win_survival_gap_curve", oracle=_surv_oracle())
+def win_survival_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival function of inter-event gaps at the operating thresholds
+    (1m/5m/30m/2h/1d): the fraction of per-user gaps EXCEEDING each —
+    the tuning curve behind every sessionization and watermark choice
+    in this repo (win_sessionize's 30-minute gap and the streaming
+    keys' 2-hour watermark are points ON this curve: surv_30m is
+    exactly the share of would-be session breaks, surv_2h the share of
+    events a 2 h watermark would call late). win_gap_distribution bins
+    the same gaps; this key reads off the cumulative tail at the five
+    thresholds operators actually choose between.
+
+    One per-user lag window (the single-shuffle win_lag_lead shape),
+    then ONE ungrouped partial aggregation — 6 integers of state total.
+    Survival ratios are exact-integer divisions rounded once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")).alias("gap_sec")
+    gaps = ev.select(gap).where(F.col("gap_sec").isNotNull())
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n_gaps")] + [
+        F.round(
+            F.sum(F.when(F.col("gap_sec") > t, 1).otherwise(0)) / n.cast("double"), 6
+        ).alias(f"surv_{lbl}")
+        for t, lbl in _SURV_THRESHOLDS
+    ]
+    return gaps.agg(*aggs)

@@ -211,7 +211,9 @@ _R6_WINDOW = (
 # slots open with the r6 wave-2 keys that arrived after the r6 window was
 # already full (policy rule 2 — they must face the external gate at the
 # first opportunity): join_q19_disjunctive, win_new_vs_returning,
-# ts_burstiness_fano, scan_parquet_metadata, agg_percentile_approx_verdict.
+# ts_burstiness_fano, scan_parquet_metadata, agg_percentile_approx_verdict,
+# agg_psi_drift, agg_ks_binned_drift, join_q21_sole_failing_supplier,
+# win_survival_gap_curve, agg_winsorized_mean.
 # The remaining slots go to the never-sampled remainder, largest pools
 # first:
 #   - 9 setops/merge: set_union_all, set_union_distinct, set_intersect,

@@ -154,6 +154,11 @@ QUERIES = [
     "ts_burstiness_fano",
     "scan_parquet_metadata",
     "agg_percentile_approx_verdict",
+    "agg_psi_drift",
+    "agg_ks_binned_drift",
+    "join_q21_sole_failing_supplier",
+    "win_survival_gap_curve",
+    "agg_winsorized_mean",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated

@@ -163,3 +163,46 @@ def test_bloom_prejoin_filter_is_selective(spark, sf_dir):
     if non_member_total:
         fpp = non_member_pass / non_member_total
         assert fpp < 0.2, f"bloom not selective: fpp={fpp:.3f}"
+
+
+def test_psi_drift_properties(spark, sf_dir):
+    """PSI is nonnegative by construction (KL-symmetrized form) and near
+    zero when a type's distribution matches the global mix — the
+    fixture's uniform generator should score every type < 0.25 (the
+    'drifted' operating threshold)."""
+    rows = queries()["agg_psi_drift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.psi >= 0.0, (r.event_type, r.psi)
+        assert r.psi < 0.25, (r.event_type, r.psi)
+
+
+def test_ks_binned_drift_bounds(spark, sf_dir):
+    """KS distance is a probability-CDF sup-distance: always in [0, 1],
+    and small for the fixture's homogeneous generator."""
+    rows = queries()["agg_ks_binned_drift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0, (r.event_type, r.ks_d)
+
+
+def test_survival_curve_is_monotone(spark, sf_dir):
+    """Survival fractions must be non-increasing in the threshold
+    (P[gap > t] is a tail function) and within [0, 1]."""
+    r = queries()["win_survival_gap_curve"](spark, sf_dir).collect()[0]
+    vals = [r.surv_1m, r.surv_5m, r.surv_30m, r.surv_2h, r.surv_1d]
+    for v in vals:
+        assert 0.0 <= v <= 1.0, vals
+    assert all(a >= b for a, b in zip(vals, vals[1:])), vals
+    assert r.n_gaps > 0
+
+
+def test_winsorized_mean_is_bracketed(spark, sf_dir):
+    """The winsorized mean must lie within [p05, p95] (it averages
+    values clamped to that band) and p05 <= p95."""
+    for r in queries()["agg_winsorized_mean"](spark, sf_dir).collect():
+        assert r.p05 <= r.p95, (r.event_type, r.p05, r.p95)
+        assert r.p05 - 1e-9 <= r.winsorized_mean <= r.p95 + 1e-9, (
+            r.event_type,
+            r.winsorized_mean,
+        )
