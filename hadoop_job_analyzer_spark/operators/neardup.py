@@ -757,8 +757,15 @@ def _min_label_components(spark: SparkSession, sf_dir: str, pairs: DataFrame) ->
             .groupBy("doc_id")
             .agg(F.min("component").alias("nbr_comp"))
         )
+        # Carry the pre-step label through the join so convergence can be
+        # read off THIS result — no separate labels⋈labels diff join per
+        # round (r6: one fewer shuffle/round). Sound because if the
+        # neighbor-min step changes nothing, then for every edge (a,b)
+        # l(b) ≤ l(a) and l(a) ≤ l(b) ⇒ labels are edge-constant ⇒ the
+        # fixed point is reached and the jump below is the identity too.
         stepped = labels.join(nbr, "doc_id", "left").select(
             "doc_id",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
             ).alias("component"),
@@ -775,16 +782,12 @@ def _min_label_components(spark: SparkSession, sf_dir: str, pairs: DataFrame) ->
             )
             stepped = stepped.join(ptr, stepped["component"] == ptr["c_id"], "left").select(
                 "doc_id",
+                "_old",
                 F.coalesce(F.col("c_comp"), F.col("component")).alias("component"),
             )
-        new_labels = stepped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        checkpointed = stepped.localCheckpoint(eager=True)
+        changed = checkpointed.where(F.col("component") < F.col("_old")).count()
+        labels = checkpointed.drop("_old")
         if changed == 0:
             break
     return labels.select(

@@ -493,3 +493,14 @@ def test_q7_filters_dimensions_before_join(plan):
     assert any(
         "l_shipdate" in s[:300] for s in p.split("PushedFilters: ")[1:]
     ), "shipdate range not pushed to the lineitem scan"
+
+
+def test_q21_decorrelates_to_semi_and_anti(plan):
+    """join_q21_sole_failing_supplier: the EXISTS/NOT EXISTS pair must
+    materialize as one left-semi and one left-anti hash/sort join over
+    the deduped pair sets (never a per-row correlated re-scan), with the
+    global top-20 as TakeOrdered."""
+    p = plan("join_q21_sole_failing_supplier")
+    assert "LeftSemi" in p, "EXISTS did not become a semi join"
+    assert "LeftAnti" in p, "NOT EXISTS did not become an anti join"
+    assert "TakeOrderedAndProject(limit=20" in p
