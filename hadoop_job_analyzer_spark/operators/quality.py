@@ -2355,3 +2355,112 @@ def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fano"),
     )
+
+
+@query(
+    "win_session_funnel",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged
+), c AS (
+  SELECT user_id, session_idx, MIN(ts) AS t_click
+  FROM numbered WHERE event_type = 'click' GROUP BY 1, 2
+), v AS (
+  SELECT n.user_id, n.session_idx, MIN(n.ts) AS t_view
+  FROM numbered n JOIN c USING (user_id, session_idx)
+  WHERE n.event_type = 'view' AND n.ts > c.t_click
+  GROUP BY 1, 2
+), p AS (
+  SELECT n.user_id, n.session_idx, MIN(n.ts) AS t_purchase
+  FROM numbered n JOIN v USING (user_id, session_idx)
+  WHERE n.event_type = 'purchase' AND n.ts > v.t_view
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM (SELECT DISTINCT user_id, session_idx FROM numbered)
+)
+SELECT tot.n_sessions,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_sessions,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_click_view_sessions,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full_funnel_sessions,
+       ROUND((SELECT COUNT(*) FROM p) / CAST(tot.n_sessions AS DOUBLE), 6)
+         AS session_conversion
+FROM tot
+""",
+)
+def win_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel WITHIN sessions: sessions (30-min-gap, the win_sessionize
+    grouping) that progress click → view → purchase IN ORDER before the
+    session ends — the strict form of funnel_stages, whose global
+    per-user frontier credits conversions that straddle days. Product
+    analytics wants both: the global funnel measures eventual intent,
+    the session funnel measures whether the flow converts in one visit
+    (its denominator is ALL sessions, so the output is directly the
+    per-visit conversion rate).
+
+    Plan: the sessionize lag/running-sum windows (single shuffle on
+    user_id), then funnel_stages' chained min-frontier joins keyed on
+    (user_id, session_idx) — each stage one partial-agg'd shuffle whose
+    frontier only shrinks. The three stage counts + the session total
+    are metadata-sized scalars crossed at the end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).select("user_id", "session_idx", "ts", "event_type")
+    numbered = numbered.persist()  # four consumers: total + three stages
+    keys = ["user_id", "session_idx"]
+    c = (
+        numbered.where(F.col("event_type") == "click")
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t_click"))
+    )
+    v = (
+        numbered.where(F.col("event_type") == "view")
+        .join(c, keys)
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        numbered.where(F.col("event_type") == "purchase")
+        .join(v, keys)
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    tot = numbered.select(*keys).distinct().agg(F.count(F.lit(1)).alias("n_sessions"))
+    out = (
+        tot.crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_sessions")))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_click_view_sessions")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel_sessions")))
+    )
+    return out.select(
+        "n_sessions",
+        "n_click_sessions",
+        "n_click_view_sessions",
+        "n_full_funnel_sessions",
+        F.round(
+            F.col("n_full_funnel_sessions").cast("double") / F.col("n_sessions"), 6
+        ).alias("session_conversion"),
+    )

@@ -159,6 +159,7 @@ QUERIES = [
     "join_q21_sole_failing_supplier",
     "win_survival_gap_curve",
     "agg_winsorized_mean",
+    "win_session_funnel",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated
