@@ -990,3 +990,58 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         F.least(target, epochs * F.col("n_chars")).cast("long").alias("planned_chars"),
     )
+
+
+_WS_K = 64  # sample size
+_WS_SALT = "#wsample"
+_WS_DENOM = 4503599627370496.0  # 2^52 — 13 hex chars fit exactly in a double
+
+
+@query(
+    "sample_weighted_es",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         POW(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_WS_SALT}'), 1, 13))
+                  AS BIGINT) / {_WS_DENOM},
+             1.0 / n_chars) AS es_key
+  FROM documents
+)
+SELECT doc_id, lang, weight, ROUND(es_key, 6) AS es_key
+FROM k ORDER BY k.es_key DESC, doc_id ASC LIMIT {_WS_K}
+""",
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement, deterministic: the
+    Efraimidis-Spirakis one-pass scheme — each doc draws u from a hash
+    (md5 fraction, the repo's reproducible-uniform discipline) and keeps
+    key u^(1/w); the top-k keys ARE a weighted sample without
+    replacement (P[doc first] = w_i/Σw). This is how a corpus mix
+    up-weights high-quality documents (w = n_chars here as the quality
+    stand-in) while staying reproducible across engines, cluster sizes,
+    and reruns — rand()-based weighted sampling is none of those, and
+    the hash-stratified keys (sample_hash_stratified) can only do
+    UNWEIGHTED rates.
+
+    Scale shape: the key is one codegen expression per row (md5 → 52-bit
+    fraction → one pow); top-k is TakeOrdered (per-partition heaps, a
+    k-row driver merge) — no sort, no shuffle of the corpus. At 100 TB
+    this is the exact one-pass weighted reservoir, sharded for free.
+    The emitted es_key is rounded to 6 dp; ordering uses the UNROUNDED
+    key with a doc_id tiebreak (cross-engine pow noise is ~1e-16 —
+    boundary flips would need two keys within an ulp).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_WS_SALT))), 1, 13), 16, 10).cast("double") / F.lit(_WS_DENOM)
+    es_key = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            es_key.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+        .limit(_WS_K)
+        .select("doc_id", "lang", "weight", F.round("_k", 6).alias("es_key"))
+    )

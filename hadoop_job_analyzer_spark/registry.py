@@ -213,7 +213,8 @@ _R6_WINDOW = (
 # first opportunity): join_q19_disjunctive, win_new_vs_returning,
 # ts_burstiness_fano, scan_parquet_metadata, agg_percentile_approx_verdict,
 # agg_psi_drift, agg_ks_binned_drift, join_q21_sole_failing_supplier,
-# win_survival_gap_curve, agg_winsorized_mean, win_session_funnel.
+# win_survival_gap_curve, agg_winsorized_mean, win_session_funnel,
+# sample_weighted_es.
 # The remaining slots go to the never-sampled remainder, largest pools
 # first:
 #   - 9 setops/merge: set_union_all, set_union_distinct, set_intersect,

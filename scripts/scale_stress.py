@@ -160,6 +160,7 @@ QUERIES = [
     "win_survival_gap_curve",
     "agg_winsorized_mean",
     "win_session_funnel",
+    "sample_weighted_es",
 ]
 # dedup_ngram_jaccard is NOT in the basket: inflation-by-duplication
 # pushes every shingle's df past the <=5 rarity filter, so its inflated

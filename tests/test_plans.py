@@ -504,3 +504,10 @@ def test_q21_decorrelates_to_semi_and_anti(plan):
     assert "LeftSemi" in p, "EXISTS did not become a semi join"
     assert "LeftAnti" in p, "NOT EXISTS did not become an anti join"
     assert "TakeOrderedAndProject(limit=20" in p
+
+
+def test_weighted_sample_is_take_ordered(plan):
+    """sample_weighted_es must materialize the top-k as TakeOrdered
+    (per-partition heaps), never a global sort."""
+    p = plan("sample_weighted_es")
+    assert "TakeOrderedAndProject(limit=64" in p

@@ -206,3 +206,19 @@ def test_winsorized_mean_is_bracketed(spark, sf_dir):
             r.event_type,
             r.winsorized_mean,
         )
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """sample_weighted_es: P[selected] ∝ n_chars, so the sample's mean
+    weight must exceed the corpus mean (deterministic given the md5
+    draws); sample is exactly k rows with no duplicate docs."""
+    rows = queries()["sample_weighted_es"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert len({r.doc_id for r in rows}) == 64
+    from pyspark.sql import functions as F
+
+    corpus_avg = (
+        load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_avg = sum(r.weight for r in rows) / len(rows)
+    assert sample_avg > corpus_avg, (sample_avg, corpus_avg)
