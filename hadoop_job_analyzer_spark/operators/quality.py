@@ -2154,23 +2154,26 @@ def win_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: per-user count (partial-agg'd), distributed_rank (range
     partition + per-partition row_number + broadcast offsets — the
-    win_activity_rank_global machinery), one metadata-sized count
-    broadcast for N. Each division is a single IEEE op on exact
-    integers, rounded once — hash-deterministic.
+    win_activity_rank_global machinery), and N joined in as a broadcast
+    1-row aggregate (NOT an eager driver-side .count(): constructing
+    this DataFrame launches zero jobs, and at 100 TB there's no extra
+    full-aggregation pass just to learn N). Each division is a single
+    IEEE op on exact integers, rounded once — hash-deterministic.
     """
     ev = load_table(spark, sf_dir, "events")
     activity = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     ranked = distributed_rank(activity, F.col("n_events").desc(), F.col("user_id").asc())
-    n = activity.count()
-    return ranked.select(
+    n = activity.agg(F.count(F.lit(1)).alias("_n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
         "user_id",
         "n_events",
-        # max(n-1, 1): SQL PERCENT_RANK defines the single-row case as 0.0;
-        # a bare n-1 denominator would divide by zero (NULL) with one user.
-        F.round((F.col("rn") - 1).cast("double") / F.lit(float(max(n - 1, 1))), 6).alias(
-            "pct_rank"
-        ),
-        F.round(F.col("rn").cast("double") / F.lit(float(n)), 6).alias("cume_dist"),
+        # greatest(n-1, 1): SQL PERCENT_RANK defines the single-row case as
+        # 0.0; a bare n-1 denominator would divide by zero (NULL) with one
+        # user.
+        F.round(
+            (F.col("rn") - 1).cast("double") / F.greatest(F.col("_n") - 1, F.lit(1)), 6
+        ).alias("pct_rank"),
+        F.round(F.col("rn").cast("double") / F.col("_n"), 6).alias("cume_dist"),
     )
 
 

@@ -84,11 +84,12 @@ _loaded = False
 #   4. The rotation schedule is committed ahead of time (see _R7_WINDOW plan
 #      below), so the sample is predictable, not curated after the fact.
 #
-# Cumulative driver-hash coverage: r1-r3 = 102 keys, r4 = +49, r5 = +50
-# (151 total). r6 window below = 50 keys (44 never-sampled + 3 reshaped +
-# 3 new) -> cumulative ~201. _R7_WINDOW (planned, see comment after the
-# tuple) takes 50 of the ~74 then-remaining never-sampled keys; r8 closes
-# the rest. tests/test_registry.py pins the window-first property.
+# Cumulative driver-hash coverage: r1-r6 = 200 distinct keys (verified by
+# unioning CORRECTNESS_r01-r06.json). _R7_WINDOW (active below) takes 50
+# of the 90 remaining never-sampled keys -> cumulative 250 after round 7;
+# _R8_WINDOW (pre-committed below) holds the final 40 -> 290/290 after
+# round 8. tests/test_registry.py pins the window-first property and that
+# _R7_WINDOW + _R8_WINDOW exactly partition the never-sampled remainder.
 # ---------------------------------------------------------------------------
 
 # Round-5 window, kept for provenance (CORRECTNESS_r05 sampled these).
@@ -207,48 +208,133 @@ _R6_WINDOW = (
     "text_edit_distance_join",
 )
 
-# _R7_WINDOW plan (VERDICT r5 task #2 — committed ahead of time): the 50
-# slots open with the r6 wave-2 keys that arrived after the r6 window was
-# already full (policy rule 2 — they must face the external gate at the
-# first opportunity): join_q19_disjunctive, win_new_vs_returning,
-# ts_burstiness_fano, scan_parquet_metadata, agg_percentile_approx_verdict,
-# agg_psi_drift, agg_ks_binned_drift, join_q21_sole_failing_supplier,
-# win_survival_gap_curve, agg_winsorized_mean, win_session_funnel,
-# sample_weighted_es.
-# The remaining slots go to the never-sampled remainder, largest pools
-# first:
-#   - 9 setops/merge: set_union_all, set_union_distinct, set_intersect,
-#     set_except, merge_scd2, set_except_all, set_intersect_all,
-#     set_symmetric_diff, set_union_byname_evolution, join_scd2_pointintime
-#   - 5 scans/sinks: sink_jsonl_roundtrip, scan_partition_pruned_read,
-#     sink_metrics_lines, ops_job_summary_report, scan_csv_malformed_permissive
-#   - 5 multimodal: mm_decode_meta, mm_frame_sample, mm_audio_features,
-#     mm_image_resize, mm_modality_mix_report
-#   - 4 sketches: sketch_bloom_membership, sketch_histogram_quantile,
-#     sketch_heavy_hitters, sketch_ams_selfjoin_size
-#   - 4 sorts: sort_multi_null, limit_topk_global, distinct_values,
-#     sort_pagination_page2
-#   - 12 agg: agg_percentile_exact, agg_pivot_wide, agg_unpivot_melt,
-#     agg_bool_count_if, agg_string_concat_ordered, agg_regr_slope_grouped,
-#     agg_bitmap_types, agg_gini_user_activity, agg_mode_exact,
-#     agg_moments_skew, agg_weighted_median, agg_dow_hour_heatmap
-#   - 10 text/emb/dedup: text_langid, text_quality, text_token_stats,
-#     text_fingerprint, text_lm_unigram_score, dedup_near_minhash_full,
-#     dedup_components_full, emb_mrl_truncate_recall, emb_pq_quantize,
-#     graph_degree_stats
-#   plus any keys added in round 7 itself (displacing tail items to r8).
-# Round 8 then closes the ~30 remaining (agg_multi_distinct, sim_*/emb_*
-# wave-19+ keys, join_q4/q18/range_bucketed/bloom_prejoin, filter_blocklist,
-# corpus_epoch_plan, text wave-2 tail, win_percent_rank_global,
-# agg_session_bounce_rate, text_dup_gram_mass, ...), reaching 275/275
-# driver-hash coverage.
+# Round-7 driver window — realizes the plan pre-committed in round 6
+# (VERDICT r6 task #1) EXACTLY: the 12 r6 late-wave keys lead (policy rule
+# 2 — no key ships two rounds without driver exposure), then the
+# never-sampled remainder, largest pools first, truncated at 50 (the agg
+# pool's last 2 items, agg_weighted_median / agg_dow_hour_heatmap, are
+# displaced to _R8_WINDOW as the pre-commit anticipated). Verified against
+# CORRECTNESS_r01-r06: zero overlap with the 200 already-sampled keys.
+_R7_WINDOW = (
+    # r6 late-wave keys (added after the r6 window was pinned)
+    "join_q19_disjunctive",
+    "win_new_vs_returning",
+    "ts_burstiness_fano",
+    "scan_parquet_metadata",
+    "agg_percentile_approx_verdict",
+    "agg_psi_drift",
+    "agg_ks_binned_drift",
+    "join_q21_sole_failing_supplier",
+    "win_survival_gap_curve",
+    "agg_winsorized_mean",
+    "win_session_funnel",
+    "sample_weighted_es",
+    # never-sampled: set operations / SCD merge pool (10)
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "merge_scd2",
+    "set_except_all",
+    "set_intersect_all",
+    "set_symmetric_diff",
+    "set_union_byname_evolution",
+    "join_scd2_pointintime",
+    # never-sampled: scans/sinks pool (5)
+    "sink_jsonl_roundtrip",
+    "scan_partition_pruned_read",
+    "sink_metrics_lines",
+    "ops_job_summary_report",
+    "scan_csv_malformed_permissive",
+    # never-sampled: multimodal pool (5)
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_audio_features",
+    "mm_image_resize",
+    "mm_modality_mix_report",
+    # never-sampled: sketches pool (4)
+    "sketch_bloom_membership",
+    "sketch_histogram_quantile",
+    "sketch_heavy_hitters",
+    "sketch_ams_selfjoin_size",
+    # never-sampled: sorts/limits pool (4)
+    "sort_multi_null",
+    "limit_topk_global",
+    "distinct_values",
+    "sort_pagination_page2",
+    # never-sampled: aggregation pool (first 10 of 12; tail 2 -> r8)
+    "agg_percentile_exact",
+    "agg_pivot_wide",
+    "agg_unpivot_melt",
+    "agg_bool_count_if",
+    "agg_string_concat_ordered",
+    "agg_regr_slope_grouped",
+    "agg_bitmap_types",
+    "agg_gini_user_activity",
+    "agg_mode_exact",
+    "agg_moments_skew",
+)
+
+# _R8_WINDOW — committed ahead of time (VERDICT r6 task #2). These are ALL
+# 40 keys that will still lack driver hash signal after round 7 samples
+# _R7_WINDOW (290 total - 200 sampled r1-r6 - 50 in _R7_WINDOW = 40).
+# Round 8 promotes this tuple to the active window, reaching 290/290
+# cumulative driver-hash coverage. Surface growth is frozen (VERDICT r6
+# task #3), so this list is exhaustive, not a best-effort plan.
+_R8_WINDOW = (
+    # agg pool tail displaced from _R7_WINDOW
+    "agg_weighted_median",
+    "agg_dow_hour_heatmap",
+    "agg_multi_distinct",
+    # text-analysis pool
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_lm_unigram_score",
+    "text_token_entropy",
+    "text_zipf_fit",
+    "text_hapax_ratio",
+    "text_compression_ratio",
+    "text_pii_scrub",
+    "text_repetition_score",
+    "text_dup_gram_mass",
+    # dedup / embedding / similarity pool
+    "dedup_near_minhash_full",
+    "dedup_components_full",
+    "dedup_containment",
+    "dedup_source_matrix",
+    "dedup_keeper_quality",
+    "emb_mrl_truncate_recall",
+    "emb_pq_quantize",
+    "emb_ivf_build_stats",
+    "emb_kmeans_iterative",
+    "emb_outlier_mahalanobis",
+    "emb_binary_quantize",
+    "sim_knn_join_bucketed",
+    "sim_range_search",
+    "sim_rerank_two_stage",
+    "decon_embedding",
+    "graph_degree_stats",
+    "graph_triangle_count",
+    # joins / filters tail
+    "join_bloom_prejoin",
+    "join_range_bucketed",
+    "join_q4_priority_semi",
+    "join_q18_large_orders",
+    "filter_blocklist_regex",
+    # misc tail
+    "corpus_epoch_plan",
+    "win_percent_rank_global",
+    "agg_session_bounce_rate",
+)
 
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R6_WINDOW if k in d}
+    head = {k: d[k] for k in _R7_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

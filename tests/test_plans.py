@@ -474,6 +474,10 @@ def test_q19_disjunction_pushes_to_both_scans(plan):
     part receives the brand/size band union, lineitem the quantity band
     union — so neither side is scanned unfiltered."""
     p = plan("join_q19_disjunctive")
+    # Guard before indexing so a total pushdown regression (no
+    # PushedFilters section at all) fails with a readable assert, not an
+    # IndexError (ADVICE r6).
+    assert "PushedFilters" in p, "plan has no PushedFilters section — pushdown regressed"
     assert "PushedFilters: [IsNotNull(p_partkey), Or(" in p or (
         "p_brand" in p.split("PushedFilters")[1][:400]
     )
@@ -511,3 +515,30 @@ def test_weighted_sample_is_take_ordered(plan):
     (per-partition heaps), never a global sort."""
     p = plan("sample_weighted_es")
     assert "TakeOrderedAndProject(limit=64" in p
+
+
+def test_percent_rank_construction_launches_no_job(spark, sf_dir):
+    """win_percent_rank_global (VERDICT r6 task #4): constructing the
+    DataFrame must launch ZERO Spark jobs — N is a broadcast 1-row
+    aggregate inside the plan, not an eager driver-side .count(). At
+    100 TB an eager count is a full extra aggregation pass before the
+    query even starts."""
+    store = spark._jsc.sc().statusStore()
+
+    def action_jobs() -> list[str]:
+        jl = store.jobsList(None)
+        names = [jl.apply(i).name() for i in range(jl.size())]
+        # 'parquet at ...' jobs are read-setup (schema/footer listing),
+        # fired by every spark.read.parquet — those are allowed. An eager
+        # .count()/.collect() in the builder shows up as 'count at ...' /
+        # 'collect at ...'.
+        return [n for n in names if not n.startswith("parquet at")]
+
+    before = action_jobs()
+    df = queries()["win_percent_rank_global"](spark, sf_dir)
+    after = action_jobs()
+    assert after == before, (
+        f"constructing win_percent_rank_global launched an action job: "
+        f"{[n for n in after if n not in before] or after[len(before):]}"
+    )
+    assert set(df.columns) == {"user_id", "n_events", "pct_rank", "cume_dist"}

@@ -57,29 +57,56 @@ def test_oracle_keys_subset_of_queries():
 def test_first_50_registration_keys_follow_rotation_policy():
     """The driver hard-verifies only the first 50 keys of queries().
 
-    Round-6 rotation (policy documented at registry.py's window block):
-    the window is 44 keys never sampled in CORRECTNESS_r01-r05 (fn_*,
-    stream_*, udf/udtf pools), the 3 keys whose output was reshaped this
-    round from rows-only to hash-gradeable (they carry prior driver rows
-    but never a hash verdict, and their shape changed — policy rule 2),
-    and the 3 keys brand-new in round 6 (policy rule 2).
+    Round-7 rotation (policy documented at registry.py's window block):
+    the window is exactly the plan pre-committed in round 6 — the 12 r6
+    late-wave keys lead (they shipped after the r6 window was pinned and
+    carry zero driver exposure; policy rule 2), then the never-sampled
+    remainder largest-pools-first. Zero overlap with CORRECTNESS_r01-r06.
     """
     from hadoop_job_analyzer_spark import registry
 
     sampled: set[str] = set()
-    for rnd in (1, 2, 3, 4, 5):
+    for rnd in (1, 2, 3, 4, 5, 6):
         path = REPO / f"CORRECTNESS_r0{rnd}.json"
         if path.exists():
             sampled |= set(json.loads(path.read_text()))
     assert sampled, "historic CORRECTNESS files missing — cannot check rotation"
     first50 = list(registry.queries())[:50]
     assert len(first50) == 50
-    reshaped_r6 = {"agg_approx_distinct", "sketch_hll_mergeable", "emb_pca_top_component"}
-    assert reshaped_r6 <= set(first50), "reshaped keys must face the external gate"
-    new_r6 = {"join_q7_volume_shipping", "agg_theil_index", "text_edit_distance_join"}
-    assert new_r6 <= set(first50), "new r6 keys must face the external gate"
-    overlap = [k for k in first50 if k in sampled and k not in reshaped_r6]
+    late_wave_r6 = {
+        "join_q19_disjunctive", "win_new_vs_returning", "ts_burstiness_fano",
+        "scan_parquet_metadata", "agg_percentile_approx_verdict", "agg_psi_drift",
+        "agg_ks_binned_drift", "join_q21_sole_failing_supplier",
+        "win_survival_gap_curve", "agg_winsorized_mean", "win_session_funnel",
+        "sample_weighted_es",
+    }
+    assert late_wave_r6 <= set(first50), "r6 late-wave keys must face the external gate"
+    assert set(first50[:12]) == late_wave_r6, "late-wave keys must LEAD the window"
+    overlap = [k for k in first50 if k in sampled]
     assert overlap == [], f"rotation regressed; resampling already-verified keys: {overlap}"
+
+
+def test_r7_r8_windows_partition_never_sampled_remainder():
+    """_R7_WINDOW + _R8_WINDOW must exactly cover (and not overlap) the
+    keys never sampled in CORRECTNESS_r01-r06 — the pre-committed schedule
+    that reaches 290/290 driver-hash coverage in round 8."""
+    from hadoop_job_analyzer_spark import registry
+
+    sampled: set[str] = set()
+    for rnd in (1, 2, 3, 4, 5, 6):
+        path = REPO / f"CORRECTNESS_r0{rnd}.json"
+        if path.exists():
+            sampled |= set(json.loads(path.read_text()))
+    assert sampled, "historic CORRECTNESS files missing"
+    never = set(registry.queries()) - sampled
+    r7, r8 = set(registry._R7_WINDOW), set(registry._R8_WINDOW)
+    assert len(registry._R7_WINDOW) == 50 and len(r7) == 50
+    assert len(registry._R8_WINDOW) == len(r8)
+    assert r7 & r8 == set(), f"windows overlap: {sorted(r7 & r8)}"
+    assert r7 | r8 == never, (
+        f"windows don't partition the remainder; "
+        f"missing={sorted(never - (r7 | r8))} extra={sorted((r7 | r8) - never)}"
+    )
 
 
 def test_window_order_matches_pinned_list():
@@ -88,6 +115,6 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    assert tuple(qkeys[:50]) == registry._R6_WINDOW
-    okeys = [k for k in registry.oracle_sql() if k in set(registry._R6_WINDOW)]
-    assert okeys == [k for k in registry._R6_WINDOW if k in set(okeys)]
+    assert tuple(qkeys[:50]) == registry._R7_WINDOW
+    okeys = [k for k in registry.oracle_sql() if k in set(registry._R7_WINDOW)]
+    assert okeys == [k for k in registry._R7_WINDOW if k in set(okeys)]
