@@ -183,11 +183,20 @@ def main() -> None:
     # pressure. New queries append after the basket.
     ordered = list(COMPARABLE_BASKET) + [k for k in basket if k not in COMPARABLE_BASKET]
     per_query: dict[str, float] = {}
+    per_query_median3: dict[str, float] = {}
     for name in ordered:
         fn = basket[name]
         inc = name in CONSTRUCTION_TIMED
-        best = min(run_once(fn, spark, include_construction=inc) for _ in range(2))
-        per_query[name] = round(best, 4)
+        # Three warm runs per query (r6 VERDICT task #7): the FROZEN
+        # round-over-round number stays min-of-the-first-2 (identical
+        # protocol to every prior round — adding a third sample to the min
+        # would bias it downward and break the trend), and the median of
+        # all 3 is emitted alongside as the solo-protocol-robust number
+        # the judge asked for (single-run walls drift ±10% with shared-box
+        # load; a median inside one session doesn't).
+        runs = [run_once(fn, spark, include_construction=inc) for _ in range(3)]
+        per_query[name] = round(min(runs[:2]), 4)
+        per_query_median3[name] = round(sorted(runs)[1], 4)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -204,6 +213,11 @@ def main() -> None:
                     sum(per_query[k] for k in COMPARABLE_BASKET), 4
                 ),
                 "comparable_basket_n": len(COMPARABLE_BASKET),
+                "queries_median3": per_query_median3,
+                "full_suite_wall_median3": round(sum(per_query_median3.values()), 4),
+                "comparable_basket_wall_median3": round(
+                    sum(per_query_median3[k] for k in COMPARABLE_BASKET), 4
+                ),
             }
         )
     )

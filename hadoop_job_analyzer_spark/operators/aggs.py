@@ -1017,7 +1017,12 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = grid.join(t, ["event_type", "bin"], "left").select(
         "event_type", "bin", F.coalesce("n", F.lit(0)).alias("n")
     )
-    f = f.persist()  # three consumers: per-bin totals, per-type totals, the fold
+    # Three consumers: per-bin totals, per-type totals, the fold. The cached
+    # relation is #types x 10 bin-count rows (metadata-sized); like every
+    # builder-side persist in this package its lifetime is bounded by the
+    # driver session (lazy DataFrames cannot unpersist after an action they
+    # never run) — documented in verification/README.md (ADVICE r6).
+    f = f.persist()
     tot = f.groupBy("bin").agg(F.sum("n").alias("gn"))
     per = f.groupBy("event_type").agg(F.sum("n").alias("tn"))
     alln = f.agg(F.sum("n").alias("all_n"))
@@ -1108,7 +1113,9 @@ def agg_ks_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = grid.join(t, ["event_type", "bin"], "left").select(
         "event_type", "bin", F.coalesce("n", F.lit(0)).alias("n")
     )
-    f = f.persist()  # two consumers: per-type CDF and the global CDF
+    # Two consumers: per-type CDF and the global CDF; #types x 20 rows cached.
+    # Session-lifetime cache policy: see the agg_psi_drift note.
+    f = f.persist()
     w_t = Window.partitionBy("event_type").orderBy("bin")
     c = f.select(
         "event_type",

@@ -383,6 +383,20 @@ def _ivf_assign2(e: DataFrame, n_centroids: int) -> DataFrame:
     (k=16 pinned by their oracles, where flat is also cheaper); this
     path serves the scaled-codebook bench twins in scale_stress.py.
 
+    Promotion decision (r6 verdict task #8, measured 2026-08-14 at
+    sf0.1, k=16, warm): flat vs two-level = 1.39 vs 1.63 s
+    (dedup_embedding_bucketed) and 1.27 vs 1.98 s (sim_knn_join_bucketed)
+    — at the oracle-pinned codebook the extra coarse join + third argmax
+    window COSTS more than the n·(k−2√k) dot products it saves, and the
+    bucketing it produces differs (re-deriving the oracles would swap a
+    hash-exact flat-argmin spec for an equally arbitrary two-level spec
+    with zero accuracy gain). The crossover is codebook growth: at
+    k ≈ n/400 (x64 ⇒ k ≈ 5 k centroids) two-level wins 3.8×
+    (BASELINE.md: 9.8 vs 37.5 s). DECISION: registered keys stay flat;
+    ``two_level=True`` stays the documented scale path, exercised by the
+    curve program — promote only if the fixtures ever grow the pinned
+    codebook into the measured crossover region (O(10²-10³) centroids).
+
     Plan: both codebooks broadcast; cent→coarse is a k×√k crossJoin
     (metadata-sized); vectors take one √k-wide crossJoin argmax to pick
     the coarse cell, then a broadcast equi-join on co_id fans each
@@ -777,19 +791,31 @@ def _min_label_components(spark: SparkSession, sf_dir: str, pairs: DataFrame) ->
             # non-increasing, hence the jump only tightens toward the same
             # fixed point. The left join always matches (labels cover all
             # doc_ids); coalesce guards the contract anyway.
+            # persist() before the self-join: both sides of the jump read
+            # `stepped`, and without it the neighbor-min join+groupBy
+            # subtree executes twice per jumping round (the localCheckpoint
+            # below only lands after the join) — ADVICE r6.
+            stepped = stepped.persist()
             ptr = stepped.select(
                 F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
             )
-            stepped = stepped.join(ptr, stepped["component"] == ptr["c_id"], "left").select(
+            jumped = stepped.join(ptr, stepped["component"] == ptr["c_id"], "left").select(
                 "doc_id",
                 "_old",
                 F.coalesce(F.col("c_comp"), F.col("component")).alias("component"),
             )
-        checkpointed = stepped.localCheckpoint(eager=True)
+            checkpointed = jumped.localCheckpoint(eager=True)
+            stepped.unpersist()
+        else:
+            checkpointed = stepped.localCheckpoint(eager=True)
         changed = checkpointed.where(F.col("component") < F.col("_old")).count()
         labels = checkpointed.drop("_old")
         if changed == 0:
             break
+    # labels is materialized (localCheckpoint), so the edge cache can be
+    # released — a long-lived driver session running the 290-key sweep
+    # would otherwise accumulate one edge cache per invocation.
+    edges.unpersist()
     return labels.select(
         "doc_id",
         "component",
@@ -2746,11 +2772,15 @@ WITH b AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, bkt ORDER BY doc_id) AS rn FROM b
   ) WHERE rn <= {_ED_CAP}
 ), pairs AS (
-  SELECT a.lang, a.doc_id AS doc_a, c.doc_id AS doc_b,
+  SELECT a.lang,
+         LEAST(a.doc_id, c.doc_id) AS doc_a,
+         GREATEST(a.doc_id, c.doc_id) AS doc_b,
          levenshtein(a.text, c.text) AS edit_dist,
          GREATEST(a.n, c.n) AS max_len
   FROM capped a JOIN capped c
-    ON a.lang = c.lang AND a.bkt = c.bkt AND a.doc_id < c.doc_id
+    ON a.lang = c.lang
+   AND (c.bkt = a.bkt OR c.bkt = a.bkt + 1)
+   AND (c.bkt > a.bkt OR a.doc_id < c.doc_id)
 )
 SELECT lang, doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist,
        ROUND(1.0 - CAST(edit_dist AS DOUBLE) / max_len, 6) AS edit_sim
@@ -2761,17 +2791,28 @@ def text_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy self-join — the third near-dup discipline
     after hashing (minhash/simhash) and embeddings: exact Levenshtein
     similarity, made scale-safe by BLOCKING. Two docs within K edits
-    differ by <K characters in length, so candidates are generated only
-    inside (lang, length/8) blocks — the classic length-filter blocking
-    of fuzzy record linkage — and each block is capped at 64 docs (the
-    LSH band-cap discipline; C(64,2) pairs/block regardless of corpus
-    size). Levenshtein runs JVM-side (codegen'd F.levenshtein), one
-    O(len²) DP per candidate pair, never per cross-corpus pair; the
-    blocks hash-partition on (lang, bkt) so the quadratic work is
-    embarrassingly parallel across blocks. Recall tradeoff (documented):
-    near-dups whose lengths straddle a bucket boundary are missed —
-    minhash catches those; this key exists for the edit-bounded family
-    (OCR noise, typo variants) where Jaccard-on-shingles is too coarse.
+    differ by ≤K characters in length, so candidates are generated only
+    inside (lang, length/8) length bands — the classic length-filter
+    blocking of fuzzy record linkage — with each doc additionally
+    PROBING its right-neighbor band (reshaped r7: the r6 same-band-only
+    version measured 25-50% recall on unblocked small-corpus truth —
+    every miss was an adjacent-band straddle; the ±1-band probe
+    restores measured recall to 1.0 on both fixtures at ~2× candidate
+    cost, pinned in tests/test_llm_ext.py::test_edit_distance_blocking_recall).
+    Each band is capped at 64 docs (the LSH band-cap discipline;
+    candidate pairs stay O(C(64,2)) per band pair regardless of corpus
+    size). Dedup rule: same-band pairs keep doc_a < doc_b; straddle
+    pairs are generated once (low band probes high band) and the output
+    normalizes ids with LEAST/GREATEST. Levenshtein runs JVM-side
+    (codegen'd F.levenshtein with the K-band threshold arg), one
+    O(len·K) DP per candidate pair, never per cross-corpus pair; the
+    equi-join keys stay (lang, band) so the quadratic work is
+    embarrassingly parallel across bands — no lang-only join that would
+    skew on the 5-language corpus. Residual recall gap (documented,
+    theoretical): pairs whose lengths differ by more than 2·8−1=15
+    chars can still span ≥2 bands (possible only for edit distances in
+    [16, 20]); no such pair exists in either fixture's truth set, and
+    shingle-minhash covers that long-insertion family.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", F.length("text").alias("n")
@@ -2785,15 +2826,27 @@ def text_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _ED_CAP)
         .drop("rn")
     )
+    # Left side probes its own band and the next-higher band (explode of a
+    # 2-element array — keeps the join an EQUI-join on (lang, probe band);
+    # an |a.bkt - c.bkt| <= 1 theta condition would demote the join key to
+    # lang alone and shuffle entire languages to single reducers).
     left = capped.select(
-        "lang", "bkt", F.col("doc_id").alias("doc_a"),
-        F.col("text").alias("text_a"), F.col("n").alias("n_a"),
+        "lang",
+        F.col("bkt").alias("bkt_a"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("pbkt"),
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        F.col("n").alias("n_a"),
     )
     right = capped.select(
-        "lang", "bkt", F.col("doc_id").alias("doc_b"),
+        "lang", F.col("bkt").alias("pbkt"), F.col("doc_id").alias("id_b"),
         F.col("text").alias("text_b"), F.col("n").alias("n_b"),
     )
-    pairs = left.join(right, ["lang", "bkt"]).where(F.col("doc_a") < F.col("doc_b"))
+    pairs = left.join(right, ["lang", "pbkt"]).where(
+        # same band: doc-id order dedups; straddle: generated exactly once
+        # (the lower band's probe hits the higher band, never vice versa)
+        (F.col("pbkt") > F.col("bkt_a")) | (F.col("id_a") < F.col("id_b"))
+    )
     # Banded DP: the threshold arg caps work at O(len·K) per pair instead
     # of O(len²) (returns -1 past the band, filtered below — identical
     # surviving values). Measured 2.5x at x64 where every block saturates
@@ -2804,8 +2857,8 @@ def text_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _ED_MAX_DIST))
         .select(
             "lang",
-            "doc_a",
-            "doc_b",
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
             "edit_dist",
             F.round(
                 1.0

@@ -353,6 +353,14 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     job-run grouping done as three windows + one aggregate, all
     partitioned by user — each step is a single shuffle-free pass once
     events are hash-partitioned by user_id.
+
+    Skew caveat (measured, r6 zipfian basket: 0.61→1.02 s when one user
+    owns 20% of events): a hot user serializes onto one task here. The
+    salted twin `win_sessionize_salted` (below; hash-equal by
+    tests/test_wave19.py::test_salted_sessionize_hash_equals_plain)
+    splits the per-EVENT window by (user, day) and repairs boundary
+    sessions on per-SESSION summaries — use it when per-user event
+    counts are unbounded.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -373,6 +381,83 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
+    )
+
+
+def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of `win_sessionize` (VERDICT r6 task #6) — same
+    output, salted execution. Not registered as a key (the plain key is
+    oracle-pinned and identical in result); exercised by the skew curve
+    program (scripts/scale_stress.py) and the hash-equality test.
+
+    Two-level plan, the hierarchical gaps-and-islands repair:
+      1. HEAVY pass, salted: sessionize per (user_id, calendar day) —
+         the event-level lag/flag/running-sum windows partition on
+         (user, day), so a hot user's events spread across as many
+         tasks as they span days instead of serializing onto one.
+         Within-day session parts are exact (internal gaps ≤ 30 min);
+         only sessions crossing midnight are split.
+      2. LIGHT pass, per-user: collapse each part to a 1-row summary
+         (start, end, n) and redo gaps-and-islands AT THE SESSION
+         LEVEL — a part chains onto the previous part iff
+         start − prev_end ≤ 30 min. Same-day parts never re-merge
+         (their gaps are > 30 min by construction), boundary parts
+         merge exactly when the event-level rule would have (the gap
+         between a part's end and the next part's start IS the
+         consecutive-event gap across the boundary) — so the fixed
+         point equals the unsalted result row-for-row, and session_idx
+         renumbers 1..k in the same time order.
+    The per-user window now touches #session-parts rows, not #events —
+    the hot user costs O(sessions · days) instead of O(events), and the
+    event-heavy work is embarrassingly parallel across (user, day).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_day", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "_day").orderBy("ts", "event_id")
+    flagged = salted.withColumn(
+        "new_part",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "part_idx",
+        F.sum("new_part").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    parts = numbered.groupBy("user_id", "_day", "part_idx").agg(
+        F.min("ts").alias("p_start"),
+        F.max("ts").alias("p_end"),
+        F.count(F.lit(1)).alias("p_n"),
+    )
+    # Per-user parts have pairwise-distinct start times (distinct parts of
+    # one day are ≥30 min apart; parts of different days live in disjoint
+    # days), so p_start is a total order — the running sum is deterministic.
+    wu = Window.partitionBy("user_id").orderBy("p_start")
+    chained = parts.withColumn(
+        "new_session",
+        F.when(
+            F.lag("p_end").over(wu).isNull()
+            | (
+                (F.col("p_start").cast("long") - F.lag("p_end").over(wu).cast("long"))
+                > 1800
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return chained.groupBy("user_id", "session_idx").agg(
+        F.min("p_start").alias("session_start"),
+        F.max("p_end").alias("session_end"),
+        F.sum("p_n").alias("n_events"),
+        (F.max("p_end").cast("long") - F.min("p_start").cast("long")).alias(
+            "duration_sec"
+        ),
     )
 
 

@@ -277,11 +277,17 @@ _R7_WINDOW = (
 
 # _R8_WINDOW — committed ahead of time (VERDICT r6 task #2). These are ALL
 # 40 keys that will still lack driver hash signal after round 7 samples
-# _R7_WINDOW (290 total - 200 sampled r1-r6 - 50 in _R7_WINDOW = 40).
-# Round 8 promotes this tuple to the active window, reaching 290/290
-# cumulative driver-hash coverage. Surface growth is frozen (VERDICT r6
-# task #3), so this list is exhaustive, not a best-effort plan.
+# _R7_WINDOW (290 total - 200 sampled r1-r6 - 50 in _R7_WINDOW = 40), plus
+# one RESHAPED key (policy rule 2: a key whose semantics changed must
+# re-face the external gate at the first window with room — r7's window
+# was pre-committed and full, so it leads r8). Round 8 promotes this tuple
+# to the active window, reaching 290/290 cumulative driver-hash coverage.
+# Surface growth is frozen (VERDICT r6 task #3), so this list is
+# exhaustive, not a best-effort plan.
 _R8_WINDOW = (
+    # reshaped in r7 (recall fix: ±1-band probe; prior r06 hash pass
+    # predates the reshape) — must re-face the gate
+    "text_edit_distance_join",
     # agg pool tail displaced from _R7_WINDOW
     "agg_weighted_median",
     "agg_dow_hour_heatmap",

@@ -36,6 +36,51 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+_PKG_SHIPPED: set[int] = set()  # id(sparkContext) values already handled
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Pythons via ``addPyFile``.
+
+    UDF/UDTF closures that reference module-level helpers are pickled BY
+    REFERENCE (cloudpickle's rule for importable modules), so every
+    worker Python must be able to ``import hadoop_job_analyzer_spark``.
+    Locally that works by accident when the driver's cwd is the repo
+    root; on a real cluster — or a local driver started from any other
+    directory — it fails with ModuleNotFoundError in the worker (seen
+    live in verification/README.md r7 notes). ``addPyFile`` is the
+    cluster-correct mechanism: the zip is distributed to every executor
+    and prepended to worker ``sys.path``, making the engine
+    self-contained regardless of deploy layout. Built once per driver
+    process (~100 .py files, metadata-sized); no-op on sessions without
+    a reachable SparkContext (e.g. Spark Connect).
+    """
+    import pathlib
+    import tempfile
+    import zipfile
+
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        return  # connect-mode session: no JVM-local context to ship through
+    if id(sc) in _PKG_SHIPPED:
+        return
+    try:
+        pkg_dir = pathlib.Path(__file__).resolve().parent
+        staging = pathlib.Path(tempfile.mkdtemp(prefix="hja_pyfiles_"))
+        zip_path = staging / "hadoop_job_analyzer_spark.zip"
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+        sc.addPyFile(str(zip_path))
+        _PKG_SHIPPED.add(id(sc))
+    except Exception:
+        # Shipping is a robustness layer, not a correctness dependency in
+        # the driver's own layout (repo-root cwd); never fail a query
+        # over it.
+        pass
+
+
 def apply_session_conf(spark: SparkSession) -> SparkSession:
     """Set runtime SQL confs on an existing session (driver-provided or ours).
 
@@ -53,6 +98,7 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.shuffle.partitions", str(_default_parallelism()))
     except Exception:
         pass
+    _ship_package(spark)
     return spark
 
 

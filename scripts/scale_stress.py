@@ -183,8 +183,11 @@ _SKEW_FRACTION_MOD = 5  # 1-in-5 rows → hot key ≈ 20%
 
 
 def _apply_skew(t: str, df):
-    hot = F.pmod(F.xxhash64("event_id" if t == "events" else "l_linenumber"), _SKEW_FRACTION_MOD) == 0
+    # Each table branch builds its own `hot` predicate (ADVICE r6: a shared
+    # first assignment was dead code for lineitem and referenced columns
+    # other tables don't have).
     if t == "events":
+        hot = F.pmod(F.xxhash64("event_id"), _SKEW_FRACTION_MOD) == 0
         return df.withColumn("user_id", F.when(hot, F.lit(1)).otherwise(F.col("user_id")))
     if t == "lineitem":
         hot = F.pmod(F.xxhash64(F.col("l_orderkey") * 7 + F.col("l_linenumber")), _SKEW_FRACTION_MOD) == 0
@@ -322,6 +325,7 @@ def _plain_join_twin(spark, sf_dir):
 
 SKEW_QUERIES = [
     "win_sessionize",
+    "win_sessionize_salted",  # r7: (user, day)-salted twin, hash-equal to plain
     "funnel_stages",
     "ts_dau_wau",
     "ops_session_report_e2e",
@@ -353,6 +357,9 @@ def main() -> None:
     extra = {**_sqrtk_queries(), **_jobs_scaled_queries()}
     reg.update(extra)
     reg["join_plain_unsalted"] = _plain_join_twin
+    from hadoop_job_analyzer_spark.operators.windows import win_sessionize_salted
+
+    reg["win_sessionize_salted"] = win_sessionize_salted
     if args.skew:
         basket = SKEW_QUERIES + ["join_plain_unsalted"]
         if args.queries:

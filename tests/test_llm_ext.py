@@ -229,3 +229,49 @@ def test_components_deep_chain_converges_within_round_cap(spark, sf_dir):
     for d in ids:
         assert out[d][0] == mn, (d, out[d])
     assert sum(k for (_, k) in out.values()) == 1
+
+
+def test_edit_distance_blocking_recall(spark, sf_dir):
+    """VERDICT r6 task #5: quantify the recall of text_edit_distance_join's
+    length-band blocking against UNBLOCKED small-corpus truth (every
+    same-lang pair within K edits, no bands, no cap), computed in DuckDB.
+
+    The r6 same-band-only blocking measured 0.25 recall on this fixture —
+    every miss an adjacent-band straddle. The r7 ±1-band probe must find
+    ALL truth pairs here (recall == 1.0); if a future fixture introduces
+    pairs whose lengths differ by >15 chars (band width 8, probe ±1) this
+    assertion documents exactly which family was lost and why minhash is
+    the designated catcher for it.
+    """
+    import duckdb
+
+    from hadoop_job_analyzer_spark.operators.neardup import _ED_MAX_DIST
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    truth = {
+        (a, b)
+        for a, b in con.execute(
+            f"""
+            SELECT LEAST(a.doc_id, c.doc_id), GREATEST(a.doc_id, c.doc_id)
+            FROM documents a JOIN documents c
+              ON a.lang = c.lang AND a.doc_id < c.doc_id
+            WHERE levenshtein(a.text, c.text) <= {_ED_MAX_DIST}
+            """
+        ).fetchall()
+    }
+    assert truth, "fixture has no within-K pairs — truth set degenerate"
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in queries()["text_edit_distance_join"](spark, sf_dir).collect()
+    }
+    assert found <= truth, f"false positives: {sorted(found - truth)[:5]}"
+    missed = truth - found
+    recall = 1.0 - len(missed) / len(truth)
+    assert recall == 1.0, (
+        f"blocking recall {recall:.3f}; missed pairs (len-diff straddles "
+        f"beyond the ±1-band probe): {sorted(missed)[:10]}"
+    )

@@ -99,13 +99,18 @@ def test_r7_r8_windows_partition_never_sampled_remainder():
             sampled |= set(json.loads(path.read_text()))
     assert sampled, "historic CORRECTNESS files missing"
     never = set(registry.queries()) - sampled
+    # Keys whose semantics were reshaped in r7 AFTER their driver hash pass:
+    # their recorded pass predates the reshape, so they re-enter the r8
+    # window (policy rule 2) even though CORRECTNESS files list them.
+    reshaped_r7 = {"text_edit_distance_join"}
     r7, r8 = set(registry._R7_WINDOW), set(registry._R8_WINDOW)
     assert len(registry._R7_WINDOW) == 50 and len(r7) == 50
     assert len(registry._R8_WINDOW) == len(r8)
     assert r7 & r8 == set(), f"windows overlap: {sorted(r7 & r8)}"
-    assert r7 | r8 == never, (
+    assert r7 | r8 == never | reshaped_r7, (
         f"windows don't partition the remainder; "
-        f"missing={sorted(never - (r7 | r8))} extra={sorted((r7 | r8) - never)}"
+        f"missing={sorted((never | reshaped_r7) - (r7 | r8))} "
+        f"extra={sorted((r7 | r8) - (never | reshaped_r7))}"
     )
 
 
@@ -118,3 +123,49 @@ def test_window_order_matches_pinned_list():
     assert tuple(qkeys[:50]) == registry._R7_WINDOW
     okeys = [k for k in registry.oracle_sql() if k in set(registry._R7_WINDOW)]
     assert okeys == [k for k in registry._R7_WINDOW if k in set(okeys)]
+
+
+def test_udf_keys_survive_foreign_cwd(sf_dir):
+    """Regression (r7): worker Pythons must import the package even when
+    the driver's cwd is NOT the repo root. UDF/UDTF closures pickle
+    module references, so without `session._ship_package`'s addPyFile
+    zip the worker dies with ModuleNotFoundError (observed live when the
+    verify sweep ran from /tmp). This is also the real-cluster contract:
+    executors never have the repo checkout on their sys.path.
+
+    Runs a fresh driver subprocess from /tmp with PYTHONPATH scrubbed of
+    the repo (driver-side import goes through __spark_entry__'s own
+    sys.path insert), executing the keys whose UDF closures demonstrably
+    pickle module references (verified: with `_ship_package` stashed,
+    each dies with ModuleNotFoundError in the worker; udf_python_scalar
+    by contrast is a self-contained closure and passes either way).
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = (
+        "import sys; sys.path.insert(0, %r); "
+        "import __spark_entry__ as e; "
+        "from hadoop_job_analyzer_spark.session import get_spark; "
+        "spark = get_spark('cwd-independence-probe', master='local[2]'); "
+        "q = e.queries(); "
+        "assert q['udf_sql_registered'](spark, %r).count() > 0; "
+        "assert q['mm_decode_meta'](spark, %r).count() > 0; "
+        "assert q['scan_custom_datasource'](spark, %r).count() > 0; "
+        "print('CWD_INDEPENDENT_OK')" % (repo, sf_dir, sf_dir, sf_dir)
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0 and "CWD_INDEPENDENT_OK" in out.stdout, (
+        out.stdout[-2000:],
+        out.stderr[-4000:],
+    )

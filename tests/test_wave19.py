@@ -224,3 +224,22 @@ def test_keeper_quality_beats_min_id(spark, sf_dir):
     assert {c: r.cluster_size for c, r in kq.items()} == dict(sizes)
     for c, r in kq.items():
         assert r.keeper_chars >= d[c]  # component label IS the min doc_id
+
+
+def test_salted_sessionize_hash_equals_plain(spark, sf_dir):
+    """win_sessionize_salted must reproduce win_sessionize row-for-row:
+    the (user, day) salt + session-level boundary repair is an execution
+    strategy, not a semantics change (VERDICT r6 task #6)."""
+    from hadoop_job_analyzer_spark.operators.windows import win_sessionize_salted
+
+    plain = queries()["win_sessionize"](spark, sf_dir)
+    salted = win_sessionize_salted(spark, sf_dir)
+    # names + types must agree; nullability legitimately differs (count()
+    # is non-nullable, the salted twin's sum-of-part-counts is nullable
+    # metadata-wise — values are never null either way)
+    assert [(f.name, f.dataType) for f in plain.schema] == [
+        (f.name, f.dataType) for f in salted.schema
+    ]
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    assert plain.count() == salted.count() > 0
