@@ -460,12 +460,25 @@ def test_mahalanobis_moments_are_broadcast(plan):
     assert "Window" not in p  # no windows anywhere in this plan
 
 
-def test_kmeans_codebook_joins_are_broadcast(plan):
+def test_kmeans_codebook_joins_are_broadcast(plan, spark, sf_dir):
     """emb_kmeans_iterative: every per-round codebook join (k x 64 cells)
-    must broadcast — the vector side never reshuffles for the codebook."""
-    p = plan("emb_kmeans_iterative")
+    must broadcast — the vector side never reshuffles for the codebook.
+    Asserted on the extracted per-round assignment subtree (`_km_assign`,
+    the exact code the loop runs): since r7 the operator checkpoints the
+    final assignment (so the write doesn't re-run the last round), which
+    reduces ITS final plan to a checkpoint scan with no joins to inspect.
+    The operator's plan is still pinned shallow below."""
+    from hadoop_job_analyzer_spark.operators.neardup import _km_assign, _km_inputs
+
+    ex, vnorm, cents = _km_inputs(spark, sf_dir)
+    asg = _km_assign(ex, vnorm, cents)
+    p = spark._jvm.PythonSQLUtils.explainString(asg._jdf.queryExecution(), "simple")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+    # the registered key's own plan: nothing but the materialized result
+    # (no recompute of the assignment subtree at action time)
+    pk = plan("emb_kmeans_iterative")
+    assert "ExistingRDD" in pk and "SortMergeJoin" not in pk
 
 
 def test_q19_disjunction_pushes_to_both_scans(plan):
