@@ -1116,6 +1116,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(True)
         )
+    # r is materialized (eager checkpoints) — release the loop caches so
+    # repeated invocations in one driver session don't accumulate them.
+    edges.unpersist()
+    deg.unpersist()
     return r.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank"))
 
 

@@ -384,6 +384,54 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _salted_session_chain(ev: DataFrame, extra_part_aggs: tuple = ()) -> DataFrame:
+    """Shared machinery of the salted-sessionize twins: the (user, day)
+    HEAVY pass producing session PARTS (with optional extra per-part
+    aggregates, e.g. the part's first event for entry-type analytics),
+    then the LIGHT per-user chain assigning session_idx. See
+    `win_sessionize_salted` for the exactness argument."""
+    salted = ev.withColumn("_day", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "_day").orderBy("ts", "event_id")
+    flagged = salted.withColumn(
+        "new_part",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "part_idx",
+        F.sum("new_part").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    parts = numbered.groupBy("user_id", "_day", "part_idx").agg(
+        F.min("ts").alias("p_start"),
+        F.max("ts").alias("p_end"),
+        F.count(F.lit(1)).alias("p_n"),
+        *extra_part_aggs,
+    )
+    # Per-user parts have pairwise-distinct start times (distinct parts of
+    # one day are ≥30 min apart; parts of different days live in disjoint
+    # days), so p_start is a total order — the running sum is deterministic.
+    wu = Window.partitionBy("user_id").orderBy("p_start")
+    return parts.withColumn(
+        "new_session",
+        F.when(
+            F.lag("p_end").over(wu).isNull()
+            | (
+                (F.col("p_start").cast("long") - F.lag("p_end").over(wu).cast("long"))
+                > 1800
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe twin of `win_sessionize` (VERDICT r6 task #6) — same
     output, salted execution. Not registered as a key (the plain key is
@@ -411,46 +459,7 @@ def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot user costs O(sessions · days) instead of O(events), and the
     event-heavy work is embarrassingly parallel across (user, day).
     """
-    ev = load_table(spark, sf_dir, "events")
-    salted = ev.withColumn("_day", F.to_date("ts"))
-    w = Window.partitionBy("user_id", "_day").orderBy("ts", "event_id")
-    flagged = salted.withColumn(
-        "new_part",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    numbered = flagged.withColumn(
-        "part_idx",
-        F.sum("new_part").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    parts = numbered.groupBy("user_id", "_day", "part_idx").agg(
-        F.min("ts").alias("p_start"),
-        F.max("ts").alias("p_end"),
-        F.count(F.lit(1)).alias("p_n"),
-    )
-    # Per-user parts have pairwise-distinct start times (distinct parts of
-    # one day are ≥30 min apart; parts of different days live in disjoint
-    # days), so p_start is a total order — the running sum is deterministic.
-    wu = Window.partitionBy("user_id").orderBy("p_start")
-    chained = parts.withColumn(
-        "new_session",
-        F.when(
-            F.lag("p_end").over(wu).isNull()
-            | (
-                (F.col("p_start").cast("long") - F.lag("p_end").over(wu).cast("long"))
-                > 1800
-            ),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "session_idx",
-        F.sum("new_session").over(
-            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    chained = _salted_session_chain(load_table(spark, sf_dir, "events"))
     return chained.groupBy("user_id", "session_idx").agg(
         F.min("p_start").alias("session_start"),
         F.max("p_end").alias("session_end"),
@@ -458,6 +467,48 @@ def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("p_end").cast("long") - F.min("p_start").cast("long")).alias(
             "duration_sec"
         ),
+    )
+
+
+def agg_session_bounce_rate_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of `agg_session_bounce_rate` (the r6 skew basket
+    measured the plain key degrading 1.6× when one user owns 20% of
+    events — the same hot-partition serialization win_sessionize_salted
+    fixes). Same output, salted execution; not registered (the plain key
+    is oracle-pinned), exercised by the skew curve program and the
+    hash-equality test.
+
+    Rides `_salted_session_chain` with one extra per-part aggregate: the
+    part's first event as a (ts, event_id, event_type) min-struct. A
+    session's entry event is the min over its parts' firsts (struct
+    ordering starts on ts, and part time-ranges are disjoint), so the
+    per-session reduce stays O(#parts). Bounces: n_events == 1 means ONE
+    part with p_n == 1 (a single event can't span parts)."""
+    chained = _salted_session_chain(
+        load_table(spark, sf_dir, "events"),
+        (F.min(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))).alias("_pfirst"),),
+    )
+    sessions = chained.groupBy("user_id", "session_idx").agg(
+        F.sum("p_n").alias("n_events"),
+        F.min("_pfirst").alias("_first"),
+    )
+    return (
+        sessions.select(
+            F.col("_first.event_type").alias("entry_type"), "n_events"
+        )
+        .groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            F.round(F.col("n_bounces") / F.col("n_sessions").cast("double"), 6).alias(
+                "bounce_rate"
+            ),
+        )
     )
 
 

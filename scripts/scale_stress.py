@@ -326,6 +326,7 @@ def _plain_join_twin(spark, sf_dir):
 SKEW_QUERIES = [
     "win_sessionize",
     "win_sessionize_salted",  # r7: (user, day)-salted twin, hash-equal to plain
+    "agg_session_bounce_rate_salted",  # r7: salted twin of the degrading KPI
     "funnel_stages",
     "ts_dau_wau",
     "ops_session_report_e2e",
@@ -357,9 +358,13 @@ def main() -> None:
     extra = {**_sqrtk_queries(), **_jobs_scaled_queries()}
     reg.update(extra)
     reg["join_plain_unsalted"] = _plain_join_twin
-    from hadoop_job_analyzer_spark.operators.windows import win_sessionize_salted
+    from hadoop_job_analyzer_spark.operators.windows import (
+        agg_session_bounce_rate_salted,
+        win_sessionize_salted,
+    )
 
     reg["win_sessionize_salted"] = win_sessionize_salted
+    reg["agg_session_bounce_rate_salted"] = agg_session_bounce_rate_salted
     if args.skew:
         basket = SKEW_QUERIES + ["join_plain_unsalted"]
         if args.queries:

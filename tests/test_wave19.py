@@ -243,3 +243,22 @@ def test_salted_sessionize_hash_equals_plain(spark, sf_dir):
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
     assert plain.count() == salted.count() > 0
+
+
+def test_salted_bounce_rate_hash_equals_plain(spark, sf_dir):
+    """agg_session_bounce_rate_salted must reproduce the plain key
+    row-for-row — the (user, day) salt + part-level entry-event reduce is
+    an execution strategy, not a semantics change (extends the r6 task-#6
+    discipline to the bounce-rate KPI the skew basket showed degrading)."""
+    from hadoop_job_analyzer_spark.operators.windows import (
+        agg_session_bounce_rate_salted,
+    )
+
+    plain = queries()["agg_session_bounce_rate"](spark, sf_dir)
+    salted = agg_session_bounce_rate_salted(spark, sf_dir)
+    assert [(f.name, f.dataType) for f in plain.schema] == [
+        (f.name, f.dataType) for f in salted.schema
+    ]
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    assert plain.count() == salted.count() > 0
