@@ -262,3 +262,78 @@ def test_salted_bounce_rate_hash_equals_plain(spark, sf_dir):
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
     assert plain.count() == salted.count() > 0
+
+
+def test_salted_sessionize_boundary_cases(spark, tmp_path):
+    """Constructed adversarial events for the salted-twin repair logic —
+    cases the fixture may not contain:
+      * gap EXACTLY 1800 s (chains: rule is > 1800) and 1801 s (splits),
+        both WITHIN a day and ACROSS midnight (the repair path);
+      * continuous activity spanning 3 calendar days (two midnight
+        repairs chain into ONE session);
+      * duplicate timestamps (event_id tie-break);
+      * a bounce at 23:59:59 followed by a bounce at 00:30:00 next day
+        (single-event sessions on both sides of the boundary).
+    Equality plain == salted on every case, plus pinned expected session
+    counts so BOTH implementations are checked against intent, not just
+    each other."""
+    import pandas as pd
+
+    from hadoop_job_analyzer_spark.operators.windows import (
+        agg_session_bounce_rate_salted,
+        win_sessionize_salted,
+    )
+
+    T = pd.Timestamp
+    rows = []
+
+    def ev(user, ts, etype="view"):
+        rows.append((len(rows) + 1, T(ts), user, etype, 1.0, "{}"))
+
+    # u1: exact-1800 chain within a day, then 1801 split
+    ev(1, "2025-03-10 10:00:00")
+    ev(1, "2025-03-10 10:30:00")   # +1800 → same session
+    ev(1, "2025-03-10 11:00:01")   # +1801 → NEW session
+    # u2: exact-1800 chain ACROSS midnight (repair must merge)
+    ev(2, "2025-03-10 23:45:00")
+    ev(2, "2025-03-11 00:15:00")   # +1800 across midnight → same session
+    # u3: 1801 across midnight (repair must NOT merge)
+    ev(3, "2025-03-10 23:45:00")
+    ev(3, "2025-03-11 00:15:01")   # new session
+    # u4: continuous activity spanning 3 days, every gap 20 min → ONE session
+    t = T("2025-03-10 23:00:00")
+    for _ in range(8):             # 23:00 d1 → 01:20 d2 … cross 2 midnights
+        ev(4, t)
+        t += pd.Timedelta(minutes=20)
+    ev(5, "2025-03-12 05:00:00")
+    t = T("2025-03-12 23:50:00")
+    for _ in range(10):
+        ev(4, t)                   # second 3-hour run for u4 crossing midnight
+        t += pd.Timedelta(minutes=20)
+    # u5 continued: duplicate timestamps (tie by event_id) in one session
+    ev(5, "2025-03-12 05:00:00")
+    ev(5, "2025-03-12 05:10:00")
+    # u6: bounces straddling midnight, 31 min apart → two 1-event sessions
+    ev(6, "2025-03-10 23:59:59")
+    ev(6, "2025-03-11 00:31:00")
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path / "mini")
+    (tmp_path / "mini").mkdir()
+    pdf.to_parquet(str(tmp_path / "mini" / "events.parquet"), index=False)
+
+    plain = queries()["win_sessionize"](spark, sf).orderBy("user_id", "session_idx")
+    salted = win_sessionize_salted(spark, sf).orderBy("user_id", "session_idx")
+    prow = [tuple(r) for r in plain.collect()]
+    srow = [tuple(r) for r in salted.collect()]
+    assert prow == srow, f"plain != salted:\n{prow}\n{srow}"
+    per_user = {}
+    for r in plain.collect():
+        per_user[r.user_id] = max(per_user.get(r.user_id, 0), r.session_idx)
+    assert per_user == {1: 2, 2: 1, 3: 2, 4: 2, 5: 1, 6: 2}, per_user
+
+    pb = queries()["agg_session_bounce_rate"](spark, sf)
+    sb = agg_session_bounce_rate_salted(spark, sf)
+    assert sb.exceptAll(pb).count() == 0 and pb.exceptAll(sb).count() == 0
