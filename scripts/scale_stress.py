@@ -195,6 +195,29 @@ def _apply_skew(t: str, df):
     return df
 
 
+# Boilerplate-cluster skew (SURVEY r7 item #5 — the one skew scenario the
+# r5/r6 program left unmeasured): 1-in-5 DOCUMENTS becomes a near-copy of
+# one fixed boilerplate template (template + the doc's first 40 chars, so
+# the cluster is a real NEAR-dup cluster, not byte-identical), modelling
+# the terms-of-service/nav-chrome mass a crawl corpus carries. This is the
+# adversarial input for every shingle/LSH key: 20% of the corpus collides
+# into one signature bucket, and the 64-doc band cap is the only thing
+# standing between the pair generator and C(0.2·N, 2).
+_BOILER = (
+    "terms of service agreement please read these terms carefully before "
+    "using this site the materials provided are for informational purposes "
+    "only and subject to change without notice all rights reserved "
+)
+
+
+def _apply_doc_skew(t: str, df):
+    if t != "documents":
+        return df
+    hot = F.pmod(F.xxhash64("doc_id"), _SKEW_FRACTION_MOD) == 0
+    boiler = F.concat(F.lit(_BOILER), F.substring("text", 1, 40))
+    return df.withColumn("text", F.when(hot, boiler).otherwise(F.col("text")))
+
+
 # Jobs-JSONL inflation (r5 verdict task #8): the upstream-report keys read
 # a 240-line fixture, so their curves were "flat (fixture-sized)" — no
 # information. Inflate the fixture to 128·k copies (x1 ≈ 31k jobs …
@@ -216,8 +239,9 @@ def _inflate_jobs(out_dir: str, k: int) -> str:
     return dst
 
 
-def inflate(spark, k: int, skew: bool = False) -> str:
-    out_dir = f"{OUT}/{'skew_' if skew else ''}x{k}"
+def inflate(spark, k: int, skew: bool = False, skew_docs: bool = False) -> str:
+    prefix = "skewdoc_" if skew_docs else ("skew_" if skew else "")
+    out_dir = f"{OUT}/{prefix}x{k}"
     if os.path.exists(f"{out_dir}/_DONE"):
         _inflate_jobs(out_dir, k)  # r6 addition; older cached dirs lack it
         return out_dir
@@ -240,6 +264,8 @@ def inflate(spark, k: int, skew: bool = False) -> str:
             df = raw
         if skew:
             df = _apply_skew(t, df)
+        if skew_docs:
+            df = _apply_doc_skew(t, df)
         df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     _inflate_jobs(out_dir, k)
     open(f"{out_dir}/_DONE", "w").close()
@@ -351,6 +377,12 @@ def main() -> None:
         action="store_true",
         help="zipfian mode: hot-key inflated copies + the SKEW_QUERIES basket",
     )
+    ap.add_argument(
+        "--skew-docs",
+        action="store_true",
+        help="boilerplate-cluster mode: 20%% of documents become near-copies "
+        "of one template (the LSH band-cap stress); use with --queries",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     spark = get_spark("hja-scale-stress")
@@ -377,7 +409,7 @@ def main() -> None:
             basket = basket + [q for q in extra if q in args.queries.split(",")]
     results: dict[str, dict[int, float]] = {q: {} for q in basket}
     for k in scales:
-        sf_dir = inflate(spark, k, skew=args.skew)
+        sf_dir = inflate(spark, k, skew=args.skew, skew_docs=args.skew_docs)
         for q in basket:
             if k >= 16 and q in SKIP_AT_16:
                 continue
@@ -386,7 +418,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scale_stress_skew" if args.skew else "scale_stress",
+                "metric": "scale_stress_skewdoc"
+                if args.skew_docs
+                else ("scale_stress_skew" if args.skew else "scale_stress"),
                 "base": SRC,
                 "results": results,
             }
