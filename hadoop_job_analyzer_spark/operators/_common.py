@@ -142,3 +142,31 @@ def distributed_rank(df, *sort_cols, out_col: str = "rn"):
         .withColumn(out_col, (F.col("_off") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_off")
     )
+
+
+def eager_release(result, *cached):
+    """Materialize a METADATA-SIZED result, release builder caches, and
+    return the rows as a local-relation DataFrame (r8, VERDICT r7 #5).
+
+    Closes the session-lifetime-persist caveat with code instead of
+    documentation: operators whose plan persists an intermediate for
+    multiple consumers previously could not ``unpersist()`` — the action
+    runs caller-side, after the operator returns — so the cached blocks
+    lived until session teardown. Running the single job here (cache
+    hot for every consumer) and re-wrapping the rows as a local relation
+    leaves ZERO persistent RDDs behind (pinned by
+    tests/test_plans.py::test_unpersist_discipline_no_lingering_blocks).
+
+    ONLY for results bounded by dimension cardinality (grouped-by-type
+    drift scores, 1-row funnels): the collect is O(#groups), never
+    O(data). Large results keep the lazy/checkpoint patterns per the
+    measured persist-vs-checkpoint policy (BASELINE.md r7 A/B).
+    """
+    spark = result.sparkSession
+    rows = result.collect()
+    for c in cached:
+        # blocking: the no-lingering-blocks test snapshots the persistent-RDD
+        # registry right after return; the default async unpersist leaves a
+        # removal race under load.
+        c.unpersist(blocking=True)
+    return spark.createDataFrame(rows, schema=result.schema)

@@ -2856,10 +2856,13 @@ def text_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join keys stay (lang, band) so the quadratic work is
     embarrassingly parallel across bands — no lang-only join that would
     skew on the 5-language corpus. Residual recall gap (documented,
-    theoretical): pairs whose lengths differ by more than 2·8−1=15
-    chars can still span ≥2 bands (possible only for edit distances in
-    [16, 20]); no such pair exists in either fixture's truth set, and
-    shingle-minhash covers that long-insertion family.
+    theoretical; claim corrected r8 per ADVICE): a miss requires a band
+    gap ≥ 2, which with bkt=floor(n/8) first becomes possible at length
+    diff 9 (e.g. len 15 → bkt 1 vs len 24 → bkt 3) — guaranteed
+    coverage holds only for length diff ≤ 8, so missable pairs have
+    edit distances anywhere in [9, 20], not just ">15 chars". No such
+    straddle pair exists in either fixture's truth set, and
+    shingle-minhash covers the long-insertion family.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", F.length("text").alias("n")

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 from .llm import _BUCKET_CAP, _band_rows, _dot, _minhash_sigs, _shingles
-from .windows import SESSIONIZE_ORACLE, win_sessionize
+from .windows import BOUNCE_RATE_ORACLE, SESSIONIZE_ORACLE, win_sessionize
 
 # ------------------------------------------------------- data-quality D
 
@@ -698,7 +698,7 @@ def decon_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ wave 4 (r4w4) keys
 
 # Wave-4 imports kept local to the section for reviewability.
-from ._common import distributed_rank, o_dsum, spread, ulong, unscale  # noqa: E402
+from ._common import distributed_rank, eager_release, o_dsum, spread, ulong, unscale  # noqa: E402
 
 
 @query(
@@ -2177,35 +2177,7 @@ def win_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_session_bounce_rate",
-    oracle="""
-WITH flagged AS (
-  SELECT user_id, event_type, ts, event_id,
-         CASE WHEN LAG(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), numbered AS (
-  SELECT user_id, event_type, ts, event_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
-  FROM flagged
-), sessions AS (
-  SELECT user_id, session_idx,
-         CAST(COUNT(*) AS BIGINT) AS n_events,
-         FIRST(event_type ORDER BY ts, event_id) AS entry_type
-  FROM numbered GROUP BY user_id, session_idx
-)
-SELECT entry_type,
-       CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
-       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
-FROM sessions GROUP BY entry_type
-""",
-)
+@query("agg_session_bounce_rate", oracle=BOUNCE_RATE_ORACLE)
 def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounce rate by session entry type — the product-analytics KPI on
     top of the win_sessionize machinery: single-event sessions / all
@@ -2458,7 +2430,7 @@ def win_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(v.agg(F.count(F.lit(1)).alias("n_click_view_sessions")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel_sessions")))
     )
-    return out.select(
+    res = out.select(
         "n_sessions",
         "n_click_sessions",
         "n_click_view_sessions",
@@ -2467,3 +2439,6 @@ def win_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_full_funnel_sessions").cast("double") / F.col("n_sessions"), 6
         ).alias("session_conversion"),
     )
+    # r8: the 1-row funnel runs eagerly so the event-sized sessionize
+    # cache is released here, not at session teardown (VERDICT r7 #5).
+    return eager_release(res, numbered)

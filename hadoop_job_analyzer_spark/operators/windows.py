@@ -344,6 +344,36 @@ GROUP BY user_id, session_idx
 """
 
 
+# Shared with quality.agg_session_bounce_rate and the salted twin below —
+# one definition of the bounce-rate semantics across plain and salted keys.
+BOUNCE_RATE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         FIRST(event_type ORDER BY ts, event_id) AS entry_type
+  FROM numbered GROUP BY user_id, session_idx
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM sessions GROUP BY entry_type
+"""
+
+
 @query("win_sessionize", oracle=SESSIONIZE_ORACLE)
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP log-analytics op — gaps-and-islands sessionization.
@@ -432,11 +462,15 @@ def _salted_session_chain(ev: DataFrame, extra_part_aggs: tuple = ()) -> DataFra
     )
 
 
+@query("win_sessionize_salted", oracle=SESSIONIZE_ORACLE)
 def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe twin of `win_sessionize` (VERDICT r6 task #6) — same
-    output, salted execution. Not registered as a key (the plain key is
-    oracle-pinned and identical in result); exercised by the skew curve
-    program (scripts/scale_stress.py) and the hash-equality test.
+    output, salted execution. Registered in round 8 (VERDICT r7 task #3:
+    the twins are oracle-ready and hash-equal to the plain keys at two
+    SFs — tests/test_wave19.py — so registering them puts the skew-safe
+    paths under the external hash gate). Oracle is the plain key's:
+    identical result is the whole point. Also exercised by the skew
+    curve program (scripts/scale_stress.py, 1.9-2.5x at skew_x256).
 
     Two-level plan, the hierarchical gaps-and-islands repair:
       1. HEAVY pass, salted: sessionize per (user_id, calendar day) —
@@ -470,13 +504,15 @@ def win_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_session_bounce_rate_salted", oracle=BOUNCE_RATE_ORACLE)
 def agg_session_bounce_rate_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe twin of `agg_session_bounce_rate` (the r6 skew basket
     measured the plain key degrading 1.6× when one user owns 20% of
     events — the same hot-partition serialization win_sessionize_salted
-    fixes). Same output, salted execution; not registered (the plain key
-    is oracle-pinned), exercised by the skew curve program and the
-    hash-equality test.
+    fixes). Same output, salted execution; registered in round 8
+    (VERDICT r7 task #3) under the plain key's oracle — identical result
+    is the contract, pinned by test_wave19.py at two SFs. Also exercised
+    by the skew curve program.
 
     Rides `_salted_session_chain` with one extra per-part aggregate: the
     part's first event as a (ts, event_id, event_type) min-struct. A

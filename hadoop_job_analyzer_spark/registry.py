@@ -85,11 +85,13 @@ _loaded = False
 #      below), so the sample is predictable, not curated after the fact.
 #
 # Cumulative driver-hash coverage: r1-r6 = 200 distinct keys (verified by
-# unioning CORRECTNESS_r01-r06.json). _R7_WINDOW (active below) takes 50
-# of the 90 remaining never-sampled keys -> cumulative 250 after round 7;
-# _R8_WINDOW (pre-committed below) holds the final 40 -> 290/290 after
-# round 8. tests/test_registry.py pins the window-first property and that
-# _R7_WINDOW + _R8_WINDOW exactly partition the never-sampled remainder.
+# unioning CORRECTNESS_r01-r06.json). _R7_WINDOW took 50 of the 90 then
+# never-sampled keys -> cumulative 250 after round 7 (CORRECTNESS_r07:
+# 50/50 hash-pass). _R8_WINDOW (ACTIVE below) holds the final 40 never-
+# sampled keys + 1 r7-reshaped key + the 3 keys new in r8 -> 293/293
+# after round 8, program complete. tests/test_registry.py pins the
+# window-first property and that _R7_WINDOW + _R8_WINDOW exactly
+# partition the never-sampled remainder.
 # ---------------------------------------------------------------------------
 
 # Round-5 window, kept for provenance (CORRECTNESS_r05 sampled these).
@@ -275,15 +277,18 @@ _R7_WINDOW = (
     "agg_moments_skew",
 )
 
-# _R8_WINDOW — committed ahead of time (VERDICT r6 task #2). These are ALL
-# 40 keys that will still lack driver hash signal after round 7 samples
-# _R7_WINDOW (290 total - 200 sampled r1-r6 - 50 in _R7_WINDOW = 40), plus
-# one RESHAPED key (policy rule 2: a key whose semantics changed must
+# _R8_WINDOW — ACTIVE (promoted in round 8 exactly as pre-committed in
+# round 6, VERDICT r6 task #2 / r7 task #1). These are ALL 40 keys that
+# still lacked driver hash signal after round 7 sampled _R7_WINDOW
+# (290 total - 200 sampled r1-r6 - 50 in _R7_WINDOW = 40), plus one
+# RESHAPED key (policy rule 2: a key whose semantics changed must
 # re-face the external gate at the first window with room — r7's window
-# was pre-committed and full, so it leads r8). Round 8 promotes this tuple
-# to the active window, reaching 290/290 cumulative driver-hash coverage.
-# Surface growth is frozen (VERDICT r6 task #3), so this list is
-# exhaustive, not a best-effort plan.
+# was pre-committed and full, so it leads r8), plus the TWO keys new in
+# round 8 (the salted execution twins, VERDICT r7 task #3 — rule 2
+# again). CORRECTNESS_r08 sampling this window closes cumulative
+# driver-hash coverage at 293/293 — zero dark keys. The 44-entry window
+# leaves 6 of the driver's 50 sampling slots to registration order;
+# those fall on already-verified keys (harmless re-verification).
 _R8_WINDOW = (
     # reshaped in r7 (recall fix: ±1-band probe; prior r06 hash pass
     # predates the reshape) — must re-face the gate
@@ -333,6 +338,18 @@ _R8_WINDOW = (
     "corpus_epoch_plan",
     "win_percent_rank_global",
     "agg_session_bounce_rate",
+    # NEW in r8 (policy rule 2: new keys face the external gate in the
+    # round they ship) — the skew-safe execution twins, registered per
+    # VERDICT r7 task #3. Hash-equal to their plain keys by test at two
+    # SFs; same oracles as the plain keys (identical output is the
+    # contract). Surface 290 -> 292.
+    "win_sessionize_salted",
+    "agg_session_bounce_rate_salted",
+    # NEW in r8 (rule 2): the composed streaming end-to-end report —
+    # the single genuinely-new capability VERDICT r7 #8 sanctioned
+    # (file source → session_window → day rollup → metrics lines).
+    # Surface 292 -> 293.
+    "ops_stream_session_report",
 )
 
 
@@ -340,7 +357,7 @@ def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R7_WINDOW if k in d}
+    head = {k: d[k] for k in _R8_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

@@ -36,7 +36,12 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
-_PKG_SHIPPED: set[int] = set()  # id(sparkContext) values already handled
+# applicationId values already shipped to. Keyed on applicationId, NOT
+# id(sc) (ADVICE r7): after a stopped context is GC'd a new context can
+# reuse the same id() and would silently skip addPyFile, reintroducing
+# the worker ModuleNotFoundError this mechanism exists to fix; appIds
+# embed the app start time and are fresh per context.
+_PKG_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -61,9 +66,10 @@ def _ship_package(spark: SparkSession) -> None:
 
     try:
         sc = spark.sparkContext
+        app_id = sc.applicationId
     except Exception:
         return  # connect-mode session: no JVM-local context to ship through
-    if id(sc) in _PKG_SHIPPED:
+    if app_id in _PKG_SHIPPED:
         return
     try:
         pkg_dir = pathlib.Path(__file__).resolve().parent
@@ -73,7 +79,7 @@ def _ship_package(spark: SparkSession) -> None:
             for p in sorted(pkg_dir.rglob("*.py")):
                 z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
         sc.addPyFile(str(zip_path))
-        _PKG_SHIPPED.add(id(sc))
+        _PKG_SHIPPED.add(app_id)
     except Exception:
         # Shipping is a robustness layer, not a correctness dependency in
         # the driver's own layout (repo-root cwd); never fail a query

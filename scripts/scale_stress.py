@@ -240,7 +240,13 @@ def _inflate_jobs(out_dir: str, k: int) -> str:
 
 
 def inflate(spark, k: int, skew: bool = False, skew_docs: bool = False) -> str:
-    prefix = "skewdoc_" if skew_docs else ("skew_" if skew else "")
+    # The dir prefix must encode BOTH flags (ADVICE r7): a combined
+    # skew+skew_docs run previously wrote into the skewdoc_xK cache and
+    # its _DONE marker made the contamination silently reusable.
+    if skew and skew_docs:
+        prefix = "skew_skewdoc_"
+    else:
+        prefix = "skewdoc_" if skew_docs else ("skew_" if skew else "")
     out_dir = f"{OUT}/{prefix}x{k}"
     if os.path.exists(f"{out_dir}/_DONE"):
         _inflate_jobs(out_dir, k)  # r6 addition; older cached dirs lack it
@@ -418,9 +424,13 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scale_stress_skewdoc"
-                if args.skew_docs
-                else ("scale_stress_skew" if args.skew else "scale_stress"),
+                "metric": "scale_stress_skew_skewdoc"
+                if (args.skew and args.skew_docs)
+                else (
+                    "scale_stress_skewdoc"
+                    if args.skew_docs
+                    else ("scale_stress_skew" if args.skew else "scale_stress")
+                ),
                 "base": SRC,
                 "results": results,
             }

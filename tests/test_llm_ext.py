@@ -239,9 +239,10 @@ def test_edit_distance_blocking_recall(spark, sf_dir):
     The r6 same-band-only blocking measured 0.25 recall on this fixture —
     every miss an adjacent-band straddle. The r7 ±1-band probe must find
     ALL truth pairs here (recall == 1.0); if a future fixture introduces
-    pairs whose lengths differ by >15 chars (band width 8, probe ±1) this
-    assertion documents exactly which family was lost and why minhash is
-    the designated catcher for it.
+    a pair straddling ≥2 bands — first possible at length diff 9 with
+    band width 8 (e.g. len 15 → bkt 1 vs len 24 → bkt 3); guaranteed
+    coverage is only length diff ≤ 8 — this assertion documents exactly
+    which family was lost and why minhash is the designated catcher.
     """
     import duckdb
 

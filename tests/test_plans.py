@@ -471,10 +471,17 @@ def test_kmeans_codebook_joins_are_broadcast(plan, spark, sf_dir):
     from hadoop_job_analyzer_spark.operators.neardup import _km_assign, _km_inputs
 
     ex, vnorm, cents = _km_inputs(spark, sf_dir)
-    asg = _km_assign(ex, vnorm, cents)
-    p = spark._jvm.PythonSQLUtils.explainString(asg._jdf.queryExecution(), "simple")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    try:
+        asg = _km_assign(ex, vnorm, cents)
+        p = spark._jvm.PythonSQLUtils.explainString(asg._jdf.queryExecution(), "simple")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+    finally:
+        # _km_inputs persists both frames for the loop; release them so the
+        # shared session fixture doesn't accumulate cached relations
+        # (ADVICE r7 — same cache-release discipline as the operators).
+        ex.unpersist()
+        vnorm.unpersist()
     # the registered key's own plan: nothing but the materialized result
     # (no recompute of the assignment subtree at action time)
     pk = plan("emb_kmeans_iterative")
@@ -555,3 +562,31 @@ def test_percent_rank_construction_launches_no_job(spark, sf_dir):
         f"{[n for n in after if n not in before] or after[len(before):]}"
     )
     assert set(df.columns) == {"user_id", "n_events", "pct_rank", "cume_dist"}
+
+
+def test_unpersist_discipline_no_lingering_blocks(spark, sf_dir):
+    """VERDICT r7 #5: the three keys that persist multi-consumer builder
+    frames (agg_psi_drift, agg_ks_binned_drift, win_session_funnel) now
+    run their metadata-sized fold eagerly via eager_release and drop the
+    cache before returning — a full run must leave ZERO new entries in
+    the context's persistent-RDD registry (the session-lifetime-persist
+    caveat is closed with code, not documentation)."""
+    from hadoop_job_analyzer_spark import registry
+
+    q = registry.queries()
+
+    def _rdd_ids():
+        # compare ID SETS, not counts: the async ContextCleaner may drop
+        # OLD cached RDDs from earlier tests mid-run; only NEW survivors
+        # created by these keys are a discipline violation.
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        # py4j hands back Java Integers OR auto-converted Python ints
+        # depending on collection contents; str() normalizes both.
+        return {int(str(k)) for k in m.keySet().toArray()}
+
+    before = _rdd_ids()
+    for key in ("agg_psi_drift", "agg_ks_binned_drift", "win_session_funnel"):
+        df = q[key](spark, sf_dir)
+        assert df.count() > 0  # already materialized; count is a local-relation scan
+    leaked = _rdd_ids() - before
+    assert not leaked, f"lingering cached blocks: new persistent RDD ids {sorted(leaked)}"

@@ -57,33 +57,35 @@ def test_oracle_keys_subset_of_queries():
 def test_first_50_registration_keys_follow_rotation_policy():
     """The driver hard-verifies only the first 50 keys of queries().
 
-    Round-7 rotation (policy documented at registry.py's window block):
-    the window is exactly the plan pre-committed in round 6 — the 12 r6
-    late-wave keys lead (they shipped after the r6 window was pinned and
-    carry zero driver exposure; policy rule 2), then the never-sampled
-    remainder largest-pools-first. Zero overlap with CORRECTNESS_r01-r06.
+    Round-8 rotation (policy documented at registry.py's window block):
+    the active window is _R8_WINDOW — the plan pre-committed in round 6,
+    extended only by the two keys NEW in r8 (policy rule 2: new keys
+    face the gate in the round they ship). Every window key must be one
+    of: never driver-sampled in r1-r7, reshaped after its last pass
+    (text_edit_distance_join, r7 recall fix), or new in r8 (the salted
+    twins). The window's 43 entries lead queries() in order; the 7
+    leftover sampling slots fall to registration order (already-verified
+    keys — harmless re-verification, never a dark key).
     """
     from hadoop_job_analyzer_spark import registry
 
     sampled: set[str] = set()
-    for rnd in (1, 2, 3, 4, 5, 6):
+    for rnd in (1, 2, 3, 4, 5, 6, 7):
         path = REPO / f"CORRECTNESS_r0{rnd}.json"
         if path.exists():
             sampled |= set(json.loads(path.read_text()))
     assert sampled, "historic CORRECTNESS files missing — cannot check rotation"
-    first50 = list(registry.queries())[:50]
-    assert len(first50) == 50
-    late_wave_r6 = {
-        "join_q19_disjunctive", "win_new_vs_returning", "ts_burstiness_fano",
-        "scan_parquet_metadata", "agg_percentile_approx_verdict", "agg_psi_drift",
-        "agg_ks_binned_drift", "join_q21_sole_failing_supplier",
-        "win_survival_gap_curve", "agg_winsorized_mean", "win_session_funnel",
-        "sample_weighted_es",
-    }
-    assert late_wave_r6 <= set(first50), "r6 late-wave keys must face the external gate"
-    assert set(first50[:12]) == late_wave_r6, "late-wave keys must LEAD the window"
-    overlap = [k for k in first50 if k in sampled]
+    window = registry._R8_WINDOW
+    first = list(registry.queries())[: len(window)]
+    assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
+    reshaped_r7 = {"text_edit_distance_join"}
+    new_r8 = {"win_sessionize_salted", "agg_session_bounce_rate_salted"}
+    overlap = [k for k in window if k in sampled and k not in reshaped_r7 | new_r8]
     assert overlap == [], f"rotation regressed; resampling already-verified keys: {overlap}"
+    # After this window is sampled, cumulative coverage is total:
+    assert sampled | set(window) == set(registry.queries()), (
+        "window must close driver-hash coverage at 292/292"
+    )
 
 
 def test_r7_r8_windows_partition_never_sampled_remainder():
@@ -103,6 +105,8 @@ def test_r7_r8_windows_partition_never_sampled_remainder():
     # their recorded pass predates the reshape, so they re-enter the r8
     # window (policy rule 2) even though CORRECTNESS files list them.
     reshaped_r7 = {"text_edit_distance_join"}
+    # The salted twins registered in r8 are inside _R8_WINDOW (policy
+    # rule 2) and, being new, are part of the never-sampled remainder.
     r7, r8 = set(registry._R7_WINDOW), set(registry._R8_WINDOW)
     assert len(registry._R7_WINDOW) == 50 and len(r7) == 50
     assert len(registry._R8_WINDOW) == len(r8)
@@ -120,9 +124,10 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    assert tuple(qkeys[:50]) == registry._R7_WINDOW
-    okeys = [k for k in registry.oracle_sql() if k in set(registry._R7_WINDOW)]
-    assert okeys == [k for k in registry._R7_WINDOW if k in set(okeys)]
+    win = registry._R8_WINDOW
+    assert tuple(qkeys[: len(win)]) == win
+    okeys = [k for k in registry.oracle_sql() if k in set(win)]
+    assert okeys == [k for k in win if k in set(okeys)]
 
 
 def test_udf_keys_survive_foreign_cwd(sf_dir):
