@@ -39,6 +39,23 @@ _N_HASHES = 16  # minhash signature length
 # above every sf dir, well below driver OOM. The bucketed twins
 # (sim_knn_join_bucketed / dedup_embedding_bucketed) are the scale path.
 _BRUTE_FORCE_MAX_ROWS = 1_000_000
+# Session conf that overrides the cap (r8, VERDICT r7 "What's wrong" #1).
+# ESCAPE HATCH, recall-baseline runs only: raising it trades driver memory
+# for exact all-pairs ground truth (e.g. recall-auditing the bucketed twins
+# on a driver you have sized for the matrix). It is NEVER the production
+# path — at corpus scale use the IVF-bucketed twins, which hold the same
+# semantics at a threshold/top-k without any driver collect.
+_BRUTE_FORCE_CAP_CONF = "spark.hja.bruteForceMaxRows"
+
+
+def _brute_force_cap(spark) -> int:
+    """The active brute-force row cap: `spark.hja.bruteForceMaxRows` if set
+    on the session (recall-baseline escape hatch — see _BRUTE_FORCE_CAP_CONF),
+    else the built-in 1M default."""
+    try:
+        return int(spark.conf.get(_BRUTE_FORCE_CAP_CONF))
+    except Exception:
+        return _BRUTE_FORCE_MAX_ROWS
 _BAND_ROWS = 2  # rows per LSH band → 8 bands
 _BUCKET_CAP = 64  # max docs per band bucket that generate pairs
 
@@ -387,13 +404,15 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The cap is enforced by the collect itself (limit cap+1, then check
     # length) instead of a separate count() action — one scan, not two, so
     # the frozen-basket timing stays comparable to rounds 1-4 (ADVICE r5).
-    a_pdf = anchors.limit(_BRUTE_FORCE_MAX_ROWS + 1).toPandas()
-    if len(a_pdf) > _BRUTE_FORCE_MAX_ROWS:
+    cap = _brute_force_cap(spark)
+    a_pdf = anchors.limit(cap + 1).toPandas()
+    if len(a_pdf) > cap:
         raise ValueError(
             f"sim_knn_join is the brute-force recall baseline and collects "
-            f"the anchor matrix on the driver (> cap "
-            f"{_BRUTE_FORCE_MAX_ROWS} anchors). Use sim_knn_join_bucketed "
-            f"(neardup.py), the IVF-partitioned scale path."
+            f"the anchor matrix on the driver (> cap {cap} anchors). Use "
+            f"sim_knn_join_bucketed (neardup.py), the IVF-partitioned scale "
+            f"path; or, for a recall-baseline run on a driver sized for the "
+            f"matrix, raise `{_BRUTE_FORCE_CAP_CONF}` on the session."
         )
     a_ids = a_pdf["vec_id"].to_numpy()
     if len(a_ids) == 0:

@@ -260,7 +260,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .llm import _BRUTE_FORCE_MAX_ROWS
+    from .llm import _BRUTE_FORCE_CAP_CONF, _brute_force_cap
 
     e = load_table(spark, sf_dir, "embeddings")
     # Scale guard (shared with sim_knn_join): this baseline collects the
@@ -268,13 +268,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale input OOM. The IVF-bucketed twin below is the scale path.
     # Cap enforced by the collect itself (limit cap+1) — no extra count()
     # job, keeping the frozen-basket timing comparable (ADVICE r5).
-    a_pdf = e.select("vec_id", "embedding").limit(_BRUTE_FORCE_MAX_ROWS + 1).toPandas()
-    if len(a_pdf) > _BRUTE_FORCE_MAX_ROWS:
+    cap = _brute_force_cap(spark)
+    a_pdf = e.select("vec_id", "embedding").limit(cap + 1).toPandas()
+    if len(a_pdf) > cap:
         raise ValueError(
             f"dedup_embedding is the brute-force recall baseline and "
-            f"collects all vectors on the driver (> cap "
-            f"{_BRUTE_FORCE_MAX_ROWS} rows). Use dedup_embedding_bucketed, "
-            f"the IVF-partitioned scale path."
+            f"collects all vectors on the driver (> cap {cap} rows). Use "
+            f"dedup_embedding_bucketed, the IVF-partitioned scale path; or, "
+            f"for a recall-baseline run on a driver sized for the matrix, "
+            f"raise `{_BRUTE_FORCE_CAP_CONF}` on the session."
         )
     a_ids = a_pdf["vec_id"].to_numpy()
     A = np.vstack(a_pdf["embedding"].to_numpy()).astype(np.float64)

@@ -276,3 +276,32 @@ def test_edit_distance_blocking_recall(spark, sf_dir):
         f"blocking recall {recall:.3f}; missed pairs (len-diff straddles "
         f"beyond the ±1-band probe): {sorted(missed)[:10]}"
     )
+
+
+def test_brute_force_cap_conf_escape_hatch(spark, sf_dir):
+    """The brute-force recall baselines' row cap is session-configurable
+    (`spark.hja.bruteForceMaxRows`, r8): a cap below the fixture's row
+    count makes both keys raise an error NAMING the bucketed scale twin
+    and the conf, and clearing the conf restores the 1M default so the
+    keys run again. The hatch exists for recall-baseline runs on a
+    deliberately-sized driver — never the production path."""
+    import pytest
+
+    from hadoop_job_analyzer_spark.operators.llm import (
+        _BRUTE_FORCE_CAP_CONF,
+        _BRUTE_FORCE_MAX_ROWS,
+        _brute_force_cap,
+    )
+
+    reg = queries()
+    try:
+        spark.conf.set(_BRUTE_FORCE_CAP_CONF, "3")
+        assert _brute_force_cap(spark) == 3
+        with pytest.raises(ValueError, match="sim_knn_join_bucketed"):
+            reg["sim_knn_join"](spark, sf_dir).collect()
+        with pytest.raises(ValueError, match="dedup_embedding_bucketed"):
+            reg["dedup_embedding"](spark, sf_dir).collect()
+    finally:
+        spark.conf.unset(_BRUTE_FORCE_CAP_CONF)
+    assert _brute_force_cap(spark) == _BRUTE_FORCE_MAX_ROWS
+    assert reg["sim_knn_join"](spark, sf_dir).limit(1).count() >= 0
