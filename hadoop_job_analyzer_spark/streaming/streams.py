@@ -52,13 +52,23 @@ _uid = count()
 
 def events_stream_dir(sf_dir: str) -> str:
     """File streams need a DIRECTORY source; stage one with a symlink to
-    the (read-only) events.parquet."""
+    the (read-only) events.parquet.
+
+    Cluster-shaped layouts (r8): when the table is itself a DIRECTORY of
+    part files — what every Spark/distributed writer produces, and what
+    the scale-stress staging produces — it already IS a valid file-source
+    root, so stream it directly; the symlink staging exists only for the
+    single-file fixture layout (where the sf dir also holds nine other
+    tables the stream must not ingest)."""
+    src = table_path(sf_dir, "events")
+    if os.path.isdir(src):
+        return src
     tag = os.path.basename(os.path.normpath(sf_dir))
     d = os.path.join(_ARTIFACTS, f"events_src_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+        os.symlink(src, link)
     return d
 
 
@@ -67,9 +77,19 @@ def _events_ts_is_long(sf_dir: str) -> bool:
     a long of epoch-ns under nanosAsLong); False for timestamp[us].
     Streaming DDL schemas are declared up front, so the branch has to
     happen at plan-build time — same dtype guard as catalog.load_table."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    t = str(pq.read_schema(table_path(sf_dir, "events")).field("ts").type)
+    p = table_path(sf_dir, "events")
+    if os.path.isdir(p):
+        # Directory-of-part-files layout (any distributed writer): the
+        # schema is uniform across parts — read it off the first one.
+        parts = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {p}")
+        p = parts[0]
+    t = str(pq.read_schema(p).field("ts").type)
     return t == "int64" or t.startswith("timestamp[ns")
 
 
@@ -97,8 +117,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# Last StreamingQueryProgress per key, captured at drain end — the state-
+# store observability surface (numRowsTotal, stateMemory, batch counts) a
+# cluster operator reads off the StreamingQueryListener; exposed here so
+# the scale harness (scripts/stream_scale.py) can record state growth
+# without holding the query object.
+LAST_PROGRESS: dict[str, dict] = {}
+
+
 def run_to_memory(spark: SparkSession, streamed: DataFrame, key: str, output_mode: str) -> DataFrame:
-    """Run the backlog with availableNow into a memory sink; return the table."""
+    """Run the backlog with availableNow into a memory sink; return the table.
+
+    The memory sink materializes results driver-side — right for the
+    correctness contract (the driver hashes the rows) and for group-
+    bounded aggregates at any scale, but a production deployment of an
+    unbounded-output stream (per-session rows, joined streams) targets a
+    distributed sink (parquet/Kafka); the scale harness documents where
+    the driver-sink boundary is."""
     name = f"hja_{key}_{next(_uid)}"
     q = (
         streamed.writeStream.format("memory")
@@ -108,6 +143,12 @@ def run_to_memory(spark: SparkSession, streamed: DataFrame, key: str, output_mod
         .start()
     )
     q.awaitTermination()
+    try:
+        p = q.lastProgress
+        if p:
+            LAST_PROGRESS[key] = p
+    except Exception:
+        pass
     return spark.table(name)
 
 
@@ -321,8 +362,12 @@ FROM events GROUP BY event_type
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id (duplicated source → distinct
-    count; state holds one key per id, bounded by watermark in the
-    dropDuplicatesWithinWatermark variant).
+    count). State holds one key per id EVER SEEN — the r8 stream-scale
+    program measured this as the family's honest climb on the
+    duplication-mass axis (5.4× wall at ×64 input, state = all distinct
+    ids); the bounded-state production shape is the
+    ``stream_dedup_within_watermark`` execution twin below (hash-equal
+    by test, measured in the same harness).
 
     Oracle: per-type COUNT(DISTINCT event_id) — dedup of the doubled
     stream keeps exactly one row per event_id.
@@ -332,6 +377,33 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
     return run_to_memory(spark, agg, "stream_dedup", "complete")
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution twin of ``stream_dedup`` with BOUNDED state (r8): the
+    dedup key set is evicted as the event-time watermark advances
+    (``dropDuplicatesWithinWatermark``), so state holds only the ids
+    inside the 2-hour horizon instead of every id ever seen — the
+    difference between O(stream length) and O(watermark window) state,
+    i.e. the shape that survives 100 TB/day. Chained stateful operators
+    (within-watermark dedup → complete-mode global agg) are supported
+    natively in Spark 4.x; the duplicates here are exact copies with
+    identical event time, so they always fall inside the horizon and
+    the result is row-for-row equal to the unbounded key's (pinned at
+    two SFs by tests/test_streaming.py::test_stream_dedup_twin_hash_equal).
+
+    Unregistered by policy (SURVEY §2 surface frozen; same discipline as
+    the salted window twins): exercised by tests and by
+    scripts/stream_scale.py, which records its state_rows staying
+    watermark-bounded while the plain key's grows with the backlog.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.union(ev)
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
+    return run_to_memory(spark, agg, "stream_dedup_within_watermark", "complete")
 
 
 @query(
@@ -691,13 +763,22 @@ DOCS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars B
 
 
 def docs_stream_dir(sf_dir: str) -> str:
-    """documents.parquet staged as a file-stream directory (symlink)."""
+    """documents.parquet staged as a file-stream directory (symlink).
+
+    Directory-shaped tables stream directly (same r8 fix as
+    events_stream_dir): a symlink to a DIRECTORY would be listed as a
+    subdirectory by the file source and silently yield an EMPTY stream —
+    the failure mode the stream-scale harness caught at the inflated
+    dirs (0 rows in 0.17 s instead of a crash)."""
+    src = table_path(sf_dir, "documents")
+    if os.path.isdir(src):
+        return src
     tag = os.path.basename(os.path.normpath(sf_dir))
     d = os.path.join(_ARTIFACTS, f"docs_src_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "documents.parquet")
     if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "documents"), link)
+        os.symlink(src, link)
     return d
 
 

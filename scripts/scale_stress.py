@@ -239,14 +239,27 @@ def _inflate_jobs(out_dir: str, k: int) -> str:
     return dst
 
 
-def inflate(spark, k: int, skew: bool = False, skew_docs: bool = False) -> str:
-    # The dir prefix must encode BOTH flags (ADVICE r7): a combined
-    # skew+skew_docs run previously wrote into the skewdoc_xK cache and
-    # its _DONE marker made the contamination silently reusable.
+def inflate(
+    spark, k: int, skew: bool = False, skew_docs: bool = False, shift_users: bool = False
+) -> str:
+    # The dir prefix must encode EVERY flag (ADVICE r7): a combined-mode
+    # run previously wrote into another mode's cache and its _DONE marker
+    # made the contamination silently reusable.
     if skew and skew_docs:
         prefix = "skew_skewdoc_"
     else:
         prefix = "skewdoc_" if skew_docs else ("skew_" if skew else "")
+    if shift_users:
+        # User-shifted events (r8, the stream-scale program's state axis):
+        # the default inflation shifts only event_id, so user/session
+        # cardinality — hence streaming state-store row count — stays
+        # CONSTANT across scales (duplication-mass axis). This mode also
+        # shifts user_id so copies are new users and stateful-operator
+        # state grows k× — the state-store-hostile direction.
+        prefix = f"usershift_{prefix}"
+    shift_keys = dict(SHIFT_KEYS)
+    if shift_users:
+        shift_keys["events"] = ["event_id", "user_id"]
     out_dir = f"{OUT}/{prefix}x{k}"
     if os.path.exists(f"{out_dir}/_DONE"):
         _inflate_jobs(out_dir, k)  # r6 addition; older cached dirs lack it
@@ -254,8 +267,8 @@ def inflate(spark, k: int, skew: bool = False, skew_docs: bool = False) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         raw = spark.read.parquet(table_path(SRC, t))
-        if t in SHIFT_KEYS and k > 1:
-            keys = SHIFT_KEYS[t]
+        if t in shift_keys and k > 1:
+            keys = shift_keys[t]
             offs = {c: raw.agg(F.max(c)).collect()[0][0] + 1 for c in keys}
             parts = [raw]
             for i in range(1, k):
@@ -389,6 +402,13 @@ def main() -> None:
         help="boilerplate-cluster mode: 20%% of documents become near-copies "
         "of one template (the LSH band-cap stress); use with --queries",
     )
+    ap.add_argument(
+        "--shift-users",
+        action="store_true",
+        help="also shift events.user_id per inflated copy so user/session "
+        "cardinality (and streaming state) grows kx instead of staying "
+        "constant; use with --queries",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     spark = get_spark("hja-scale-stress")
@@ -415,7 +435,10 @@ def main() -> None:
             basket = basket + [q for q in extra if q in args.queries.split(",")]
     results: dict[str, dict[int, float]] = {q: {} for q in basket}
     for k in scales:
-        sf_dir = inflate(spark, k, skew=args.skew, skew_docs=args.skew_docs)
+        sf_dir = inflate(
+            spark, k, skew=args.skew, skew_docs=args.skew_docs,
+            shift_users=args.shift_users,
+        )
         for q in basket:
             if k >= 16 and q in SKIP_AT_16:
                 continue

@@ -187,3 +187,66 @@ def test_stream_custom_sessionize_equals_batch(spark, sf_dir):
         .drop("idx")
     )
     assert _rows(got) == _rows(want)
+
+
+def test_stream_dedup_twin_hash_equal(spark, sf_dir):
+    """stream_dedup_within_watermark (bounded state) must reproduce the
+    registered unbounded key row-for-row at two SFs: the duplicates are
+    exact copies with identical event time, so watermark eviction can
+    never split a duplicate pair across the horizon. This is the
+    execution-twin discipline (same as the salted window twins): the
+    scale-safe variant carries a hash-equality pin instead of a
+    registry entry."""
+    from hadoop_job_analyzer_spark.streaming.streams import (
+        stream_dedup_within_watermark,
+    )
+
+    for d in (sf_dir, "/root/testdata/sf0.01"):
+        got = stream_dedup_within_watermark(spark, d)
+        want = queries()["stream_dedup"](spark, d)
+        assert _rows(got) == _rows(want)
+
+
+def test_stream_reads_directory_shaped_events_table(spark, sf_dir, tmp_path):
+    """Cluster-shaped layout (r8): every distributed writer produces the
+    events table as a DIRECTORY of part files, not a single file. The
+    stream source helpers must (a) resolve the ts physical type off a
+    part file and (b) stream the directory directly — and the drained
+    result must equal the single-file fixture's, since it is the same
+    rows. Regression for the pq.read_schema-on-a-directory crash."""
+    import os
+
+    from hadoop_job_analyzer_spark.streaming.streams import (
+        _events_ts_is_long,
+        events_stream_dir,
+    )
+
+    d = str(tmp_path / "cluster_sf")
+    os.makedirs(d)
+    # events as a genuine multi-part directory; dims irrelevant here.
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(
+        f"{d}/events.parquet"
+    )
+    assert os.path.isdir(f"{d}/events.parquet")
+    # The dtype probe must resolve off a part file without crashing; the
+    # VALUE is writer-dependent (Spark 4.1 writes timestamp[ns], which the
+    # nanosAsLong session conf surfaces as long — the ns branch's job).
+    assert _events_ts_is_long(d) in (True, False)
+    assert events_stream_dir(d) == f"{d}/events.parquet"
+    got = queries()["stream_file_source"](spark, d)
+    want = queries()["stream_file_source"](spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+    # Same contract for the documents stream: before the fix, a symlink
+    # to a directory-shaped table yielded a silently EMPTY stream (the
+    # worst failure mode — 0 rows, no crash; caught by the stream-scale
+    # harness at the inflated dirs).
+    from hadoop_job_analyzer_spark.streaming.streams import docs_stream_dir
+
+    load_table(spark, sf_dir, "documents").repartition(3).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    assert docs_stream_dir(d) == f"{d}/documents.parquet"
+    got_d = queries()["stream_near_dedup_norm"](spark, d)
+    assert got_d.count() > 0
+    assert _rows(got_d) == _rows(queries()["stream_near_dedup_norm"](spark, sf_dir))
