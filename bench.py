@@ -146,6 +146,9 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # timing: PySpark DataFrame construction is ~0.3-0.6 s of py4j plan-build
 # chatter per query (measured) that (a) is irrelevant to plan quality and
 # (b) would break the frozen basket's round-over-round comparability.
+# INVARIANT (ADVICE r8 #4): every eager_release-backed key (operators/
+# _common.py) runs entirely at construction time — if one is ever added
+# to HEADLINE it MUST also be listed here, else it benches at ~0s.
 CONSTRUCTION_TIMED = {
     "dedup_components_full",
     "emb_kmeans_iterative",

@@ -161,6 +161,14 @@ def eager_release(result, *cached):
     drift scores, 1-row funnels): the collect is O(#groups), never
     O(data). Large results keep the lazy/checkpoint patterns per the
     measured persist-vs-checkpoint policy (BASELINE.md r7 A/B).
+
+    BENCH CAVEAT: this moves ALL execution into DataFrame construction
+    time — the returned frame is a local relation whose action is ~0s.
+    bench.py's default run_once times execution only, so any
+    eager_release-backed key added to bench HEADLINE must ALSO go into
+    bench.CONSTRUCTION_TIMED or it silently benches at ~0s (the exact
+    BENCH_r04/r05 `documents` artifact). bench.py carries the matching
+    note at CONSTRUCTION_TIMED.
     """
     spark = result.sparkSession
     rows = result.collect()

@@ -51,11 +51,19 @@ _BRUTE_FORCE_CAP_CONF = "spark.hja.bruteForceMaxRows"
 def _brute_force_cap(spark) -> int:
     """The active brute-force row cap: `spark.hja.bruteForceMaxRows` if set
     on the session (recall-baseline escape hatch — see _BRUTE_FORCE_CAP_CONF),
-    else the built-in 1M default."""
-    try:
-        return int(spark.conf.get(_BRUTE_FORCE_CAP_CONF))
-    except Exception:
+    else the built-in 1M default. An unparsable conf value raises rather
+    than silently falling back to the default — a user who set '2M' or
+    '1_000_000' must learn their override was not applied."""
+    raw = spark.conf.get(_BRUTE_FORCE_CAP_CONF, None)
+    if raw is None:
         return _BRUTE_FORCE_MAX_ROWS
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{_BRUTE_FORCE_CAP_CONF}={raw!r} is not an integer row count; "
+            f"set a plain base-10 integer (e.g. 2000000)"
+        ) from None
 _BAND_ROWS = 2  # rows per LSH band → 8 bands
 _BUCKET_CAP = 64  # max docs per band bucket that generate pairs
 

@@ -869,7 +869,9 @@ def ops_stream_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming END-TO-END composed report (r8; the one surface
     addition VERDICT r7 #8 sanctioned): file source → native
     session_window sessionize → per-day session health rollup
-    (sessions, events, bounces, session-weighted Apdex) → Graphite
+    (sessions, events, bounces, event-weighted day Apdex — sat/tol
+    summed over ALL the day's session events divided by the day's
+    event total, not a mean of per-session scores) → Graphite
     plaintext metrics lines — the upstream forwarder's whole loop
     (ingest → group → emit, SURVEY.md §0.1) run as ONE continuous
     pipeline over the event stream, composing stream_session_window's

@@ -301,6 +301,12 @@ def test_brute_force_cap_conf_escape_hatch(spark, sf_dir):
             reg["sim_knn_join"](spark, sf_dir).collect()
         with pytest.raises(ValueError, match="dedup_embedding_bucketed"):
             reg["dedup_embedding"](spark, sf_dir).collect()
+        # Unparsable values must surface, not silently fall back to the
+        # default (ADVICE r8 #2): the user who set '2M' believes the cap
+        # was raised.
+        spark.conf.set(_BRUTE_FORCE_CAP_CONF, "2M")
+        with pytest.raises(ValueError, match=_BRUTE_FORCE_CAP_CONF):
+            _brute_force_cap(spark)
     finally:
         spark.conf.unset(_BRUTE_FORCE_CAP_CONF)
     assert _brute_force_cap(spark) == _BRUTE_FORCE_MAX_ROWS

@@ -63,7 +63,7 @@ def test_first_50_registration_keys_follow_rotation_policy():
     face the gate in the round they ship). Every window key must be one
     of: never driver-sampled in r1-r7, reshaped after its last pass
     (text_edit_distance_join, r7 recall fix), or new in r8 (the salted
-    twins). The window's 43 entries lead queries() in order; the 7
+    twins). The window's 44 entries lead queries() in order; the 6
     leftover sampling slots fall to registration order (already-verified
     keys — harmless re-verification, never a dark key).
     """
@@ -84,7 +84,7 @@ def test_first_50_registration_keys_follow_rotation_policy():
     assert overlap == [], f"rotation regressed; resampling already-verified keys: {overlap}"
     # After this window is sampled, cumulative coverage is total:
     assert sampled | set(window) == set(registry.queries()), (
-        "window must close driver-hash coverage at 292/292"
+        "window must close driver-hash coverage at 293/293"
     )
 
 
