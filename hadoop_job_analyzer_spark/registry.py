@@ -87,11 +87,14 @@ _loaded = False
 # Cumulative driver-hash coverage: r1-r6 = 200 distinct keys (verified by
 # unioning CORRECTNESS_r01-r06.json). _R7_WINDOW took 50 of the 90 then
 # never-sampled keys -> cumulative 250 after round 7 (CORRECTNESS_r07:
-# 50/50 hash-pass). _R8_WINDOW (ACTIVE below) holds the final 40 never-
-# sampled keys + 1 r7-reshaped key + the 3 keys new in r8 -> 293/293
-# after round 8, program complete. tests/test_registry.py pins the
-# window-first property and that _R7_WINDOW + _R8_WINDOW exactly
-# partition the never-sampled remainder.
+# 50/50 hash-pass). _R8_WINDOW held the final 40 never-sampled keys +
+# 1 r7-reshaped key + the 3 keys new in r8 -> 293/293 after round 8
+# (CORRECTNESS_r08: 50/50 hash-pass), closing first-pass coverage.
+# From round 9 the policy's steady state: rotate onto the keys with the
+# OLDEST driver hash (see _R9_WINDOW below). tests/test_registry.py pins
+# the window-first property, that _R7_WINDOW + _R8_WINDOW exactly
+# partition the never-sampled remainder, and that _R9_WINDOW equals the
+# 50 stalest keys recomputed from the CORRECTNESS files.
 # ---------------------------------------------------------------------------
 
 # Round-5 window, kept for provenance (CORRECTNESS_r05 sampled these).
@@ -277,7 +280,8 @@ _R7_WINDOW = (
     "agg_moments_skew",
 )
 
-# _R8_WINDOW — ACTIVE (promoted in round 8 exactly as pre-committed in
+# _R8_WINDOW — round-8 window, kept for provenance (promoted in round 8
+# exactly as pre-committed in
 # round 6, VERDICT r6 task #2 / r7 task #1). These are ALL 40 keys that
 # still lacked driver hash signal after round 7 sampled _R7_WINDOW
 # (290 total - 200 sampled r1-r6 - 50 in _R7_WINDOW = 40), plus one
@@ -352,12 +356,77 @@ _R8_WINDOW = (
     "ops_stream_session_report",
 )
 
+# _R9_WINDOW — ACTIVE. Coverage closed at 293/293 in round 8 (every key
+# has at least one driver hash pass), so from round 9 the rotation policy
+# shifts from "never-sampled first" to "STALEST EVIDENCE first"
+# (VERDICT r8 "What's missing" #3 / task #5): the window takes the 50
+# keys whose most recent driver hash is OLDEST, so the external signal
+# is re-freshened in evidence-age order as code keeps evolving. Derived
+# mechanically by scripts/hash_ledger.py --window from
+# CORRECTNESS_r01-r08.json (ties broken by registration order) and
+# pinned by tests/test_registry.py — these are exactly the r2-sampled
+# key plus all 49 keys whose last driver hash is round 3. Rule 2 is
+# unchanged: a key added or reshaped in the current round displaces the
+# freshest tail entry of the pre-committed window.
+_R9_WINDOW = (
+    "agg_minmax_by",  # last driver hash r2
+    "scan_parquet",  # r3 below this line
+    "scan_parquet_nanos",
+    "scan_column_prune",
+    "scan_csv_schema",
+    "scan_jsonl",
+    "sink_parquet_partitioned",
+    "scan_orc_roundtrip",
+    "scan_custom_datasource",
+    "sink_compact_small_files",
+    "scan_schema_evolution",
+    "scan_text_log_regex",
+    "project_compute",
+    "filter_range_date",
+    "filter_in_set",
+    "filter_like",
+    "filter_rlike",
+    "filter_null_logic",
+    "filter_bool_combo",
+    "filter_outlier_p99",
+    "filter_exists_subquery",
+    "join_inner_equi",
+    "join_broadcast_hint",
+    "join_sort_merge",
+    "join_shuffle_hash",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "join_interval",
+    "join_star_multiway",
+    "join_skew_salted",
+    "join_bucketed",
+    "join_lateral_topk",
+    "join_dpp_partitioned",
+    "join_product_line_profit",
+    "join_null_safe_eq",
+    "agg_global",
+    "agg_group_pricing",
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_having",
+    "agg_conditional",
+    "agg_stats",
+)
+
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R8_WINDOW if k in d}
+    head = {k: d[k] for k in _R9_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

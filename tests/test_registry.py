@@ -57,34 +57,46 @@ def test_oracle_keys_subset_of_queries():
 def test_first_50_registration_keys_follow_rotation_policy():
     """The driver hard-verifies only the first 50 keys of queries().
 
-    Round-8 rotation (policy documented at registry.py's window block):
-    the active window is _R8_WINDOW — the plan pre-committed in round 6,
-    extended only by the two keys NEW in r8 (policy rule 2: new keys
-    face the gate in the round they ship). Every window key must be one
-    of: never driver-sampled in r1-r7, reshaped after its last pass
-    (text_edit_distance_join, r7 recall fix), or new in r8 (the salted
-    twins). The window's 44 entries lead queries() in order; the 6
-    leftover sampling slots fall to registration order (already-verified
-    keys — harmless re-verification, never a dark key).
+    Round-9 rotation (policy documented at registry.py's window block):
+    first-pass coverage closed at 293/293 in round 8, so the steady-state
+    policy is STALEST EVIDENCE FIRST — the active _R9_WINDOW must equal
+    the 50 keys whose most recent driver hash pass (across
+    CORRECTNESS_r01-r08.json) is oldest. Recomputed here from the same
+    files scripts/hash_ledger.py reads, so the window cannot silently
+    drift from the evidence that justifies it.
     """
     from hadoop_job_analyzer_spark import registry
 
-    sampled: set[str] = set()
-    for rnd in (1, 2, 3, 4, 5, 6, 7):
+    last_hash: dict[str, int] = {}
+    for rnd in range(1, 9):
         path = REPO / f"CORRECTNESS_r0{rnd}.json"
-        if path.exists():
-            sampled |= set(json.loads(path.read_text()))
-    assert sampled, "historic CORRECTNESS files missing — cannot check rotation"
-    window = registry._R8_WINDOW
+        if not path.exists():
+            continue
+        for key, rec in json.loads(path.read_text()).items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                last_hash[key] = rnd
+    assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
+    window = registry._R9_WINDOW
+    assert len(window) == 50 and len(set(window)) == 50
     first = list(registry.queries())[: len(window)]
     assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
-    reshaped_r7 = {"text_edit_distance_join"}
-    new_r8 = {"win_sessionize_salted", "agg_session_bounce_rate_salted"}
-    overlap = [k for k in window if k in sampled and k not in reshaped_r7 | new_r8]
-    assert overlap == [], f"rotation regressed; resampling already-verified keys: {overlap}"
-    # After this window is sampled, cumulative coverage is total:
-    assert sampled | set(window) == set(registry.queries()), (
-        "window must close driver-hash coverage at 293/293"
+    all_keys = set(registry.queries())
+    assert set(last_hash) >= all_keys, (
+        f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
+    )
+    # The window must be exactly the 50 stalest (oldest last-hash round).
+    # The r1-r8 age distribution makes the cut unambiguous: the 50th and
+    # 51st stalest keys are in different rounds (r3 vs r4), so no
+    # tie-break policy can change membership.
+    by_age = sorted(all_keys, key=lambda k: last_hash[k])
+    cutoff_round = last_hash[by_age[49]]
+    assert last_hash[by_age[50]] > cutoff_round, (
+        "stalest-50 cut is ambiguous; pin a tie-break before rotating"
+    )
+    assert set(window) == set(by_age[:50]), (
+        f"window is not the stalest 50; "
+        f"missing={sorted(set(by_age[:50]) - set(window))} "
+        f"extra={sorted(set(window) - set(by_age[:50]))}"
     )
 
 
@@ -124,7 +136,7 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    win = registry._R8_WINDOW
+    win = registry._R9_WINDOW
     assert tuple(qkeys[: len(win)]) == win
     okeys = [k for k in registry.oracle_sql() if k in set(win)]
     assert okeys == [k for k in win if k in set(okeys)]
