@@ -550,6 +550,48 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, joined, "stream_stream_join", "append")
 
 
+def stream_stream_join_wm(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
+    """UNREGISTERED execution twin of `stream_stream_join` with the
+    watermark as a parameter (SURVEY §2 surface frozen; same policy as
+    `stream_dedup_within_watermark`). Exists for the measured
+    watermark-vs-state tradeoff (VERDICT r8 task #3): the registered
+    key's 100 TB story is "the watermark bound — not the data size — is
+    what you tune", and this twin is how that claim is measured rather
+    than asserted (`scripts/wm_tradeoff.py`; curves in BASELINE.md).
+    Semantics caveat the curve must record: a tighter watermark bounds
+    join STATE but also drops later-arriving rows — rows_out and
+    numRowsDroppedByWatermark move together, which is exactly the
+    correctness/cost dial a cluster operator sets.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+    ).select("c_user", "click_id", "click_ts", "buy_id", "buy_ts")
+    return run_to_memory(spark, joined, "stream_stream_join", "append")
+
+
 @query(
     "stream_static_join",
     oracle="""

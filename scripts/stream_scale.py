@@ -111,16 +111,25 @@ def main() -> None:
             rows_out = out.count()
             wall = round(time.perf_counter() - t0, 3)
             prog = S.LAST_PROGRESS.get(key) or {}
-            st = (prog.get("stateOperators") or [{}])[0]
+            # SUM across stateOperators, don't read [0] (r9 fix): chained
+            # stateful plans (stream_dedup = dropDuplicates THEN a
+            # complete-mode agg) report one entry per operator, and [0]
+            # was the downstream 5-row agg — hiding the dedup operator's
+            # real id-keyed state. The r8 Axis-1 numbers for the two
+            # dedup keys under-reported state for exactly this reason.
+            ops_list = prog.get("stateOperators") or []
             rec = {
                 "wall": wall,
                 "rows_in": rows_in,
                 "rows_out": rows_out,
                 "rows_per_sec": round(rows_in / wall),
-                "state_rows": st.get("numRowsTotal"),
+                "state_rows": sum((o.get("numRowsTotal") or 0) for o in ops_list)
+                if ops_list
+                else None,
                 "state_mb": round(
-                    (st.get("memoryUsedBytes") or 0) / 1e6, 1
+                    sum((o.get("memoryUsedBytes") or 0) for o in ops_list) / 1e6, 1
                 ),
+                "state_ops": [o.get("numRowsTotal") for o in ops_list],
                 "batches": prog.get("batchId"),
             }
             results[key][k] = rec

@@ -590,3 +590,87 @@ def test_unpersist_discipline_no_lingering_blocks(spark, sf_dir):
         assert df.count() > 0  # already materialized; count is a local-relation scan
     leaked = _rdd_ids() - before
     assert not leaked, f"lingering cached blocks: new persistent RDD ids {sorted(leaked)}"
+
+
+# The 38 keys the r8 plan census (verification/r8_plan_census.md) lists
+# with at least one `Exchange SinglePartition` in their pre-execution
+# plan. The census TEXT claims each such exchange funnels only a
+# metadata-sized input (final rollups of per-partition partials, k-row
+# codebooks, day/hour grids); the test below converts that claim into an
+# executed row-count guard so a future edit cannot silently grow one of
+# these into a data-sized global funnel (VERDICT r8 task #6). If the
+# census is regenerated and this list drifts, update BOTH together.
+SINGLE_PART_CENSUS_KEYS = [
+    "graph_triangle_count",
+    "corpus_health_report",
+    "decon_embedding",
+    "graph_type_cooccurrence",
+    "win_pareto_8020",
+    "win_activity_rank_global",
+    "win_ntile_pct",
+    "win_percent_rank_global",
+    "agg_gini_user_activity",
+    "funnel_stages",
+    "text_zipf_fit",
+    "sketch_hll_mergeable",
+    "text_lm_unigram_score",
+    "text_vocab_growth",
+    "sort_multi_null",
+    "sketch_histogram_quantile",
+    "ts_changepoint_cusum",
+    "ts_ewma_daily",
+    "win_new_vs_returning",
+    "corpus_mix_rebalance",
+    "emb_mrl_truncate_recall",
+    "sketch_heavy_hitters",
+    "sketch_kmv_distinct",
+    "ts_gapfill_hourly",
+    "ts_resample_interp",
+    "win_session_length_histogram",
+    "agg_first_digit_benford",
+    "agg_global",
+    "corpus_epoch_plan",
+    "corpus_shard_balance",
+    "corpus_temperature_weights",
+    "distinct_values",
+    "profile_column_stats",
+    "sketch_ams_selfjoin_size",
+    "win_moving_avg",
+    "win_rolling_median",
+    "win_survival_gap_curve",
+    "scan_parquet_metadata",
+]
+
+# Measured ceiling (scripts note in verification/r9_single_part_rows.json):
+# the largest single-partition input across all 38 keys at both SFs is
+# SINGLE_PART_MEASURED_MAX rows; the guard allows 2x headroom while
+# staying an order of magnitude below the sf0.01 fact tables (lineitem
+# 60k, events 10k), so a data-sized funnel cannot pass.
+SINGLE_PART_ROW_BOUND = 2048
+
+
+@pytest.mark.parametrize("key", SINGLE_PART_CENSUS_KEYS)
+def test_single_partition_exchange_inputs_are_metadata_sized(spark, key):
+    """Row-count guard at two SFs for every census-listed single-partition
+    exchange: execute the key and read each such exchange's own
+    shuffle-write metric from the final adaptive plan."""
+    from hadoop_job_analyzer_spark.plans import single_partition_exchange_rows
+
+    seen_any = False
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = single_partition_exchange_rows(queries()[key](spark, sf))
+        seen_any = seen_any or bool(rows)
+        too_big = [r for r in rows if r > SINGLE_PART_ROW_BOUND]
+        assert not too_big, (
+            f"{key} at {sf}: single-partition exchange input(s) {too_big} "
+            f"exceed the metadata-size bound {SINGLE_PART_ROW_BOUND} — a "
+            f"data-sized global funnel has crept into a censused plan"
+        )
+    # The guard must not go vacuous: the census says these keys HAVE
+    # single-partition exchanges. (AQE may elide them at one SF, so the
+    # presence check is across both.)
+    assert seen_any, (
+        f"{key}: no single-partition exchange found at either SF — the "
+        f"plan changed shape; regenerate the census and update "
+        f"SINGLE_PART_CENSUS_KEYS"
+    )
