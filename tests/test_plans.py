@@ -641,12 +641,21 @@ SINGLE_PART_CENSUS_KEYS = [
     "scan_parquet_metadata",
 ]
 
-# Measured ceiling (scripts note in verification/r9_single_part_rows.json):
-# the largest single-partition input across all 38 keys at both SFs is
-# SINGLE_PART_MEASURED_MAX rows; the guard allows 2x headroom while
-# staying an order of magnitude below the sf0.01 fact tables (lineitem
-# 60k, events 10k), so a data-sized funnel cannot pass.
-SINGLE_PART_ROW_BOUND = 2048
+# Measured ceiling (verification/r9_single_part_rows.json): the largest
+# single-partition input across all 38 keys at both SFs is 64 rows
+# (corpus_shard_balance's shard grid) — everything is partial-count-
+# sized (#partitions = 32) or dimension-grid-sized. The guard allows 8x
+# headroom while staying BELOW the smallest fact table at sf0.001
+# (events = 1000 rows), so even the smallest data-sized funnel cannot
+# pass at either SF.
+SINGLE_PART_ROW_BOUND = 512
+
+# Census-listed keys whose single-partition exchange exists in the
+# pre-execution plan text but is elided by AQE in the executed plan
+# (measured r9: zero ShuffleExchangeExec/SinglePartition nodes at both
+# SFs) — the bound check is vacuous for them, which is fine: AQE
+# removed the funnel entirely.
+SINGLE_PART_AQE_ELIDED = {"decon_embedding", "emb_mrl_truncate_recall"}
 
 
 @pytest.mark.parametrize("key", SINGLE_PART_CENSUS_KEYS)
@@ -668,9 +677,11 @@ def test_single_partition_exchange_inputs_are_metadata_sized(spark, key):
         )
     # The guard must not go vacuous: the census says these keys HAVE
     # single-partition exchanges. (AQE may elide them at one SF, so the
-    # presence check is across both.)
-    assert seen_any, (
-        f"{key}: no single-partition exchange found at either SF — the "
-        f"plan changed shape; regenerate the census and update "
-        f"SINGLE_PART_CENSUS_KEYS"
-    )
+    # presence check is across both; keys where AQE elides them at BOTH
+    # SFs are pinned in SINGLE_PART_AQE_ELIDED.)
+    if key not in SINGLE_PART_AQE_ELIDED:
+        assert seen_any, (
+            f"{key}: no single-partition exchange found at either SF — the "
+            f"plan changed shape; regenerate the census and update "
+            f"SINGLE_PART_CENSUS_KEYS"
+        )
