@@ -83,6 +83,14 @@ def main() -> None:
         action="store_true",
         help="stage/use the user-shifted dirs (state grows kx)",
     )
+    ap.add_argument(
+        "--state-store",
+        default="hdfs",
+        choices=["hdfs", "rocksdb"],
+        help="state store provider: the default HDFSBackedStateStore "
+        "(JVM-heap maps) or RocksDBStateStoreProvider (off-heap native — "
+        "the production choice once state outgrows executor heap)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     basket = [
@@ -91,6 +99,12 @@ def main() -> None:
     prefix = "usershift_" if args.shift_users else ""
 
     spark = get_spark("hja-stream-scale")
+    if args.state_store == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     reg = queries()
     results: dict[str, dict[int, dict]] = {k: {} for k in basket}
     for k in scales:
@@ -140,6 +154,7 @@ def main() -> None:
         "metric": "stream_scale",
         "base": SRC,
         "mode": "usershift" if prefix else "dup-mass",
+        "state_store": args.state_store,
         "results": results,
     }))
     spark.stop()
