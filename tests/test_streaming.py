@@ -263,3 +263,38 @@ def test_stream_stream_join_wm_twin_hash_equal(spark, sf_dir):
     got = stream_stream_join_wm(spark, sf_dir, "1 hour")
     want = queries()["stream_stream_join"](spark, sf_dir)
     assert _rows(got) == _rows(want)
+
+
+def test_state_operator_accounting(spark, sf_dir):
+    """Pin the state-store accounting the scale harness reads (r9; the
+    stateOperators[0] trap): lastProgress.stateOperators is a LIST with
+    one entry per stateful operator, and per-operator numRowsTotal must
+    equal the operator's designed key cardinality.
+
+    - stream_session_window: ONE state operator; rows == finalized
+      (user, session) count (complete mode emits exactly the state).
+    - stream_dedup: TWO state operators (complete-mode agg first in
+      progress order, then dropDuplicates) — the dedup operator's rows
+      must equal the DISTINCT event_id count, the agg's the type count;
+      summing is the only correct total (what the harness now does).
+    """
+    from hadoop_job_analyzer_spark.streaming.streams import LAST_PROGRESS
+
+    LAST_PROGRESS.pop("stream_session_window", None)
+    sessions = queries()["stream_session_window"](spark, sf_dir)
+    n_sessions = sessions.count()
+    ops = LAST_PROGRESS["stream_session_window"]["stateOperators"]
+    assert len(ops) == 1
+    assert ops[0]["numRowsTotal"] == n_sessions
+
+    LAST_PROGRESS.pop("stream_dedup", None)
+    out = queries()["stream_dedup"](spark, sf_dir)
+    n_types = out.count()
+    n_ids = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    ops = LAST_PROGRESS["stream_dedup"]["stateOperators"]
+    assert len(ops) == 2, f"expected agg+dedup operators, got {len(ops)}"
+    rows = sorted(o["numRowsTotal"] for o in ops)
+    assert rows == sorted([n_types, n_ids]), (
+        f"per-operator state rows {rows} != designed cardinalities "
+        f"[{n_types}, {n_ids}] — the harness's summed accounting would drift"
+    )
