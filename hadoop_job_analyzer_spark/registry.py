@@ -422,6 +422,30 @@ _R9_WINDOW = (
 )
 
 
+# _R10_WINDOW pre-commit (policy rule 4 — the schedule is committed ahead
+# of the round so the sample is predictable, not curated): once
+# CORRECTNESS_r09 lands on _R9_WINDOW, the stalest 50 become the 44 keys
+# whose last driver hash is round 4 plus the 6 stalest round-5 keys in
+# registration order, i.e. (derived mechanically, scripts/hash_ledger.py):
+#   win_ntile_pct, win_first_last, win_share_of_total, win_sessionize,
+#   win_fill_forward, ts_gapfill_hourly, funnel_stages, cohort_retention,
+#   win_trailing_hour, win_nth_value, win_transition_matrix,
+#   ts_ohlc_hourly, ts_resample_interp, ts_anomaly_zscore,
+#   win_rolling_median, ts_ewma_daily, win_activity_streaks,
+#   ts_changepoint_cusum, win_gap_distribution, ts_autocorr_lag,
+#   dedup_exact, dedup_near_minhash, sim_cosine_topk, sim_knn_join,
+#   text_wordcount, text_ngram, text_tfidf, text_stats, multimodal_join,
+#   emb_centroid_per_label, dedup_prefix, dedup_simhash,
+#   dedup_ngram_jaccard, dedup_embedding, dedup_embedding_bucketed,
+#   sim_ann_ivf, dedup_components, minhash_jaccard_estimate,
+#   emb_quantize_int8, graph_pagerank, sim_ann_recall,
+#   dedup_family_compare, dedup_cluster_sizes, emb_label_separation,
+#   sample_hash_stratified, sample_fixed_per_stratum, split_train_test,
+#   decon_ngram_overlap, pack_sequences, text_remove_stopwords
+# (rule 2 still displaces tail entries for any key added/reshaped in
+# round 10 itself).
+
+
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration

@@ -7,11 +7,16 @@ and counts physical-plan features that matter at 100 TB:
 - ``exchanges``       total Exchange nodes (each is a shuffle barrier)
 - ``single_part``     `Exchange SinglePartition` nodes — all data to ONE
                       task; legitimate only for metadata-sized inputs
-                      (final tiny rollups, k-row codebooks)
-- ``global_window``   Window operators with an empty PARTITION BY — the
-                      single-task window hazard; legitimate only on
-                      metadata-sized inputs (the distributed_rank rewrite
-                      exists precisely to avoid these on row-scale data)
+                      (final tiny rollups, k-row codebooks). This is ALSO
+                      how the global-window hazard surfaces: a Window
+                      with an empty PARTITION BY sits above exactly such
+                      an exchange, so the column counts both (no separate
+                      global_window column; the whitelisted calendar-grid
+                      windows are pinned by
+                      tests/test_plans.py::test_day_grid_global_windows_are_whitelisted_and_documented,
+                      and every censused single-part input is row-guarded
+                      from executed metrics by
+                      ::test_single_partition_exchange_inputs_are_metadata_sized)
 - ``bhj`` / ``smj``   broadcast-hash vs sort-merge joins
 - ``wsc``             WholeStageCodegen spans (JVM-side hot path)
 
