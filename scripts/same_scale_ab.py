@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Same-scale engine A/B: DuckDB vs Spark on the SAME inflated parquet.
+
+The sf0.1 headline comparison is floor-dominated (BASELINE.md: warm
+Spark-local pays a ~0.1-0.4 s per-job fixed cost on queries whose data
+path is ~50 ms, so the ratio reads ~8x). The honest comparison the 2x
+criterion intends is data-path-bound — this script produces it by
+running the SAME headline queries in BOTH engines over the SAME staged
+x64/x256 dirs (9.6 M-153 M lineitem rows), where the data path dominates
+both engines' fixed costs.
+
+Protocol, symmetric by construction:
+- same files (the scale_stress staged dirs; both engines read them cold
+  from OS page cache after one warm pass),
+- no Spark table caching (the scale_stress protocol, NOT bench.py's
+  cached-tables protocol),
+- one warm run, then median of 3 timed runs per (engine, query, scale),
+- Spark executes to the noop sink; DuckDB fetches the (small) result.
+
+Usage: python scripts/same_scale_ab.py [--scales 64,256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+OUT = "/tmp/hja_scale"
+
+# (key, duckdb sql) — oracle texts for the registered keys, the bench
+# twin's SQL for events_hourly. Resolved lazily for registry keys.
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS ts_hour, event_type,
+       COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+KEYS = [
+    "agg_group_pricing",
+    "join_star_multiway",
+    "win_topk_per_group",
+    "events_hourly",
+    "sim_cosine_topk",
+    "dedup_exact",
+    "text_wordcount",
+]
+
+
+def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Views over the staged dir; staged tables are DIRECTORIES of part
+    files (Spark writers), so glob them."""
+    from hadoop_job_analyzer_spark.catalog import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+        )
+    return con
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="64,256")
+    args = ap.parse_args()
+
+    import bench
+    from hadoop_job_analyzer_spark.registry import oracle_sql, queries
+    from hadoop_job_analyzer_spark.session import get_spark
+
+    spark = get_spark("hja-same-scale-ab")
+    reg = dict(queries())
+    reg["events_hourly"] = bench.events_hourly
+    sqls = dict(oracle_sql())
+    sqls["events_hourly"] = EVENTS_HOURLY_SQL
+
+    results: dict[str, dict[str, dict]] = {}
+    for k in (int(s) for s in args.scales.split(",")):
+        sf_dir = f"{OUT}/x{k}"
+        if not os.path.exists(f"{sf_dir}/_DONE"):
+            raise SystemExit(f"{sf_dir} not staged; run scale_stress first")
+        con = duck_views(sf_dir)
+        for key in KEYS:
+            # --- DuckDB
+            con.execute(sqls[key]).fetchall()  # warm
+            dtimes = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sqls[key]).fetchall()
+                dtimes.append(time.perf_counter() - t0)
+            # --- Spark (noop sink, no table cache)
+            fn = reg[key]
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            stimes = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                stimes.append(time.perf_counter() - t0)
+            rec = {
+                "duckdb_median3": round(statistics.median(dtimes), 3),
+                "spark_median3": round(statistics.median(stimes), 3),
+                "ratio": round(
+                    statistics.median(stimes) / statistics.median(dtimes), 2
+                ),
+            }
+            results.setdefault(f"x{k}", {})[key] = rec
+            print(f"x{k} {key}: duckdb={rec['duckdb_median3']}s "
+                  f"spark={rec['spark_median3']}s ratio={rec['ratio']}x",
+                  flush=True)
+        con.close()
+    print(json.dumps({"metric": "same_scale_ab", "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
