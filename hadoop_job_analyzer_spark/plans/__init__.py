@@ -23,6 +23,32 @@ def _walk(node):
         yield from _walk(node.plan())
 
 
+def broadcast_exchange_rows(df: DataFrame) -> list[int]:
+    """Execute ``df`` (noop sink) and return the row count built into EACH
+    broadcast exchange of the final adaptive plan (numOutputRows metric).
+
+    The broadcast twin of the single-partition guard: a broadcast
+    relation is collected to the driver and replicated to every
+    executor, which is legitimate only for dimension- or metadata-sized
+    relations — broadcasting a fact table is the classic driver-OOM /
+    network-storm scale killer. ReusedExchange references are skipped
+    (their metrics alias the originating exchange's)."""
+    df.write.format("noop").mode("overwrite").save()
+    root = df._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        root = root.finalPhysicalPlan()
+    rows: list[int] = []
+    for node in _walk(root):
+        if node.getClass().getSimpleName() != "BroadcastExchangeExec":
+            continue
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                rows.append(int(kv._2().value()))
+    return rows
+
+
 def single_partition_exchange_rows(df: DataFrame) -> list[int]:
     """Execute ``df`` (noop sink) and return the record count written into
     EACH single-partition shuffle exchange of the final adaptive plan.

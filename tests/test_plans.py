@@ -685,3 +685,62 @@ def test_single_partition_exchange_inputs_are_metadata_sized(spark, key):
             f"plan changed shape; regenerate the census and update "
             f"SINGLE_PART_CENSUS_KEYS"
         )
+
+
+# Keys that FORCE a broadcast via an explicit broadcast() hint (measured
+# r9: the full-surface audit with size-based auto-broadcast disabled,
+# verification/r9_broadcast_audit_forced.json — 50 keys force one; these
+# are the 15 largest). A forced broadcast fires at ANY scale, so it must
+# be dimension-/metadata-/geometry-bounded — broadcasting a fact table
+# is the classic driver-OOM. Auto (size-based) broadcasts are excluded
+# by construction: AQE re-decides those per scale, which is the point.
+FORCED_BROADCAST_KEYS = [
+    "join_bloom_prejoin",       # bloom set-bit positions, <= members*k, ceiling m=2^20 by geometry
+    "win_topk_per_group",
+    "decon_ngram_overlap",
+    "corpus_pipeline_e2e",
+    "emb_outlier_mahalanobis",
+    "emb_label_separation",
+    "join_star_multiway",
+    "merge_scd2",
+    "join_scd2_pointintime",
+    "sketch_countmin",
+    "sketch_bloom_membership",
+    "emb_quantize_int8",
+    "emb_pq_quantize",
+    "join_range_bucketed",
+    "win_percent_rank_global",
+]
+
+# Measured max at sf0.01 is 8909 rows (join_bloom_prejoin's position
+# set); the bound allows headroom while staying well under the sf0.01
+# fact tables (lineitem 60k) so a forced fact-broadcast cannot pass.
+FORCED_BROADCAST_ROW_BOUND = 16384
+
+
+@pytest.mark.parametrize("key", FORCED_BROADCAST_KEYS)
+def test_forced_broadcasts_are_bounded(spark, key):
+    """With size-based auto-broadcast disabled, any broadcast exchange
+    left in the executed plan is one OUR code forces with broadcast();
+    its built row count must be bounded."""
+    from hadoop_job_analyzer_spark.plans import broadcast_exchange_rows
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows = broadcast_exchange_rows(
+            queries()[key](spark, "/root/testdata/sf0.01")
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert rows, (
+        f"{key}: no forced broadcast found — the hint moved; re-run "
+        f"scripts/broadcast_audit.py and update FORCED_BROADCAST_KEYS"
+    )
+    too_big = [r for r in rows if r > FORCED_BROADCAST_ROW_BOUND]
+    assert not too_big, (
+        f"{key}: forced broadcast built {too_big} rows — above the "
+        f"{FORCED_BROADCAST_ROW_BOUND} bound; a data-sized relation is "
+        f"being replicated to every executor"
+    )
