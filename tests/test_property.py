@@ -89,3 +89,71 @@ def spark_prop(spark):
     # reuse the session fixture; named separately so hypothesis's
     # function-scoped-fixture health check doesn't fire on `spark`
     return spark
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_random_date_range_agrees_and_complements(spark_prop, data):
+    """SURVEY §5.4's promised date-range property, both halves:
+    (a) differential — a random [lo, hi) shipdate filter + count/sum
+    agrees with DuckDB; (b) complement — count(range) +
+    count(NOT range) + count(null) == count(*) inside Spark, which
+    catches boundary/NULL-semantics bugs no fixed key exercises."""
+    d = _Draw(data)
+    lo_off = d.draw(st.integers(0, 2000))
+    width = d.draw(st.integers(1, 1200))
+    lo = f"1995-01-01"
+    sdf_lo = F.to_timestamp(F.lit(lo)) + F.expr(f"interval {lo_off} days")
+    sdf_hi = F.to_timestamp(F.lit(lo)) + F.expr(f"interval {lo_off + width} days")
+
+    li = load_table(spark_prop, SF_DIR, "lineitem")
+    in_range = (F.col("l_shipdate") >= sdf_lo) & (F.col("l_shipdate") < sdf_hi)
+    sdf = li.where(in_range).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    # CAST the total: DuckDB's SUM over BIGINT widens to HUGEINT, which
+    # lands in pandas as float64 and fails the dtype-strict comparator.
+    sql = (
+        "SELECT COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+        f"+ INTERVAL {lo_off} DAY AND l_shipdate < TIMESTAMP '1995-01-01' "
+        f"+ INTERVAL {lo_off + width} DAY"
+    )
+    compare(sdf, sql, SF_DIR, f"prop-date[{lo_off}+{width}]")
+
+    total = li.count()
+    n_in = li.where(in_range).count()
+    n_out = li.where(~in_range).count()
+    n_null = li.where(F.col("l_shipdate").isNull()).count()
+    assert n_in + n_out + n_null == total, (
+        f"complement violated: {n_in} + {n_out} + {n_null} != {total}"
+    )
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_rollup_level_totals_equal_grand_total(spark_prop, data):
+    """SURVEY §5.4's rollup invariant: for random group keys, the sum of
+    counts over each rollup LEVEL equals the grand total, and the
+    all-null super-aggregate row IS the grand total — pinning the
+    grouping-set semantics the agg_rollup/agg_cube keys rely on."""
+    d = _Draw(data)
+    keys = d.draw(
+        st.lists(st.sampled_from(_GROUP_KEYS), min_size=1, max_size=3, unique=True)
+    )
+    li = load_table(spark_prop, SF_DIR, "lineitem")
+    total = li.count()
+    rolled = (
+        li.rollup(*keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        .collect()
+    )
+    # one level per distinct grouping id; each must sum to the total
+    levels: dict[int, int] = {}
+    for r in rolled:
+        levels[r["gid"]] = levels.get(r["gid"], 0) + r["n"]
+    assert set(levels) == {2**i - 1 for i in range(len(keys) + 1)}, levels
+    for gid, s in levels.items():
+        assert s == total, f"rollup level gid={gid} sums to {s} != {total}"
