@@ -58,12 +58,19 @@ def _brute_force_cap(spark) -> int:
     if raw is None:
         return _BRUTE_FORCE_MAX_ROWS
     try:
-        return int(raw)
+        cap = int(raw)
     except ValueError:
         raise ValueError(
             f"{_BRUTE_FORCE_CAP_CONF}={raw!r} is not an integer row count; "
             f"set a plain base-10 integer (e.g. 2000000)"
         ) from None
+    if cap < 1:
+        raise ValueError(
+            f"{_BRUTE_FORCE_CAP_CONF}={raw!r} must be a positive row count "
+            f"(>= 1); a zero/negative cap would reject every brute-force "
+            f"path with no hint the conf itself is nonsensical"
+        )
+    return cap
 _BAND_ROWS = 2  # rows per LSH band → 8 bands
 _BUCKET_CAP = 64  # max docs per band bucket that generate pairs
 

@@ -36,6 +36,31 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+# The production streaming state store. The default HDFSBackedStateStore
+# keeps every state row in JVM-heap maps and is measured to OOM an 8g
+# driver/executor JVM one decade above bench SF (usershift_x256 session
+# load, BASELINE.md r9 state-store A/B); RocksDB holds the same state
+# off-heap in native files (93 MB JVM footprint at the same point) at
+# −12%-to-noise wall cost everywhere measured. A user should not need to
+# know this class string to make the production choice — hence the helper
+# + the HJA_STATE_STORE env hook in get_spark (default: rocksdb).
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state_store(spark: SparkSession) -> SparkSession:
+    """One-call production state store: RocksDB (off-heap, spill-to-disk)
+    instead of the heap-map default. Runtime-settable SQL conf — it is
+    read at streaming-query start, so it applies to queries started after
+    this call on ANY session (driver-provided included)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        ROCKSDB_STATE_STORE_PROVIDER,
+    )
+    return spark
+
+
 # applicationId values already shipped to. Keyed on applicationId, NOT
 # id(sc) (ADVICE r7): after a stopped context is GC'd a new context can
 # reuse the same id() and would silently skip addPyFile, reintroducing
@@ -123,4 +148,9 @@ def get_spark(app_name: str = "hja-spark", master: str | None = None) -> SparkSe
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Streaming state store: rocksdb by default (the production choice —
+    # see ROCKSDB_STATE_STORE_PROVIDER); HJA_STATE_STORE=hdfs opts back
+    # into the heap-map default for A/B work (scripts/state_store_ab.py).
+    if os.environ.get("HJA_STATE_STORE", "rocksdb").lower() != "hdfs":
+        enable_rocksdb_state_store(spark)
     return apply_session_conf(spark)

@@ -152,6 +152,52 @@ def run_to_memory(spark: SparkSession, streamed: DataFrame, key: str, output_mod
     return spark.table(name)
 
 
+def run_to_parquet_bridge(
+    spark: SparkSession, streamed: DataFrame, key: str, output_mode: str = "update"
+) -> DataFrame:
+    """Drain the backlog through the PRODUCTION-shaped sink: foreachBatch →
+    parquet append. Each micro-batch is written by the EXECUTORS (a
+    distributed parquet job per batch); the driver holds only batch
+    metadata — nothing output-mass-sized.
+
+    This is the documented answer to run_to_memory's driver-sink bound:
+    the memory sink collects every emitted row driver-side and dies on
+    spark.driver.maxResultSize once unbounded-output streams (per-session
+    rows, joined streams) reach ~1 GB collected — measured live at
+    usershift_x256 where stream_custom_sessionize OOMs through the memory
+    sink but drains 24.4 M session rows in 102 s through this bridge
+    (BASELINE.md r9 state-store A/B). On a real cluster the same shape
+    targets parquet-on-object-store or Kafka; foreachBatch gives each
+    batch a full batch-DataFrame writer, so the sink inherits every
+    batch-side optimization (partitioned layout, compaction, dynamic
+    overwrite) without a custom Sink implementation.
+
+    Returns the accumulated parquet as a batch DataFrame (append-mode
+    accumulation: UPDATE-mode streams land every emission, so consumers
+    apply the same last-snapshot reduction as the memory-sink path —
+    see _custom_sessionize_final)."""
+    out_dir = os.path.join(_ARTIFACTS, f"bridge_{key}_{next(_uid)}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        streamed.writeStream.foreachBatch(emit)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        p = q.lastProgress
+        if p:
+            LAST_PROGRESS[key] = p
+    except Exception:
+        pass
+    return spark.read.parquet(out_dir)
+
+
 @query(
     "stream_file_source",
     oracle="""
@@ -633,52 +679,11 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, "stream_static_join", "complete")
 
 
-@query(
-    "stream_custom_sessionize",
-    oracle="""
-WITH flagged AS (
-  SELECT user_id, ts,
-         CASE WHEN LAG(ts) OVER w IS NULL
-                OR date_diff('second', LAG(ts) OVER w, ts) > 1800
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-), numbered AS (
-  SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM flagged
-)
-SELECT user_id,
-       MIN(ts) AS session_start,
-       MAX(ts) AS session_end,
-       COUNT(*) AS n_events
-FROM numbered
-GROUP BY user_id, sid
-""",
-)
-def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSTOM stateful sessionization via applyInPandasWithState — the
-    operator Structured Streaming's built-in session_window cannot
-    customize (arbitrary gap rules, per-session payloads): per user, a
-    30-minute-gap sessionizer whose state (open session start / last
-    ts / count) PERSISTS across micro-batches.
-
-    The source is staged as two time-split files (first half / second
-    half of the month) with maxFilesPerTrigger=1, so availableNow runs
-    exactly two batches and sessions spanning the split boundary are
-    stitched from RESTORED state — the thing that proves cross-batch
-    state works. Each batch emits every session touched (closed ones
-    finally, the open one as a snapshot); update-mode memory sink keeps
-    all emissions and the last snapshot per (user, session_start) — the
-    max-n_events row — is the final answer, asserted equal to the batch
-    gaps-and-islands twin (win_sessionize's exact gap rule: truncated
-    epoch-second difference > 1800) in tests.
-
-    At scale state lives per group key in the executor state stores
-    (RocksDB), exactly like the built-in operators; the Python function
-    sees one user's rows per call, Arrow-batched.
-    """
+def _custom_sessionize_emitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging + the applyInPandasWithState pipeline of
+    stream_custom_sessionize, SHARED between the registered memory-sink
+    key and the bridged execution twin so a sink A/B exercises the
+    identical stateful plan."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -733,16 +738,19 @@ def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    emitted = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         sessionize,
         "user_id long, session_start timestamp, session_end timestamp, n_events long",
         "start_us long, last_us long, n long",
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    allrows = run_to_memory(spark, emitted, "stream_custom_sessionize", "update")
-    # final answer = last snapshot per session (n_events monotone per
-    # (user, session_start); closed sessions are emitted exactly once)
+
+
+def _custom_sessionize_final(allrows: DataFrame) -> DataFrame:
+    """Final answer from the raw update-mode emissions: last snapshot per
+    session (n_events monotone per (user, session_start); closed sessions
+    are emitted exactly once)."""
     w = Window.partitionBy("user_id", "session_start").orderBy(
         F.col("n_events").desc(), F.col("session_end").desc()
     )
@@ -751,6 +759,75 @@ def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+def stream_custom_sessionize_bridged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unregistered execution twin of stream_custom_sessionize (SURVEY §2
+    surface frozen): the SAME stateful pipeline drained through the
+    foreachBatch→parquet bridge instead of the memory sink. This is the
+    shape that survives usershift_x256 (24.4 M session rows in 102 s,
+    BASELINE.md r9) where the driver-held memory sink OOMs; pinned
+    hash-equal to the memory-sink key at test SF in
+    tests/test_streaming.py::test_custom_sessionize_bridge_equals_memory_sink.
+    """
+    emitted = _custom_sessionize_emitted(spark, sf_dir)
+    allrows = run_to_parquet_bridge(
+        spark, emitted, "stream_custom_sessionize_bridged", "update"
+    )
+    return _custom_sessionize_final(allrows)
+
+
+@query(
+    "stream_custom_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionization via applyInPandasWithState — the
+    operator Structured Streaming's built-in session_window cannot
+    customize (arbitrary gap rules, per-session payloads): per user, a
+    30-minute-gap sessionizer whose state (open session start / last
+    ts / count) PERSISTS across micro-batches.
+
+    The source is staged as two time-split files (first half / second
+    half of the month) with maxFilesPerTrigger=1, so availableNow runs
+    exactly two batches and sessions spanning the split boundary are
+    stitched from RESTORED state — the thing that proves cross-batch
+    state works. Each batch emits every session touched (closed ones
+    finally, the open one as a snapshot); update-mode memory sink keeps
+    all emissions and the last snapshot per (user, session_start) — the
+    max-n_events row — is the final answer, asserted equal to the batch
+    gaps-and-islands twin (win_sessionize's exact gap rule: truncated
+    epoch-second difference > 1800) in tests.
+
+    At scale state lives per group key in the executor state stores
+    (RocksDB), exactly like the built-in operators; the Python function
+    sees one user's rows per call, Arrow-batched. Pipeline + final
+    reduction live in _custom_sessionize_emitted/_custom_sessionize_final,
+    shared with the production-sink twin stream_custom_sessionize_bridged.
+    """
+    emitted = _custom_sessionize_emitted(spark, sf_dir)
+    allrows = run_to_memory(spark, emitted, "stream_custom_sessionize", "update")
+    return _custom_sessionize_final(allrows)
 
 
 @query(

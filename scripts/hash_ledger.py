@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import re
 import subprocess
 import sys
 
@@ -36,10 +37,14 @@ from hadoop_job_analyzer_spark.registry import queries  # noqa: E402
 
 def last_driver_round() -> dict[str, int]:
     out: dict[str, int] = {}
-    for rnd in range(1, 20):
-        path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
-        if not path.exists():
-            continue
+    # Glob rather than a fixed range(1, 20) so rounds >= 20 are never
+    # silently ignored (ADVICE r9). Sorted ascending so later rounds win.
+    paths = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    for path in paths:
+        rnd = int(re.search(r"r(\d+)", path.stem).group(1))
         data = json.loads(path.read_text())
         for key, rec in data.items():
             if isinstance(rec, dict) and rec.get("hash_match"):

@@ -88,10 +88,15 @@ def main() -> None:
             if not os.path.exists(f"{sf_dir}/_DONE"):
                 raise SystemExit(f"{sf_dir} not staged; run stream_scale first")
             spark = get_spark(f"hja-state-ab-{store}-x{k}")
-            if store == "rocksdb":
-                spark.conf.set(
-                    "spark.sql.streaming.stateStore.providerClass", ROCKSDB
-                )
+            # get_spark defaults to rocksdb (session.py r10); pin BOTH arms
+            # explicitly so the hdfs arm measures the heap store.
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                ROCKSDB
+                if store == "rocksdb"
+                else "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider",
+            )
             t0 = time.perf_counter()
             rec = drain_session_window(spark, sf_dir)
             rec["wall"] = round(time.perf_counter() - t0, 3)

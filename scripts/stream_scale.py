@@ -99,11 +99,20 @@ def main() -> None:
     prefix = "usershift_" if args.shift_users else ""
 
     spark = get_spark("hja-stream-scale")
+    # get_spark now DEFAULTS to rocksdb (session.py r10); set the provider
+    # explicitly for BOTH arms so --state-store hdfs really measures the
+    # heap store rather than silently inheriting the new default.
     if args.state_store == "rocksdb":
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
+        )
+    else:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
         )
     reg = queries()
     results: dict[str, dict[int, dict]] = {k: {} for k in basket}

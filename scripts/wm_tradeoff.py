@@ -63,17 +63,26 @@ def main() -> None:
             rows_out = out.count()
             wall = round(time.perf_counter() - t0, 3)
             prog = S.LAST_PROGRESS.get("stream_stream_join") or {}
-            ops = prog.get("stateOperators") or [{}]
+            # None (not 0) when no progress was recorded — a missing
+            # stateOperators entry must not masquerade as a measured
+            # zero-state point in the published curve (ADVICE r9).
+            ops_list = prog.get("stateOperators")
             rec = {
                 "wall": wall,
                 "rows_out": rows_out,
-                "state_rows": sum((o.get("numRowsTotal") or 0) for o in ops),
+                "state_rows": sum((o.get("numRowsTotal") or 0) for o in ops_list)
+                if ops_list
+                else None,
                 "state_mb": round(
-                    sum((o.get("memoryUsedBytes") or 0) for o in ops) / 1e6, 1
-                ),
+                    sum((o.get("memoryUsedBytes") or 0) for o in ops_list) / 1e6, 1
+                )
+                if ops_list
+                else None,
                 "dropped": sum(
-                    (o.get("numRowsDroppedByWatermark") or 0) for o in ops
-                ),
+                    (o.get("numRowsDroppedByWatermark") or 0) for o in ops_list
+                )
+                if ops_list
+                else None,
                 "batches": prog.get("batchId"),
             }
             results.setdefault(f"x{k}", {})[wm] = rec

@@ -307,6 +307,13 @@ def test_brute_force_cap_conf_escape_hatch(spark, sf_dir):
         spark.conf.set(_BRUTE_FORCE_CAP_CONF, "2M")
         with pytest.raises(ValueError, match=_BRUTE_FORCE_CAP_CONF):
             _brute_force_cap(spark)
+        # Zero/negative caps are equally nonsensical (ADVICE r9 #1): they
+        # would reject EVERY brute-force path with an error blaming the
+        # data size, not the conf.
+        for bad in ("0", "-1"):
+            spark.conf.set(_BRUTE_FORCE_CAP_CONF, bad)
+            with pytest.raises(ValueError, match="positive"):
+                _brute_force_cap(spark)
     finally:
         spark.conf.unset(_BRUTE_FORCE_CAP_CONF)
     assert _brute_force_cap(spark) == _BRUTE_FORCE_MAX_ROWS

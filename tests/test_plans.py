@@ -725,15 +725,26 @@ def test_forced_broadcasts_are_bounded(spark, key):
     its built row count must be bounded."""
     from hadoop_job_analyzer_spark.plans import broadcast_exchange_rows
 
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    _keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    # Restore the session's PRIOR values, not the Spark defaults — unset()
+    # would silently clobber anything the shared session fixture (or a
+    # prior test) set on these keys (ADVICE r9).
+    prior = {k: spark.conf.get(k, None) for k in _keys}
+    for k in _keys:
+        spark.conf.set(k, "-1")
     try:
         rows = broadcast_exchange_rows(
             queries()[key](spark, "/root/testdata/sf0.01")
         )
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert rows, (
         f"{key}: no forced broadcast found — the hint moved; re-run "
         f"scripts/broadcast_audit.py and update FORCED_BROADCAST_KEYS"

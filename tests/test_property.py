@@ -157,3 +157,94 @@ def test_rollup_level_totals_equal_grand_total(spark_prop, data):
     assert set(levels) == {2**i - 1 for i in range(len(keys) + 1)}, levels
     for gid, s in levels.items():
         assert s == total, f"rollup level gid={gid} sums to {s} != {total}"
+
+
+# --- join algebra (VERDICT r9 task #8) -------------------------------------
+# Random (join-type × side-filter × group) specs rendered to BOTH engines.
+# The join types are parametrized (not drawn) so every type is GUARANTEED
+# exercised each run — a derandomized draw could happen to skip one.
+
+_ORDERS_PREDICATES = [
+    ("o_orderstatus", "=", lambda d: d.draw(st.sampled_from(["F", "O", "P"]))),
+    ("o_totalprice", "<=", lambda d: d.draw(st.integers(1000, 400000))),
+    ("o_orderkey", "%", lambda d: d.draw(st.integers(2, 7))),
+]
+
+
+def _render_orders(pred_ix: int, val) -> tuple:
+    col, op, _ = _ORDERS_PREDICATES[pred_ix]
+    if op == "%":
+        return (F.col(col) % val == 0, f"{col} % {val} = 0")
+    if op == "=":
+        return (F.col(col) == val, f"{col} = '{val}'")
+    return (F.col(col) <= val, f"{col} <= {val}")
+
+
+@pytest.mark.parametrize("jt", ["inner", "left", "right", "full"])
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_random_join_filter_agrees(spark_prop, jt, data):
+    """Differential join algebra: lineitem ⋈ orders under a random filter
+    on EACH side, grouped on a (possibly NULL-holding, for right/full)
+    left-table key. Catches operator-interaction bugs the fixed inventory
+    can't: a filter pushed through the wrong side of an outer join changes
+    the unmatched-row population, and COUNT(o_orderkey) vs COUNT(*) pins
+    exactly the null-extension semantics per join type."""
+    d = _Draw(data)
+    l_ix = d.draw(st.integers(0, len(_PREDICATES) - 1))
+    r_ix = d.draw(st.integers(0, len(_ORDERS_PREDICATES) - 1))
+    lcond, lsql = _render(l_ix, _PREDICATES[l_ix][2](d))
+    rcond, rsql = _render_orders(r_ix, _ORDERS_PREDICATES[r_ix][2](d))
+
+    li = load_table(spark_prop, SF_DIR, "lineitem").where(lcond)
+    od = load_table(spark_prop, SF_DIR, "orders").where(rcond)
+    joined = li.join(od, li["l_orderkey"] == od["o_orderkey"], how=jt)
+    sdf = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_orderkey").alias("n_l"),
+        F.count("o_orderkey").alias("n_o"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    sql = (
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "COUNT(l_orderkey) AS n_l, COUNT(o_orderkey) AS n_o, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+        f"FROM (SELECT * FROM lineitem WHERE {lsql}) "
+        f"{jt.upper()} JOIN (SELECT * FROM orders WHERE {rsql}) "
+        "ON l_orderkey = o_orderkey GROUP BY l_returnflag"
+    )
+    compare(sdf, sql, SF_DIR, f"prop-join[{jt}|{lsql}|{rsql}]")
+
+
+@pytest.mark.parametrize("jt", ["semi", "anti"])
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_random_semi_anti_join_agrees(spark_prop, jt, data):
+    """Existence-join half of the algebra: Spark left_semi/left_anti vs
+    the EXISTS / NOT EXISTS rendering (the canonical ANSI equivalent the
+    filter_exists_subquery key also uses). The right-side filter matters
+    here in the opposite way to outer joins: it shrinks the existence
+    set, flipping rows between the semi and anti populations."""
+    d = _Draw(data)
+    l_ix = d.draw(st.integers(0, len(_PREDICATES) - 1))
+    r_ix = d.draw(st.integers(0, len(_ORDERS_PREDICATES) - 1))
+    lcond, lsql = _render(l_ix, _PREDICATES[l_ix][2](d))
+    rcond, rsql = _render_orders(r_ix, _ORDERS_PREDICATES[r_ix][2](d))
+
+    li = load_table(spark_prop, SF_DIR, "lineitem").where(lcond)
+    od = load_table(spark_prop, SF_DIR, "orders").where(rcond)
+    joined = li.join(od, li["l_orderkey"] == od["o_orderkey"], how=f"left_{jt}")
+    sdf = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    neg = "NOT " if jt == "anti" else ""
+    sql = (
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+        f"FROM lineitem l WHERE ({lsql}) AND {neg}EXISTS ("
+        f"  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey"
+        f"  AND ({rsql})) "
+        "GROUP BY l_returnflag"
+    )
+    compare(sdf, sql, SF_DIR, f"prop-{jt}[{lsql}|{rsql}]")

@@ -298,3 +298,64 @@ def test_state_operator_accounting(spark, sf_dir):
         f"per-operator state rows {rows} != designed cardinalities "
         f"[{n_types}, {n_ids}] — the harness's summed accounting would drift"
     )
+
+
+def test_custom_sessionize_bridge_equals_memory_sink(spark, sf_dir):
+    """The foreachBatch→parquet bridge (run_to_parquet_bridge) must
+    reproduce the memory-sink result row-for-row (VERDICT r9 task #6):
+    the x256 proof that the memory sink — not the stateful pipeline —
+    is the scale bound (24.4 M rows drained in 102 s where the driver
+    sink OOMs, BASELINE.md r9) only counts if the bridge is pinned
+    SEMANTICALLY equal to the registered key at test SF. Same pipeline
+    (_custom_sessionize_emitted), same reduction, different sink."""
+    from hadoop_job_analyzer_spark.streaming.streams import (
+        stream_custom_sessionize_bridged,
+    )
+
+    got = stream_custom_sessionize_bridged(spark, sf_dir)
+    want = queries()["stream_custom_sessionize"](spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_bridge_records_progress_and_is_distributed(spark, sf_dir):
+    """The bridge must (a) capture LAST_PROGRESS like run_to_memory — the
+    scale harness reads state accounting off it — and (b) land rows as
+    parquet FILES (executor-written), not a driver-held table."""
+    from hadoop_job_analyzer_spark.streaming.streams import (
+        LAST_PROGRESS,
+        stream_custom_sessionize_bridged,
+    )
+
+    LAST_PROGRESS.pop("stream_custom_sessionize_bridged", None)
+    out = stream_custom_sessionize_bridged(spark, sf_dir)
+    assert out.count() > 0
+    prog = LAST_PROGRESS.get("stream_custom_sessionize_bridged")
+    assert prog is not None and prog.get("stateOperators"), (
+        "bridge drain recorded no StreamingQueryProgress — the scale "
+        "harness's state accounting would read nothing"
+    )
+    # parquet files on disk, readable by a fresh scan = distributed sink
+    files = [f for f in out.inputFiles() if f.endswith(".parquet")]
+    assert files, "bridge output is not file-backed parquet"
+
+
+def test_default_state_store_is_rocksdb(spark):
+    """get_spark (and the one-call helper) must pin the PRODUCTION state
+    store (VERDICT r9 task #5): the heap-map default is measured to OOM
+    one decade above bench SF while RocksDB survives everywhere measured
+    (BASELINE.md r9 A/B). The shared test session comes from get_spark,
+    so this also proves every streaming test in this file runs under the
+    production provider."""
+    from hadoop_job_analyzer_spark.session import (
+        ROCKSDB_STATE_STORE_PROVIDER,
+        enable_rocksdb_state_store,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    got = spark.conf.get(key, None)
+    assert got is not None and got.endswith("RocksDBStateStoreProvider"), (
+        f"get_spark session runs {got!r}, not the production RocksDB store"
+    )
+    # the helper is idempotent and returns the session for chaining
+    assert enable_rocksdb_state_store(spark) is spark
+    assert spark.conf.get(key) == ROCKSDB_STATE_STORE_PROVIDER
