@@ -374,23 +374,16 @@ FROM sessions GROUP BY entry_type
 """
 
 
-@query("win_sessionize", oracle=SESSIONIZE_ORACLE)
-def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP log-analytics op — gaps-and-islands sessionization.
-
-    30-minute-gap sessions per user: lag → gap flag → running sum
-    (session index) → per-session aggregation. This is the reference's
-    job-run grouping done as three windows + one aggregate, all
-    partitioned by user — each step is a single shuffle-free pass once
-    events are hash-partitioned by user_id.
-
-    Skew caveat (measured, r6 zipfian basket: 0.61→1.02 s when one user
-    owns 20% of events): a hot user serializes onto one task here. The
-    salted twin `win_sessionize_salted` (below; hash-equal by
-    tests/test_wave19.py::test_salted_sessionize_hash_equals_plain)
-    splits the per-EVENT window by (user, day) and repairs boundary
-    sessions on per-SESSION summaries — use it when per-user event
-    counts are unbounded.
+def win_sessionize_double_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy execution twin of win_sessionize: the textbook
+    gaps-and-islands chain (lag → gap flag → running sum → per-session
+    aggregation) that was the registered implementation through r9. All
+    event rows pass through one exchange + sort + TWO Window operators
+    before the aggregate — no partial aggregation is possible, so at
+    x256 it measured 2.87× DuckDB (scripts/sessionize_ab.py r10) while
+    the session_window formulation now registered measured 0.97×. Kept
+    unregistered as the A/B baseline and pinned hash-equal to the
+    registered key in tests/test_wave19.py.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -411,6 +404,73 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
+    )
+
+
+@query("win_sessionize", oracle=SESSIONIZE_ORACLE)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP log-analytics op — gaps-and-islands sessionization:
+    30-minute-gap sessions per user, as ONE partially-aggregating
+    session_window merge + a row_number over per-SESSION rows (r10;
+    previously the lag→running-sum double-window chain, kept as
+    win_sessionize_double_window).
+
+    Exactness vs the oracle's truncated-SECOND diff > 1800 rule (DuckDB
+    date_diff('second')/Spark cast-to-long are both truncations):
+    session_window merges TOUCHING intervals — an event joins iff
+    ts ≤ last + gapDuration (verified empirically r10: with a 1801 s gap
+    a trunc-diff-1801 pair at sf0.01 merged; with 1800 s both SFs
+    hash-match) — so feeding it ts truncated to whole seconds with a
+    1800 s gap reproduces the rule exactly: merge ⇔ trunc diff ≤ 1800.
+    Session assignment depends only on the sorted per-user multiset of
+    truncated seconds (the oracle's event_id tiebreak never affects
+    which events share a session, nor min/max/count), and min/max/count
+    run over the ORIGINAL µs timestamps. session_idx is re-derived as a
+    row_number per user ordered by session_start — a user's sessions are
+    > 1800 s apart, so the order is total and deterministic.
+
+    Why this formulation at 100×: the event-row work is a PARTIAL
+    aggregation — map-side session-fragment merging compresses before
+    the shuffle (the double-window chain must shuffle and sort every
+    event row, then run two full window passes; no partial agg is
+    possible under a window). The only window pass left runs over
+    per-session rows, orders of magnitude fewer. Measured same-scale
+    (scripts/sessionize_ab.py, symmetric protocol, x256 = 25.6 M
+    events): 1.18 s vs DuckDB 1.217 s = **0.97×** (was 2.87×), and the
+    ratio FALLS with scale (3.22× at x64, fixed-cost-dominated there).
+    Skew: a hot user's reduce-side work is session-fragment-bounded
+    (≤ #map-partitions × its sessions), not event-bounded — inherently
+    milder than the double-window chain's; the salted twin
+    `win_sessionize_salted` (hash-equal by
+    tests/test_wave19.py::test_salted_sessionize_hash_equals_plain)
+    remains the fully-bounded variant.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    sess = (
+        ev.groupBy(
+            "user_id",
+            F.session_window(
+                F.col("ts").cast("long").cast("timestamp"), "1800 seconds"
+            ).alias("_win"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
+                "duration_sec"
+            ),
+        )
+        .drop("_win")
+    )
+    wu = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        F.row_number().over(wu).cast("bigint").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_sec",
     )
 
 

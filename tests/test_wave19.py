@@ -337,3 +337,23 @@ def test_salted_sessionize_boundary_cases(spark, tmp_path):
     pb = queries()["agg_session_bounce_rate"](spark, sf)
     sb = agg_session_bounce_rate_salted(spark, sf)
     assert sb.exceptAll(pb).count() == 0 and pb.exceptAll(sb).count() == 0
+
+
+def test_double_window_legacy_hash_equals_plain(spark, sf_dir):
+    """win_sessionize_double_window (the lag→running-sum chain, registered
+    through r9) must reproduce the registered session_window formulation
+    row-for-row: the r10 swap is an execution strategy, not a semantics
+    change — same truncated-second > 1800 gap rule, same session_idx
+    numbering (scripts/sessionize_ab.py: 2.87× → 0.97× DuckDB at x256)."""
+    from hadoop_job_analyzer_spark.operators.windows import (
+        win_sessionize_double_window,
+    )
+
+    plain = queries()["win_sessionize"](spark, sf_dir)
+    legacy = win_sessionize_double_window(spark, sf_dir)
+    assert [(f.name, f.dataType) for f in plain.schema] == [
+        (f.name, f.dataType) for f in legacy.schema
+    ]
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, legacy.collect())
+    )
