@@ -156,6 +156,28 @@ CONSTRUCTION_TIMED = {
 }
 
 
+def _calibration_probe(spark: SparkSession) -> float:
+    """Floor-calibration probe (VERDICT r9 task #2): a fixed, data-light
+    query — one small shuffle over the cached events table — whose wall
+    is pure scheduler/py4j/codegen floor. Run at suite START and END and
+    emitted into the JSON, so a per-query regression can be adjudicated
+    against the SAME run's floor instead of a separate solo session:
+    if the probe is inflated vs the clean-session probe band
+    (BASELINE.md r10 checkpoint), the suite ran under load and in-suite
+    deltas of the same magnitude are load, not regressions. Median of 5
+    (the probe is cheap; 5 samples beat per-query 3 for stability).
+    """
+    ev = load_table(spark, SF_DIR, "events")
+    walls = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        walls.append(time.perf_counter() - t0)
+    return round(sorted(walls)[2], 4)
+
+
 def run_once(fn, spark: SparkSession, include_construction: bool = False) -> float:
     if include_construction:
         t0 = time.perf_counter()
@@ -178,6 +200,7 @@ def main() -> None:
         load_table(spark, SF_DIR, t).cache().count()
     # One untimed pass of the cheapest query warms codegen/scheduler paths.
     run_once(basket["agg_group_pricing"], spark)
+    probe_start = _calibration_probe(spark)
 
     # Execution order (r5 VERDICT task #6, measurement hygiene): the FROZEN
     # comparable basket runs FIRST, in its frozen order — exactly the solo
@@ -201,6 +224,7 @@ def main() -> None:
         per_query[name] = round(min(runs[:2]), 4)
         per_query_median3[name] = round(sorted(runs)[1], 4)
 
+    probe_end = _calibration_probe(spark)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
@@ -221,6 +245,14 @@ def main() -> None:
                 "comparable_basket_wall_median3": round(
                     sum(per_query_median3[k] for k in COMPARABLE_BASKET), 4
                 ),
+                # Floor calibration (see _calibration_probe): compare to
+                # the clean-session probe band in BASELINE.md before
+                # reading any per-query delta as a regression.
+                "calibration_probe": {
+                    "name": "events_type_count_median5",
+                    "start": probe_start,
+                    "end": probe_end,
+                },
             }
         )
     )

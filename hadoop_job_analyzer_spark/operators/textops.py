@@ -215,6 +215,50 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_fingerprint_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy execution twin of text_fingerprint (registered through r9):
+    fingerprint every doc row independently — explode positions, md5
+    every gram, dedup per doc, aggregate. The per-doc layout trick
+    (measured 9× over the naive groupBy at sf0.1): repartition the SMALL
+    doc rows by doc_id first — one shuffle of #docs rows — so gram
+    explode + md5 run fully parallel AND hash(doc_id) satisfies every
+    downstream aggregation distribution: dedup groupBy(doc_id, gram),
+    then doc-level agg where distinct-count is plain COUNT(*), compile
+    with ZERO further exchanges. Two traps this dodges, both found via
+    explain+measure: (1) countDistinct mixed with min/max in one groupBy
+    forces Catalyst's Expand plan (input duplicated per aggregate class,
+    two wide shuffles of gram rows); (2) without the explicit
+    repartition, the one-file scan (and, post-shuffle, AQE's 64 MB
+    coalescing) ran 1.45 M md5s + a SortAggregate sort single-threaded.
+    min(string) always plans as SortAggregate (string agg buffers aren't
+    hash-mutable), so the sort must be parallel. Explicit-N repartition
+    (_common.spread) is AQE-coalesce-proof. Explode FIRST, hash after:
+    md5-in-a-transform-lambda evaluates interpreted (higher-order fns
+    sit outside whole-stage codegen; measured 4×), while md5 over an
+    exploded row stream is codegen'd.
+
+    Kept unregistered as the dup-agnostic baseline (its md5 mass is
+    #grams regardless of corpus shape) and the A/B baseline in
+    scripts/fingerprint_ab.py; pinned hash-equal to the registered key
+    in tests/test_llm_ext.py.
+    """
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(F.length("text") >= 8), "doc_id"
+    )
+    grams = d.select(
+        "doc_id", "text", F.explode(F.expr("sequence(1, length(text) - 7)")).alias("i")
+    ).select("doc_id", F.expr("md5(substr(text, i, 8))").alias("gram_md5"))
+    distinct_grams = grams.groupBy("doc_id", "gram_md5").agg(F.lit(1))
+    return distinct_grams.groupBy("doc_id").agg(
+        F.min("gram_md5").alias("fp_min"),
+        F.max("gram_md5").alias("fp_max"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.conv(F.substring(F.min("gram_md5"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fingerprint64"),
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""
@@ -232,46 +276,56 @@ GROUP BY doc_id
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting via rolling char-8-gram hashing.
+    """Document fingerprinting via rolling char-8-gram hashing — the
+    Karp-Rabin/winnowing shape: slide an 8-char window, hash every gram
+    (md5 for cross-engine determinism), keep the min/max sketch + a
+    60-bit integer fingerprint of the min gram.
 
-    The Karp-Rabin/winnowing shape: slide an 8-char window, hash every
-    gram (md5 for cross-engine determinism), keep the min/max sketch +
-    a 60-bit integer fingerprint of the min gram.
+    r10 plan: the fingerprint is a PURE function of text, so identical
+    texts are collapsed FIRST — groupBy(md5(text)) with first(text)
+    (map-side partial agg keeps one text per key per partition, so the
+    shuffle carries ~distinct texts, not the corpus) — each distinct
+    text is fingerprinted once (explode → md5 → per-text gram dedup →
+    agg, the same zero-extra-exchange chain as the per-doc twin), and
+    the per-text results fan back out with a join on md5(text) that AQE
+    broadcast-converts when the distinct side is small. This is the
+    dedup-before-featurize move every training-data pipeline makes, in
+    one declarative plan.
 
-    Plan shape (measured 9× over the naive groupBy at sf0.1):
-    repartition the SMALL doc rows by doc_id first — one shuffle of
-    #docs rows — so gram explode + md5 run fully parallel AND
-    hash(doc_id) satisfies every downstream aggregation distribution:
-    dedup groupBy(doc_id, gram), then doc-level agg where
-    distinct-count is plain COUNT(*), compile with ZERO further
-    exchanges. Two traps this dodges, both found via explain+measure:
-    (1) countDistinct mixed with min/max in one groupBy forces
-    Catalyst's Expand plan (input duplicated per aggregate class, two
-    wide shuffles of gram rows); (2) without the explicit repartition,
-    the one-file scan (and, post-shuffle, AQE's 64 MB coalescing) ran
-    1.45 M md5s + a SortAggregate sort single-threaded. min(string)
-    always plans as SortAggregate (string agg buffers aren't
-    hash-mutable), so the sort must be parallel. Explicit-N repartition
-    (_common.spread) is AQE-coalesce-proof.
+    Regime honesty: on a dup-HEAVY corpus the md5 mass divides by the
+    duplication factor — measured same-scale (scripts/fingerprint_ab.py,
+    x64 = 320 k docs): 15.7 s → **1.70 s** = 0.16× DuckDB's 10.3 s
+    (the r9 per-doc plan sat at 1.53× and RISING with scale; this was
+    the one wrong-direction data-path trend). On a dup-FREE corpus the
+    collapse is a no-op and the added cost is one text-keyed shuffle of
+    the corpus (AQE falls back from broadcast to a shuffle join) on top
+    of the per-doc twin's mass — degradation, not failure; use
+    text_fingerprint_per_doc when dup-free is known a priori. md5(text)
+    as the identity key is the same collision-tolerance policy as
+    dedup_exact's oracle.
     """
-    d = spread(
-        load_table(spark, sf_dir, "documents").where(F.length("text") >= 8), "doc_id"
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    texts = d.groupBy(F.md5("text").alias("_tkey")).agg(
+        F.first("text").alias("text")
     )
-    # Explode window positions FIRST, hash after: md5-in-a-transform-
-    # lambda evaluates interpreted (higher-order fns sit outside
-    # whole-stage codegen; measured 4×), while md5 over an exploded row
-    # stream is codegen'd.
-    grams = d.select(
-        "doc_id", "text", F.explode(F.expr("sequence(1, length(text) - 7)")).alias("i")
-    ).select("doc_id", F.expr("md5(substr(text, i, 8))").alias("gram_md5"))
-    distinct_grams = grams.groupBy("doc_id", "gram_md5").agg(F.lit(1))
-    return distinct_grams.groupBy("doc_id").agg(
+    raw = texts.select(
+        "_tkey",
+        "text",
+        F.explode(F.expr("sequence(1, length(text) - 7)")).alias("i"),
+    ).select("_tkey", F.expr("md5(substr(text, i, 8))").alias("gram_md5"))
+    pairs = raw.groupBy("_tkey", "gram_md5").agg(F.lit(1).alias("_one"))
+    fp = pairs.groupBy("_tkey").agg(
         F.min("gram_md5").alias("fp_min"),
         F.max("gram_md5").alias("fp_max"),
         F.count(F.lit(1)).alias("n_distinct_grams"),
         F.conv(F.substring(F.min("gram_md5"), 1, 15), 16, 10)
         .cast("bigint")
         .alias("fingerprint64"),
+    )
+    return (
+        d.select("doc_id", F.md5("text").alias("_tkey"))
+        .join(fp, "_tkey")
+        .select("doc_id", "fp_min", "fp_max", "n_distinct_grams", "fingerprint64")
     )
 
 

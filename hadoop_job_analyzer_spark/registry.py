@@ -356,7 +356,8 @@ _R8_WINDOW = (
     "ops_stream_session_report",
 )
 
-# _R9_WINDOW — ACTIVE. Coverage closed at 293/293 in round 8 (every key
+# _R9_WINDOW — round-9 window, kept for provenance (CORRECTNESS_r09
+# sampled it 50/50). Coverage closed at 293/293 in round 8 (every key
 # has at least one driver hash pass), so from round 9 the rotation policy
 # shifts from "never-sampled first" to "STALEST EVIDENCE first"
 # (VERDICT r8 "What's missing" #3 / task #5): the window takes the 50
@@ -445,12 +446,77 @@ _R9_WINDOW = (
 # (rule 2 still displaces tail entries for any key added/reshaped in
 # round 10 itself).
 
+# _R10_WINDOW — ACTIVE (rotation executed in round 10, VERDICT r9 task
+# #7). Exactly the pre-committed list above — re-derived mechanically
+# from CORRECTNESS_r01-r09 by scripts/hash_ledger.py --window, which
+# reproduced it verbatim (verification/ledger_r10.md) — with ONE rule-2
+# displacement: `text_fingerprint` was RESHAPED this round (the
+# collapse-identical-texts-first plan; its r8 driver hash predates the
+# reshape) so it re-faces the gate, displacing the freshest tail entry
+# (`text_remove_stopwords`, last hashed r5 — it stays next-in-line for
+# r11). `win_sessionize`, also reshaped this round (session_window
+# formulation), was already in the pre-committed list (stale since r4).
+# The r5→r4 cut is unambiguous (44 r4 keys); the r5 tail tie is broken
+# by registration order per the documented policy.
+_R10_WINDOW = (
+    "text_fingerprint",  # rule 2: reshaped r10 (last driver hash r8)
+    "win_ntile_pct",  # last driver hash r4
+    "win_first_last",  # r4
+    "win_share_of_total",  # r4
+    "win_sessionize",  # r4; ALSO reshaped r10 (rule 2 — already stale)
+    "win_fill_forward",  # r4
+    "ts_gapfill_hourly",  # r4
+    "funnel_stages",  # r4
+    "cohort_retention",  # r4
+    "win_trailing_hour",  # r4
+    "win_nth_value",  # r4
+    "win_transition_matrix",  # r4
+    "ts_ohlc_hourly",  # r4
+    "ts_resample_interp",  # r4
+    "ts_anomaly_zscore",  # r4
+    "win_rolling_median",  # r4
+    "ts_ewma_daily",  # r4
+    "win_activity_streaks",  # r4
+    "ts_changepoint_cusum",  # r4
+    "win_gap_distribution",  # r4
+    "ts_autocorr_lag",  # r4
+    "dedup_exact",  # r4
+    "dedup_near_minhash",  # r4
+    "sim_cosine_topk",  # r4
+    "sim_knn_join",  # r4
+    "text_wordcount",  # r4
+    "text_ngram",  # r4
+    "text_tfidf",  # r4
+    "text_stats",  # r4
+    "multimodal_join",  # r4
+    "emb_centroid_per_label",  # r4
+    "dedup_prefix",  # r4
+    "dedup_simhash",  # r4
+    "dedup_ngram_jaccard",  # r4
+    "dedup_embedding",  # r4
+    "dedup_embedding_bucketed",  # r4
+    "sim_ann_ivf",  # r4
+    "dedup_components",  # r4
+    "minhash_jaccard_estimate",  # r4
+    "emb_quantize_int8",  # r4
+    "graph_pagerank",  # r4
+    "sim_ann_recall",  # r4
+    "dedup_family_compare",  # r4
+    "dedup_cluster_sizes",  # r4
+    "emb_label_separation",  # r4
+    "sample_hash_stratified",  # last driver hash r5
+    "sample_fixed_per_stratum",  # r5
+    "split_train_test",  # r5
+    "decon_ngram_overlap",  # r5
+    "pack_sequences",  # r5
+)
+
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R9_WINDOW if k in d}
+    head = {k: d[k] for k in _R10_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

@@ -318,3 +318,23 @@ def test_brute_force_cap_conf_escape_hatch(spark, sf_dir):
         spark.conf.unset(_BRUTE_FORCE_CAP_CONF)
     assert _brute_force_cap(spark) == _BRUTE_FORCE_MAX_ROWS
     assert reg["sim_knn_join"](spark, sf_dir).limit(1).count() >= 0
+
+
+def test_fingerprint_per_doc_twin_hash_equals_registered(spark, sf_dir):
+    """text_fingerprint_per_doc (the r9 hash-every-occurrence plan) must
+    reproduce the registered collapse-identical-texts-first plan
+    row-for-row: the r10 swap exploits fingerprint being a pure function
+    of text — an execution strategy, not a semantics change
+    (scripts/fingerprint_ab.py: 1.53× → 0.16× DuckDB at x64)."""
+    from hadoop_job_analyzer_spark.operators.textops import (
+        text_fingerprint_per_doc,
+    )
+
+    plain = queries()["text_fingerprint"](spark, sf_dir)
+    legacy = text_fingerprint_per_doc(spark, sf_dir)
+    assert [(f.name, f.dataType) for f in plain.schema] == [
+        (f.name, f.dataType) for f in legacy.schema
+    ]
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, legacy.collect())
+    )

@@ -97,11 +97,34 @@ def test_knn_kernel_stays_in_arrow(plan):
 
 
 def test_fingerprint_has_no_expand_and_parallel_map(plan):
+    # the registered key since r10: collapse identical texts first, so
+    # gram explode + md5 run once per DISTINCT text
     p = plan("text_fingerprint")
     # countDistinct folded into dedup-first => no Expand plan
     assert "Expand" not in p
-    # spread-before-explode: the only exchange is the compact doc-row
-    # repartition, which sits BELOW the Generate (explode) in the plan
+    # grams are generated from POST-shuffle distinct texts, never from
+    # raw doc rows: the distinct-text collapse's exchange sits below
+    # (printed before) the Generate, and the partial half of that
+    # collapse (map-side first(text)) sits above it
+    gen = p.index("Generate")
+    assert p.index("Exchange") < gen
+    assert "partial_first" in p[gen:]
+    # gram dedup + per-text agg reuse the _tkey partitioning: no further
+    # exchange between the Generate and the min/max aggregate
+    agg = p.index("sort_fp" if "sort_fp" in p else "SortAggregate")
+    assert "Exchange" not in p[gen:agg]
+
+
+def test_fingerprint_legacy_per_doc_plan_shape(spark, sf_dir):
+    # the unregistered dup-agnostic twin keeps the r9 invariants:
+    # one compact doc-row exchange BELOW (printed after) the explode
+    from hadoop_job_analyzer_spark.operators.textops import (
+        text_fingerprint_per_doc,
+    )
+
+    df = text_fingerprint_per_doc(spark, sf_dir)
+    p = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "Expand" not in p
     assert p.count("Exchange") == 1
     assert p.index("Generate") < p.index("Exchange")
 

@@ -57,18 +57,21 @@ def test_oracle_keys_subset_of_queries():
 def test_first_50_registration_keys_follow_rotation_policy():
     """The driver hard-verifies only the first 50 keys of queries().
 
-    Round-9 rotation (policy documented at registry.py's window block):
-    first-pass coverage closed at 293/293 in round 8, so the steady-state
-    policy is STALEST EVIDENCE FIRST — the active _R9_WINDOW must equal
-    the 50 keys whose most recent driver hash pass (across
-    CORRECTNESS_r01-r08.json) is oldest. Recomputed here from the same
+    Round-10 rotation (policy documented at registry.py's window block):
+    STALEST EVIDENCE FIRST with rule-2 displacement — the active
+    _R10_WINDOW must equal the 50 keys whose most recent driver hash
+    pass (across CORRECTNESS_r01-r09.json) is oldest (ties broken by
+    registration order), except that keys RESHAPED in round 10
+    (text_fingerprint: collapse-identical-texts plan; win_sessionize:
+    session_window formulation — the latter already stale-listed)
+    displace the freshest tail entries. Recomputed here from the same
     files scripts/hash_ledger.py reads, so the window cannot silently
     drift from the evidence that justifies it.
     """
     from hadoop_job_analyzer_spark import registry
 
     last_hash: dict[str, int] = {}
-    for rnd in range(1, 9):
+    for rnd in range(1, 10):
         path = REPO / f"CORRECTNESS_r0{rnd}.json"
         if not path.exists():
             continue
@@ -76,7 +79,7 @@ def test_first_50_registration_keys_follow_rotation_policy():
             if isinstance(rec, dict) and rec.get("hash_match"):
                 last_hash[key] = rnd
     assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
-    window = registry._R9_WINDOW
+    window = registry._R10_WINDOW
     assert len(window) == 50 and len(set(window)) == 50
     first = list(registry.queries())[: len(window)]
     assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
@@ -84,19 +87,23 @@ def test_first_50_registration_keys_follow_rotation_policy():
     assert set(last_hash) >= all_keys, (
         f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
     )
-    # The window must be exactly the 50 stalest (oldest last-hash round).
-    # The r1-r8 age distribution makes the cut unambiguous: the 50th and
-    # 51st stalest keys are in different rounds (r3 vs r4), so no
-    # tie-break policy can change membership.
-    by_age = sorted(all_keys, key=lambda k: last_hash[k])
-    cutoff_round = last_hash[by_age[49]]
-    assert last_hash[by_age[50]] > cutoff_round, (
-        "stalest-50 cut is ambiguous; pin a tie-break before rotating"
-    )
-    assert set(window) == set(by_age[:50]), (
-        f"window is not the stalest 50; "
-        f"missing={sorted(set(by_age[:50]) - set(window))} "
-        f"extra={sorted(set(window) - set(by_age[:50]))}"
+    # Stalest-50 with the documented registration-order tie-break (the
+    # r5 tail IS tied, unlike r9's unambiguous cut), then rule 2: each
+    # r10-reshaped key not already present displaces the freshest tail
+    # entry. Registration order = queries() insertion order ignoring the
+    # window head itself, which _QUERIES preserves; reuse ledger logic.
+    reg_order = {k: i for i, k in enumerate(registry.queries())}
+    by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
+    expected = by_age[:50]
+    reshaped_r10 = ["text_fingerprint"]  # win_sessionize already stale-listed
+    for key in reshaped_r10:
+        assert key not in expected
+        expected = expected[:-1]  # drop the freshest tail entry
+    expected = reshaped_r10 + expected
+    assert set(window) == set(expected), (
+        f"window is not the rule-2-adjusted stalest 50; "
+        f"missing={sorted(set(expected) - set(window))} "
+        f"extra={sorted(set(window) - set(expected))}"
     )
 
 
@@ -136,7 +143,7 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    win = registry._R9_WINDOW
+    win = registry._R10_WINDOW
     assert tuple(qkeys[: len(win)]) == win
     okeys = [k for k in registry.oracle_sql() if k in set(win)]
     assert okeys == [k for k in win if k in set(okeys)]
