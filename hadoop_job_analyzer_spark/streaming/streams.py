@@ -442,10 +442,33 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     the salted window twins): exercised by tests and by
     scripts/stream_scale.py, which records its state_rows staying
     watermark-bounded while the plain key's grows with the backlog.
+
+    Horizon guidance (r10 dial sweep, scripts/dedup_wm_tradeoff.py /
+    BASELINE.md): the within-watermark bookkeeping costs a
+    horizon-INDEPENDENT wall premium (measured flat across 30 min / 2 h /
+    8 h at two scales: it is per-id expiry bookkeeping + the commit-time
+    eviction scan, not eviction-count work) — zero at 12.8 M ids, ~1.8×
+    at 51 M — while RETAINED state is exactly proportional to the
+    horizon (8.3 k / 34.8 k / 145.7 k rows vs 6.4 M unbounded at x64).
+    So pick the horizon from the DUPLICATE-ARRIVAL-LAG bound alone (the
+    widest lag between copies you must still dedup): narrowing it
+    further buys nothing on wall, and the bounded twin pays for itself
+    as soon as the id universe outgrows the store — which is always, on
+    an unbounded stream.
     """
+    return stream_dedup_within_watermark_wm(spark, sf_dir, "2 hours")
+
+
+def stream_dedup_within_watermark_wm(
+    spark: SparkSession, sf_dir: str, watermark: str
+) -> DataFrame:
+    """Horizon-parameterized body of stream_dedup_within_watermark — the
+    dial scripts/dedup_wm_tradeoff.py sweeps (same discipline as
+    stream_stream_join_wm: the measured object is the twin itself, so
+    the sweep cannot drift from the pinned semantics)."""
     ev = read_events_stream(spark, sf_dir)
     doubled = ev.union(ev)
-    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+    deduped = doubled.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
