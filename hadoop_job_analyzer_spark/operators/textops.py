@@ -305,15 +305,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact's oracle.
     """
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Parallelism trap, measured live in the r10 bench anchors (0.94 →
+    # 3.6 s at sf0.1): the collapse's groupBy exchange is already
+    # hash(_tkey)-partitioned, so a spread(_tkey) after it is PRUNED by
+    # EnsureRequirements, AQE coalesces the metadata-sized shuffle to
+    # ~1 partition, and the gram explode + md5 ran single-threaded
+    # (verified: raw.rdd.getNumPartitions() == 1). Round-robin
+    # repartition(n) is never pruned (different partitioning) nor
+    # AQE-coalesced (explicit N) → explode/md5 run n-way; the explicit
+    # spread(_tkey, gram_md5) below then feeds the dedup+fp aggs n-way
+    # (its exchange carries the gram rows ONCE — ~#distinct-text grams,
+    # scale-invariant under duplication — and satisfies both downstream
+    # groupBys, so they add no further exchange). A/B'd against letting
+    # the dedup groupBy take its natural exchange (map-side combine but
+    # AQE-coalesced final stage): 0.96 s vs 1.21 s at sf0.1.
     texts = d.groupBy(F.md5("text").alias("_tkey")).agg(
         F.first("text").alias("text")
-    )
+    ).repartition(n)
     raw = texts.select(
         "_tkey",
         "text",
         F.explode(F.expr("sequence(1, length(text) - 7)")).alias("i"),
     ).select("_tkey", F.expr("md5(substr(text, i, 8))").alias("gram_md5"))
-    pairs = raw.groupBy("_tkey", "gram_md5").agg(F.lit(1).alias("_one"))
+    pairs = spread(raw, "_tkey", "gram_md5").groupBy("_tkey", "gram_md5").agg(
+        F.lit(1).alias("_one")
+    )
     fp = pairs.groupBy("_tkey").agg(
         F.min("gram_md5").alias("fp_min"),
         F.max("gram_md5").alias("fp_max"),

@@ -98,21 +98,27 @@ def test_knn_kernel_stays_in_arrow(plan):
 
 def test_fingerprint_has_no_expand_and_parallel_map(plan):
     # the registered key since r10: collapse identical texts first, so
-    # gram explode + md5 run once per DISTINCT text
+    # gram explode + md5 run once per DISTINCT text (plan prints
+    # root-first, so structural assertions use substring PRESENCE,
+    # not index order — the prior index-based slices were vacuous)
     p = plan("text_fingerprint")
     # countDistinct folded into dedup-first => no Expand plan
     assert "Expand" not in p
-    # grams are generated from POST-shuffle distinct texts, never from
-    # raw doc rows: the distinct-text collapse's exchange sits below
-    # (printed before) the Generate, and the partial half of that
-    # collapse (map-side first(text)) sits above it
-    gen = p.index("Generate")
-    assert p.index("Exchange") < gen
-    assert "partial_first" in p[gen:]
-    # gram dedup + per-text agg reuse the _tkey partitioning: no further
-    # exchange between the Generate and the min/max aggregate
-    agg = p.index("sort_fp" if "sort_fp" in p else "SortAggregate")
-    assert "Exchange" not in p[gen:agg]
+    # the collapse is partial-agg'd (map-side first(text): the shuffle
+    # carries ~distinct texts, not the corpus)
+    assert "partial_first" in p
+    # the explode stage is parallelism-pinned by a ROUND-ROBIN explicit-N
+    # repartition — never pruned by EnsureRequirements, never
+    # AQE-coalesced. The r10 anchor regression (0.94 -> 3.6 s) was a
+    # hash(_tkey) spread being pruned against the collapse's identical
+    # partitioning and the md5 mass running single-threaded.
+    assert "REPARTITION_BY_NUM" in p, p[:600]
+    assert "RoundRobinPartitioning" in p or "roundrobin" in p.lower(), p[:600]
+    # the gram dedup is fed by the explicit-N spread (coalesce-proof):
+    # one hashpartitioning exchange on (_tkey, gram_md5)
+    assert "hashpartitioning(_tkey" in p
+    # the fan-out join is declared plainly; with stats AQE broadcasts it
+    assert "Join" in p
 
 
 def test_fingerprint_legacy_per_doc_plan_shape(spark, sf_dir):
