@@ -2184,30 +2184,29 @@ def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions, split by the first event's type (which page/action the
     session landed on).
 
-    Same gaps-and-islands pipeline (one user partitioning serves all
-    three windows), sessions collapse to one row each, then a
-    #entry-types-cell rollup — nothing beyond win_sessionize's shuffle
-    budget. Entry type via min(event_type ORDER BY ts) mirrored as
-    min_by struct in Spark (ties impossible: ts strictly ordered within
-    a session after the event_id tie-break).
+    r10: same session_window reformulation as win_sessionize (whose
+    docstring carries the exactness argument — second-truncated ts +
+    1800 s gap under merge-on-touch semantics == the oracle's
+    trunc-diff > 1800 rule): ONE partially-aggregating session merge
+    replaces the lag→running-sum double window over event rows, and —
+    unlike win_sessionize — no session INDEX is needed, so the
+    per-user session window pass disappears entirely: session rows go
+    straight into the #entry-types-cell rollup. Entry type via
+    min(event_type ORDER BY ts, event_id) mirrored as a min-struct in
+    the same session agg (exact: the struct order is (ts, event_id,
+    type) and event_id breaks ts ties).
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    numbered = flagged.withColumn(
-        "session_idx",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    sessions = numbered.groupBy("user_id", "session_idx").agg(
+    sessions = ev.groupBy(
+        "user_id",
+        F.session_window(
+            F.col("ts").cast("long").cast("timestamp"), "1800 seconds"
+        ).alias("_win"),
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))).alias("_first"),
+        F.min(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+        ).alias("_first"),
     )
     sessions = sessions.select(
         "n_events", F.col("_first.event_type").alias("entry_type")
