@@ -51,6 +51,12 @@ KEYS = [
     "sim_cosine_topk",
     "dedup_exact",
     "text_wordcount",
+    # r10: the full 11-query basket BASELINE.md's same-scale table grades
+    # now lives in the script (the r9 run added these four ad hoc)
+    "win_sessionize",
+    "text_tfidf",
+    "dedup_near_minhash",
+    "text_fingerprint",
 ]
 
 
