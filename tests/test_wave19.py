@@ -357,3 +357,62 @@ def test_double_window_legacy_hash_equals_plain(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, legacy.collect())
     )
+
+
+def test_session_window_boundary_semantics_synthetic(spark, tmp_path):
+    """Pin the EXACT boundary rule the r10 session_window reformulation
+    rests on, against synthetic events the fixtures can't guarantee:
+    gaps of exactly 1800 s (and 1800 s with sub-second parts that
+    truncate to 1800) must CONTINUE a session; 1801 s must START one.
+    This is the merge-on-touch property probed empirically in r10 —
+    pinned here so a Spark upgrade changing session_window's interval
+    semantics fails loudly instead of silently shifting session counts.
+    Runs the REGISTERED win_sessionize (not a reimplementation) over a
+    hand-built events table, compared against hand-computed sessions.
+    """
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    us = lambda sec, micro=0: base + dt.timedelta(seconds=sec, microseconds=micro)
+    rows = [
+        # user 1: exact 1800 s gaps — ONE session of 3 events
+        (1, us(0)), (1, us(1800)), (1, us(3600)),
+        # user 2: 1801 s gap — TWO sessions
+        (2, us(0)), (2, us(1801)),
+        # user 3: µs gap 1800.2 s but trunc diff 1800 (0.7 -> 1800.9)
+        # — ONE session (the truncated-second rule, not the µs rule:
+        # a µs-granular >= 1800 s split rule would break here)
+        (3, us(0, 700_000)), (3, us(1800, 900_000)),
+        # user 4: µs gap 1800.9 s and trunc diff 1801 (0.1 -> 1801.0)
+        # — TWO sessions (µs gap < 1801 yet truncated rule splits)
+        (4, us(0, 100_000)), (4, us(1801, 0)),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "synth_sf")
+    ev.coalesce(1).write.parquet(f"{d}/events.parquet")
+    got = {
+        (r.user_id, r.session_idx): r.n_events
+        for r in queries()["win_sessionize"](spark, d).collect()
+    }
+    assert got == {
+        (1, 1): 3,
+        (2, 1): 1, (2, 2): 1,
+        (3, 1): 2,
+        (4, 1): 1, (4, 2): 1,
+    }, got
+    # and the legacy double-window chain must agree on the same
+    # boundary-adversarial input (it implements the truncation rule
+    # directly, so this cross-checks the session_window translation)
+    from hadoop_job_analyzer_spark.operators.windows import (
+        win_sessionize_double_window,
+    )
+
+    legacy = {
+        (r.user_id, r.session_idx): r.n_events
+        for r in win_sessionize_double_window(spark, d).collect()
+    }
+    assert legacy == got
