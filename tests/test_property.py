@@ -248,3 +248,63 @@ def test_random_semi_anti_join_agrees(spark_prop, jt, data):
         "GROUP BY l_returnflag"
     )
     compare(sdf, sql, SF_DIR, f"prop-{jt}[{lsql}|{rsql}]")
+
+
+# --- sessionization gap algebra (r10) ---------------------------------------
+# The win_sessionize rewrite rests on a translation claim: for ANY gap G,
+# Spark's session_window over second-truncated ts with gapDuration G
+# (merge-on-touch) equals the gaps-and-islands rule "new session iff
+# truncated-second diff > G". The registered key pins G=1800; this
+# property pins the TRANSLATION across random gaps, rendered to both
+# engines ON events (not lineitem — the ts-bearing table).
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_random_gap_sessionization_agrees(spark_prop, data):
+    from pyspark.sql import Window
+
+    d = _Draw(data)
+    gap = d.draw(st.integers(60, 7200))
+    ev = load_table(spark_prop, SF_DIR, "events")
+    sess = (
+        ev.groupBy(
+            "user_id",
+            F.session_window(
+                F.col("ts").cast("long").cast("timestamp"), f"{gap} seconds"
+            ).alias("_win"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_win")
+    )
+    wu = Window.partitionBy("user_id").orderBy("session_start")
+    sdf = sess.select(
+        "user_id",
+        F.row_number().over(wu).cast("bigint").alias("session_idx"),
+        "session_start",
+        "n_events",
+    )
+    sql = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {gap}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_idx
+"""
+    compare(sdf, sql, SF_DIR, f"prop-session-gap[{gap}s]")
