@@ -439,11 +439,16 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events): 1.18 s vs DuckDB 1.217 s = **0.97×** (was 2.87×), and the
     ratio FALLS with scale (3.22× at x64, fixed-cost-dominated there).
     Skew: a hot user's reduce-side work is session-fragment-bounded
-    (≤ #map-partitions × its sessions), not event-bounded — inherently
-    milder than the double-window chain's; the salted twin
-    `win_sessionize_salted` (hash-equal by
+    (≤ #map-partitions × its sessions), not event-bounded — MEASURED at
+    skew_x256 (hot user = 20% of 25.6 M events,
+    verification/r10_skew_sessionize.json): this plan 3.34 s vs the
+    legacy chain's 8.62 s (hot-partition serialization) and the salted
+    twin's 3.66 s — the registered key now beats even the salt under
+    heavy skew. `win_sessionize_salted` (hash-equal by
     tests/test_wave19.py::test_salted_sessionize_hash_equals_plain)
-    remains the fully-bounded variant.
+    remains as the strictly-bounded variant for the pathological case
+    the fragment bound doesn't cover: a single user-SESSION too large
+    for one task's merge buffer.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     sess = (
