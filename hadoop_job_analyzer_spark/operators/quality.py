@@ -307,7 +307,9 @@ def win_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle wraps its oracle as a subquery).
 
     Adds one partial-agg'd rollup to ≤4 cells on top of sessionize's
-    per-user windows; the share window runs over those 4 rows only.
+    plan (since r10: one partially-aggregating session_window merge +
+    a per-user row_number over session rows); the share window runs
+    over those 4 rows only.
     Sums of counts/seconds are exact integers — no float-sum hazard.
     """
     sessions = win_sessionize(spark, sf_dir)
@@ -1303,10 +1305,12 @@ def ops_session_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone key (win_sessionize, win_session_length_histogram,
     agg_user_type_entropy's tiering); this key proves they COMPOSE
     without materialization barriers: Catalyst pipelines the session
-    windows, both rollups, and the tier bucketing into a single plan
-    whose only exchanges are the user_id shuffle (shared by the
-    window and the per-user agg — same key, reused partitioning) and
-    the final ≤3-cell tier agg. All ratios derive from exact integer
+    merge (since r10 a partially-aggregating session_window, not a
+    window chain), both rollups, and the tier bucketing into a single
+    plan whose only exchanges are the user_id shuffle (shared by the
+    session merge, the session-index window, and the per-user agg —
+    same key, reused partitioning) and the final ≤3-cell tier agg. All
+    ratios derive from exact integer
     sums — one double division each, no float-sum hazard.
     """
     sessions = win_sessionize(spark, sf_dir)
