@@ -1978,12 +1978,22 @@ def text_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Anchored ASCII character-class patterns sit in the Java∩RE2∩DuckDB
     common subset; empty fragments are length-filtered on both sides
-    (the split-semantics rule from text_sentence_stats). One
-    spread-then-explode pass, conditional aggregates, ≤#langs cells.
+    (the split-semantics rule from text_sentence_stats).
+
+    Partitioning (fixed r10, found by the parallelism audit after the
+    fingerprint incident): the original spread-by-LANG capped the
+    regex-heavy explode at ≤#langs (5) of n tasks to make the final
+    groupBy(lang) exchange-free — exactly backwards, since that agg is
+    map-side partial and its exchange carries only #langs × #partitions
+    PARTIAL rows. Round-robin explicit-N repartition runs the explode
+    n-way and pays the metadata-sized shuffle: 2.47 → 0.75 s at x64
+    docs, hash-equal.
     """
     d = load_table(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     toks = (
-        spread(d.select("lang", "text"), "lang")
+        d.select("lang", "text")
+        .repartition(n)
         .select("lang", F.explode(F.split("text", " ")).alias("t"))
         .where(F.length("t") > 0)
     )
