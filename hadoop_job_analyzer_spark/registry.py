@@ -459,7 +459,15 @@ _R9_WINDOW = (
 # The r5→r4 cut is unambiguous (44 r4 keys); the r5 tail tie is broken
 # by registration order per the documented policy.
 _R10_WINDOW = (
-    "text_fingerprint",  # rule 2: reshaped r10 (last driver hash r8)
+    # rule 2 head: every key whose implementing function was reshaped in
+    # round 10 (execution strategy changed, oracle/semantics identical —
+    # the gate checks exactly that the output survived) re-faces the
+    # driver, displacing the freshest tail entries. win_sessionize, also
+    # reshaped, is already stale-listed below.
+    "text_fingerprint",  # reshaped r10: collapse-identical-texts plan (last hash r8)
+    "agg_session_bounce_rate",  # reshaped r10: session_window formulation (r8)
+    "text_casing_profile",  # reshaped r10: RR-repartition explode (r6)
+    "agg_weighted_median",  # reshaped r10: cell-aggregated window (r8)
     "win_ntile_pct",  # last driver hash r4
     "win_first_last",  # r4
     "win_share_of_total",  # r4
@@ -506,11 +514,70 @@ _R10_WINDOW = (
     "emb_label_separation",  # r4
     "sample_hash_stratified",  # last driver hash r5
     "sample_fixed_per_stratum",  # r5
-    "split_train_test",  # r5
-    "decon_ngram_overlap",  # r5
-    "pack_sequences",  # r5
 )
 
+
+
+# _R11_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
+# the sample is predictable, not curated): once CORRECTNESS_r10 lands on
+# _R10_WINDOW, the stalest 50 become the 47 remaining r5-hashed keys plus
+# the 3 stalest r6-hashed keys in raw registration order (derived
+# mechanically by scripts/hash_ledger.py logic over CORRECTNESS_r01-r09 +
+# the simulated r10 pass; tie-break = _QUERIES insertion order, never the
+# window-ordered queries() view — see the r10 circularity note in
+# tests/test_registry.py):
+#   split_train_test,
+#   decon_ngram_overlap,
+#   pack_sequences,
+#   text_remove_stopwords,
+#   corpus_dedup_apply,
+#   corpus_pipeline_e2e,
+#   assign_contiguous_ids,
+#   corpus_health_report,
+#   corpus_snapshot_diff,
+#   split_kfold,
+#   corpus_mix_rebalance,
+#   decon_exact_doc,
+#   sketch_countmin,
+#   sketch_kmv_distinct,
+#   agg_collect_sorted,
+#   agg_first_digit_benford,
+#   agg_user_type_entropy,
+#   agg_apdex_score,
+#   ts_seasonal_strength_dow,
+#   win_session_length_histogram,
+#   join_attribution_asof,
+#   emb_norm_percentiles,
+#   graph_type_cooccurrence,
+#   corpus_filter_funnel,
+#   decon_near_minhash,
+#   win_activity_rank_global,
+#   ts_seasonal_naive_error,
+#   dedup_vector_exact,
+#   join_snowflake_q5,
+#   text_ngram_novelty,
+#   text_vocab_growth,
+#   agg_hourly_latency_bands,
+#   fn_datetime_format,
+#   ts_dau_wau,
+#   corpus_shard_balance,
+#   ops_session_report_e2e,
+#   win_time_weighted_avg,
+#   ts_anomaly_robust_mad,
+#   ts_merge_intervals,
+#   corpus_temperature_weights,
+#   text_sentence_stats,
+#   corpus_doc_length_histogram,
+#   win_pareto_8020,
+#   ts_cumulative_daily,
+#   emb_dim_variance_top,
+#   profile_column_stats,
+#   win_rank_delta_daily,
+#   emb_pca_top_component,
+#   sketch_hll_mergeable,
+#   udf_python_scalar,
+# (rule 2 still displaces tail entries for any key added/reshaped in
+# round 11 itself.)
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion

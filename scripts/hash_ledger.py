@@ -71,7 +71,14 @@ def last_touch(path: str, cache: dict[str, str]) -> str:
 
 
 def main() -> None:
-    reg = queries()
+    # RAW registration order (_QUERIES insertion), not the window-ordered
+    # queries() view — the window tie-break must not depend on the window
+    # itself (r10: a key promoted into the window head would otherwise
+    # jump the registration-order queue for the NEXT window too)
+    import hadoop_job_analyzer_spark.registry as _r
+
+    queries()  # force module load
+    reg = dict(_r._QUERIES)
     hashed = last_driver_round()
     touch_cache: dict[str, str] = {}
     rows = []

@@ -92,10 +92,22 @@ def test_first_50_registration_keys_follow_rotation_policy():
     # r10-reshaped key not already present displaces the freshest tail
     # entry. Registration order = queries() insertion order ignoring the
     # window head itself, which _QUERIES preserves; reuse ledger logic.
-    reg_order = {k: i for i, k in enumerate(registry.queries())}
+    # tie-break on RAW registration order (_QUERIES insertion), not the
+    # window-reordered queries() view — using the latter is circular:
+    # putting a key in the window would promote it in the very order
+    # that decides whether it belongs there
+    registry._load_all()
+    reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
     by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
     expected = by_age[:50]
-    reshaped_r10 = ["text_fingerprint"]  # win_sessionize already stale-listed
+    # every key whose implementing function was reshaped in r10
+    # (win_sessionize, also reshaped, is already stale-listed)
+    reshaped_r10 = [
+        "text_fingerprint",
+        "agg_session_bounce_rate",
+        "text_casing_profile",
+        "agg_weighted_median",
+    ]
     for key in reshaped_r10:
         assert key not in expected
         expected = expected[:-1]  # drop the freshest tail entry
