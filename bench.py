@@ -156,6 +156,34 @@ CONSTRUCTION_TIMED = {
 }
 
 
+# Clean-session calibration-probe band (BASELINE.md r10 checkpoint,
+# measured across four clean solo sessions). The BINDING read rule lives
+# in BASELINE.md: a probe ≥ 1.5× above its band ceiling means the suite
+# ran under load and same-magnitude per-query deltas are load, not
+# regressions. r11 (VERDICT r10 task #3): bench.py applies that rule
+# ITSELF and stamps `load_contaminated` into the emitted JSON so a
+# BENCH_r{N} can never be misread as a regression without opening
+# BASELINE.md. Update these alongside the BASELINE.md table when new
+# clean anchors move the band.
+PROBE_BAND = {"start": (0.118, 0.124), "end": (0.052, 0.066)}
+PROBE_INFLATION_FACTOR = 1.5
+
+
+def _probe_contamination(probe_start: float, probe_end: float) -> dict:
+    """The BASELINE.md read rule as code: contaminated iff either probe
+    is ≥ 1.5× its clean-band ceiling."""
+    verdicts = {
+        "start": probe_start >= PROBE_BAND["start"][1] * PROBE_INFLATION_FACTOR,
+        "end": probe_end >= PROBE_BAND["end"][1] * PROBE_INFLATION_FACTOR,
+    }
+    return {
+        "load_contaminated": verdicts["start"] or verdicts["end"],
+        "probe_band": {k: list(v) for k, v in PROBE_BAND.items()},
+        "probe_inflation_factor": PROBE_INFLATION_FACTOR,
+        "inflated_positions": [k for k, v in verdicts.items() if v],
+    }
+
+
 def _calibration_probe(spark: SparkSession) -> float:
     """Floor-calibration probe (VERDICT r9 task #2): a fixed, data-light
     query — one small shuffle over the cached events table — whose wall
@@ -252,6 +280,7 @@ def main() -> None:
                     "name": "events_type_count_median5",
                     "start": probe_start,
                     "end": probe_end,
+                    **_probe_contamination(probe_start, probe_end),
                 },
             }
         )

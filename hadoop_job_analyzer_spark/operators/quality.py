@@ -2198,18 +2198,155 @@ def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions, split by the first event's type (which page/action the
     session landed on).
 
-    r10: same session_window reformulation as win_sessionize (whose
-    docstring carries the exactness argument — second-truncated ts +
-    1800 s gap under merge-on-touch semantics == the oracle's
-    trunc-diff > 1800 rule): ONE partially-aggregating session merge
-    replaces the lag→running-sum double window over event rows, and —
-    unlike win_sessionize — no session INDEX is needed, so the
-    per-user session window pass disappears entirely: session rows go
-    straight into the #entry-types-cell rollup. Entry type via
-    min(event_type ORDER BY ts, event_id) mirrored as a min-struct in
-    the same session agg (exact: the struct order is (ts, event_id,
-    type) and event_id breaks ts ties).
+    r11: BUCKET-CHAIN sessionization — session assembly without any
+    event-level sort, window, or session-merge machinery. The key fact:
+    with a fixed bucket width EQUAL to the session gap (1800 s), two
+    consecutive events inside the same bucket are < 1800 s apart
+    (bounded by the bucket width), so the `> 1800` rule can NEVER split
+    a bucket internally — every (user, bucket) group is wholly inside
+    one session. Therefore:
+      1. TINY pre-pass (one codegen scan, O(1) driver result): the
+         event_type dictionary plus the bounds that license the fused
+         encoding below — 0 ≤ event_id < 2^28, ≤ 16 types, no NULL
+         ts/type/id, non-negative epochs. If any bound fails the key
+         falls back to the bound-free session_window twin (exact,
+         slower) — an adaptive plan choice made in Python from O(1)
+         stats, not a semantics change.
+      2. HEAVY pass = one codegen'd HASH aggregate per (user_id,
+         floor(epoch/1800)): count, min/max epoch-double, and
+         min(fused) where fused = offset_within_bucket_micros·2^32 +
+         event_id·16 + type_code packs the entry pick into ONE long
+         (offset < 1800 s = 1.8e9 µs < 2^31, so the triple fits 63
+         bits and its numeric order IS the lexicographic
+         (ts, event_id) order the oracle's FIRST(... ORDER BY ts,
+         event_id) uses; the code in the low bits never influences
+         the winner because (ts, event_id) is unique per event).
+         ALL-PRIMITIVE buffers on purpose: Spark demotes any aggregate
+         whose buffer is not UnsafeRow-mutable (min(string),
+         min(struct), min_by — all measured this round, see
+         verification/r11_bounce_ab.json) from HashAggregate to
+         SortAggregate, a silent map-side full sort of the event
+         stream; (long, double, double, long) buffers keep the whole
+         pass in whole-stage codegen. Partially aggregated map-side,
+         the shuffle ships ~#nonempty-buckets rows (25.6M events →
+         98k buckets at the x256 fixture), and it is inherently
+         skew-proof: a hot user spreads across as many hash cells as
+         buckets, with map-side combine doing the heavy reduction in
+         parallel.
+      3. LIGHT pass = ONE bucket-level WindowExec (lag of max_ts +
+         lead of min_ts, same spec) over the ~98k summaries: a bucket
+         is a session ENTRY iff the previous bucket doesn't chain
+         (min_ts − prev_max_ts > 1800 — exactly the event-level rule,
+         because that difference IS the gap between the consecutive
+         events straddling the boundary), and an entry bucket is a
+         BOUNCE iff it holds one event AND the next bucket doesn't
+         chain either. No session index, no running sum, no island
+         groupBy — entry rows project (decoded type, bounce flag)
+         straight into the #entry-types-row rollup.
+
+    Gap precision: the oracle's `epoch(ts)` is FRACTIONAL seconds
+    (double) in DuckDB, so the chain rule compares per-event ts cast to
+    double — micros/1e6 in both engines, and the gap is a subtraction
+    of those per-event doubles (same IEEE ops as the oracle's
+    epoch(ts) − epoch(lag(ts))) — rather than the second-truncated
+    approximation the r10 plan inherited from session_window (which
+    matched only because no observed gap lands in the (1800, 1801)
+    disagreement band). Bucket ASSIGNMENT may truncate freely (it only
+    has to partition time into ≤ 1800 s-wide ordered slices), so it
+    uses exact integer seconds; the in-fuse offset uses exact
+    unix_micros relative to the bucket's integer-second start.
     """
+    ev = load_table(spark, sf_dir, "events")
+    # Dictionary + guard stats as a codegen'd 5-ish-group HashAggregate
+    # (collect_set would be an ObjectHashAggregate — measured ~2× slower
+    # on this scan); a NULL event_type surfaces as its own group.
+    stats = ev.groupBy("event_type").agg(
+        F.min("event_id").alias("id_min"),
+        F.max("event_id").alias("id_max"),
+        F.sum(F.col("ts").isNull().cast("int")).alias("null_ts"),
+        F.sum(F.col("event_id").isNull().cast("int")).alias("null_ids"),
+        F.min(F.col("ts").cast("long")).alias("sec_min"),
+    ).limit(17).collect()  # 17 rows ⇒ >16 types ⇒ fallback; keeps the
+    # driver collect O(1) even on a corpus with unbounded type cardinality
+    types = sorted(r.event_type for r in stats if r.event_type is not None)
+    fits = (
+        0 < len(types) == len(stats) <= 16
+        and all(
+            r.id_min is not None
+            and r.id_min >= 0
+            and r.id_max < (1 << 28)
+            and not r.null_ts
+            and not r.null_ids
+            and r.sec_min is not None
+            and r.sec_min >= 0
+            for r in stats
+        )
+    )
+    if not fits:
+        return agg_session_bounce_rate_session_window(spark, sf_dir)
+    code = None
+    for i, t in enumerate(types):
+        cond = F.col("event_type") == F.lit(t)
+        code = F.when(cond, i) if code is None else code.when(cond, i)
+    bkt = F.floor(F.col("ts").cast("long") / F.lit(1800))
+    offset = F.unix_micros("ts") - bkt * F.lit(1_800_000_000)
+    fused = offset * F.lit(1 << 32) + F.col("event_id") * F.lit(16) + code
+    buckets = (
+        ev.select(
+            "user_id",
+            bkt.alias("_bkt"),
+            F.col("ts").cast("double").alias("_ts_d"),
+            fused.cast("long").alias("_fused"),
+        )
+        .groupBy("user_id", "_bkt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("_ts_d").alias("_min_ts"),
+            F.max("_ts_d").alias("_max_ts"),
+            F.min("_fused").alias("_efused"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("_bkt")
+    flagged = buckets.select(
+        "_n",
+        "_efused",
+        # NULL lag (first bucket of the user) ⇒ entry; NULL lead (last
+        # bucket) ⇒ the session ends here.
+        F.coalesce(
+            F.col("_min_ts") - F.lag("_max_ts").over(w) > 1800.0, F.lit(True)
+        ).alias("_is_entry"),
+        F.coalesce(
+            F.lead("_min_ts").over(w) - F.col("_max_ts") > 1800.0, F.lit(True)
+        ).alias("_next_far"),
+    )
+    decode = F.element_at(
+        F.array(*[F.lit(t) for t in types]),
+        (F.col("_efused") % 16).cast("int") + 1,
+    )
+    entries = flagged.where("_is_entry").select(
+        decode.alias("entry_type"),
+        ((F.col("_n") == 1) & F.col("_next_far")).cast("int").alias("_is_bounce"),
+    )
+    return entries.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("_is_bounce").alias("n_bounces"),
+        F.round(
+            F.sum("_is_bounce").cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )
+
+
+def agg_session_bounce_rate_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Legacy execution twin of agg_session_bounce_rate: the r10
+    session_window formulation (one merging session aggregate carrying
+    a (ts, event_id, event_type) min-struct for the entry pick). Kept
+    unregistered as the A/B baseline — it measured 2.33× DuckDB at x256
+    (verification/r10_bounce_ab.json) because every session row pays
+    the UpdatingSessions + SortAggregate merge machinery; the
+    registered lag/lead plan needs neither. Pinned hash-equal to the
+    registered key in tests/test_wave19.py."""
     ev = load_table(spark, sf_dir, "events")
     sessions = ev.groupBy(
         "user_id",

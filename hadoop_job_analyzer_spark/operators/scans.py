@@ -501,12 +501,30 @@ def sink_metrics_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode-to-two-metrics stack is per-row, shuffle-free.
     """
     ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy(
+    agg = metrics_hourly_agg(ev)
+    return metrics_lines_projection(agg)
+
+
+def metrics_hourly_agg(events: DataFrame) -> DataFrame:
+    """The hourly metrics aggregation behind sink_metrics_lines, shared
+    with the streaming emitter (streaming/streams.py
+    stream_metrics_lines): one map-side-partial groupBy to
+    (hour, type) cells — works identically over a batch or a streaming
+    events frame (complete mode, no watermark needed)."""
+    return events.groupBy(
         F.date_trunc("hour", "ts").alias("ts_hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
     )
+
+
+def metrics_lines_projection(agg: DataFrame) -> DataFrame:
+    """Graphite plaintext rendering over a (ts_hour, event_type,
+    n_events, sum_value) frame — pure per-row projection (stack to two
+    metrics, string assembly), shuffle-free; shared between the batch
+    key and the streaming socket emitter so the wire format is defined
+    exactly once."""
     m = agg.select(
         "ts_hour",
         "event_type",

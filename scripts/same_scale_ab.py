@@ -14,7 +14,15 @@ Protocol, symmetric by construction:
   from OS page cache after one warm pass),
 - no Spark table caching (the scale_stress protocol, NOT bench.py's
   cached-tables protocol),
-- one warm run, then median of 3 timed runs per (engine, query, scale),
+- one warm run per engine, then PAIRED ALTERNATION (VERDICT r10 task
+  #7): 3 rounds of (DuckDB once, Spark once) per query, each round
+  yielding a paired ratio s_i/d_i measured seconds apart — so the
+  cross-session DuckDB denominator swing (up to 2.3× between sessions,
+  verification/r10_headline5_band.json) can no longer enter a ratio.
+  Emitted per query: the 3 paired ratios, their median, and a
+  within-session variance figure for each engine (max/min across the 3
+  rounds) — a paired ratio is only as trustworthy as its within-session
+  spread is tight.
 - Spark executes to the noop sink; DuckDB fetches the (small) result.
 
 Usage: python scripts/same_scale_ab.py [--scales 64,256]
@@ -97,31 +105,38 @@ def main() -> None:
             raise SystemExit(f"{sf_dir} not staged; run scale_stress first")
         con = duck_views(sf_dir)
         for key in KEYS:
-            # --- DuckDB
-            con.execute(sqls[key]).fetchall()  # warm
-            dtimes = []
+            fn = reg[key]
+            # warm both engines once, back to back
+            con.execute(sqls[key]).fetchall()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # paired alternation: each round measures both engines
+            # seconds apart, yielding one paired ratio per round
+            dtimes, stimes = [], []
             for _ in range(3):
                 t0 = time.perf_counter()
                 con.execute(sqls[key]).fetchall()
                 dtimes.append(time.perf_counter() - t0)
-            # --- Spark (noop sink, no table cache)
-            fn = reg[key]
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-            stimes = []
-            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 stimes.append(time.perf_counter() - t0)
+            paired = [round(s / d, 2) for s, d in zip(stimes, dtimes)]
             rec = {
                 "duckdb_median3": round(statistics.median(dtimes), 3),
                 "spark_median3": round(statistics.median(stimes), 3),
                 "ratio": round(
                     statistics.median(stimes) / statistics.median(dtimes), 2
                 ),
+                "paired_ratios": paired,
+                "paired_ratio_median": round(sorted(paired)[1], 2),
+                "within_session_spread": {
+                    "duckdb_maxmin": round(max(dtimes) / min(dtimes), 2),
+                    "spark_maxmin": round(max(stimes) / min(stimes), 2),
+                },
             }
             results.setdefault(f"x{k}", {})[key] = rec
             print(f"x{k} {key}: duckdb={rec['duckdb_median3']}s "
-                  f"spark={rec['spark_median3']}s ratio={rec['ratio']}x",
+                  f"spark={rec['spark_median3']}s ratio={rec['ratio']}x "
+                  f"paired={paired} spread(d)={rec['within_session_spread']['duckdb_maxmin']}",
                   flush=True)
         con.close()
     print(json.dumps({"metric": "same_scale_ab", "results": results}))

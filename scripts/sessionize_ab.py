@@ -1,18 +1,21 @@
 #!/usr/bin/env python
-"""win_sessionize same-scale A/B (VERDICT r9 task #1): the registered
-lag->running-sum double-window chain vs the session_window single-merge
-twin, against DuckDB's two-window oracle, on the SAME staged x64/x256
-dirs — the same symmetric protocol as same_scale_ab.py (no table cache,
-one warm pass, median-of-3, Spark to the noop sink).
+"""win_sessionize same-scale A/B (VERDICT r9 task #1, swap landed r10):
+the session_window single-merge formulation — REGISTERED as
+win_sessionize since r10 — vs the legacy lag->running-sum double-window
+chain (operators/windows.py:win_sessionize_double_window, kept
+unregistered as the baseline and pinned hash-equal in test_wave19.py),
+against DuckDB's two-window oracle, on the SAME staged x64/x256 dirs —
+the same symmetric protocol as same_scale_ab.py (no table cache, one
+warm pass, median-of-3, Spark to the noop sink).
 
-Context: the registered chain sits at 2.54x DuckDB at x256 (the only
-genuinely data-path-bound key above the 2x criterion in r9). The twin
-(operators/windows.py:win_sessionize_session_window) replaces the
-event-row sort+two-window pass with one PARTIALLY-AGGREGATING session
-merge (map-side fragment combine before the shuffle) plus a row_number
-over per-SESSION rows. Column pruning is NOT a candidate: the registered
-plan's ReadSchema is already struct<event_id,ts,user_id> (checked
-r10), so there is nothing to narrow.
+Context: the legacy chain sat at 2.54x DuckDB at x256 (the only
+genuinely data-path-bound key above the 2x criterion in r9); the
+registered session_window plan replaces the event-row sort+two-window
+pass with one PARTIALLY-AGGREGATING session merge (map-side fragment
+combine before the shuffle) plus a row_number over per-SESSION rows
+(measured 0.97x at x256, r10). Column pruning is NOT a candidate: the
+legacy plan's ReadSchema is already struct<event_id,ts,user_id>
+(checked r10), so there is nothing to narrow.
 
 Usage: python scripts/sessionize_ab.py [--scales 64,256]
 """

@@ -222,3 +222,37 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     )
     sample_avg = sum(r.weight for r in rows) / len(rows)
     assert sample_avg > corpus_avg, (sample_avg, corpus_avg)
+
+
+def test_bench_probe_contamination_rule():
+    """bench.py must self-label load-contaminated runs (VERDICT r10 task
+    #3): the BASELINE.md read rule — probe ≥ 1.5× its clean-band ceiling
+    at either position — encoded and stamped into the emitted JSON. The
+    band literals are pinned here so a drift is a deliberate two-file
+    change (bench.py + BASELINE.md), never an accident."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.PROBE_BAND == {"start": (0.118, 0.124), "end": (0.052, 0.066)}
+    assert bench.PROBE_INFLATION_FACTOR == 1.5
+
+    clean = bench._probe_contamination(0.120, 0.060)
+    assert clean["load_contaminated"] is False
+    assert clean["inflated_positions"] == []
+    # r10's actual start probe (0.193 ≥ 0.124·1.5) must be flagged
+    dirty_start = bench._probe_contamination(0.193, 0.060)
+    assert dirty_start["load_contaminated"] is True
+    assert dirty_start["inflated_positions"] == ["start"]
+    dirty_end = bench._probe_contamination(0.120, 0.15)
+    assert dirty_end["load_contaminated"] is True
+    assert dirty_end["inflated_positions"] == ["end"]
+    # just under the 1.5× line on both → clean (rule is ≥)
+    edge = bench._probe_contamination(0.124 * 1.5 - 1e-6, 0.066 * 1.5 - 1e-6)
+    assert edge["load_contaminated"] is False
+    assert clean["probe_band"] == {"start": [0.118, 0.124], "end": [0.052, 0.066]}

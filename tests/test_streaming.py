@@ -359,3 +359,66 @@ def test_default_state_store_is_rocksdb(spark):
     # the helper is idempotent and returns the session for chaining
     assert enable_rocksdb_state_store(spark) is spark
     assert spark.conf.get(key) == ROCKSDB_STATE_STORE_PROVIDER
+
+
+def test_socket_sink_carbon_lines_over_loopback(spark, sf_dir):
+    """VERDICT r10 task #4: close the upstream emit boundary with REAL
+    bytes on a wire. A loopback TCP listener stands in for a Carbon
+    relay; stream_metrics_lines (the streaming twin of the
+    sink_metrics_lines key, same shared renderer) drains through
+    run_to_socket_lines — executor-side connections via
+    foreachPartition, newline-terminated Graphite plaintext. Assert the
+    bytes received over the socket == the batch key's rendered lines,
+    exactly (same multiset; every line newline-terminated)."""
+    import socket
+    import threading
+
+    from hadoop_job_analyzer_spark.streaming.streams import (
+        run_to_socket_lines,
+        stream_metrics_lines,
+    )
+
+    received: list[bytes] = []
+    srv = socket.create_server(("127.0.0.1", 0))
+    srv.settimeout(0.5)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve() -> None:
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            with conn:
+                chunks = []
+                while True:
+                    b = conn.recv(65536)
+                    if not b:
+                        break
+                    chunks.append(b)
+                received.append(b"".join(chunks))
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        run_to_socket_lines(
+            spark,
+            stream_metrics_lines(spark, sf_dir),
+            "test_socket_sink",
+            "127.0.0.1",
+            port,
+        )
+    finally:
+        stop.set()
+        t.join(timeout=10)
+        srv.close()
+
+    wire = b"".join(received).decode("utf-8")
+    assert wire.endswith("\n")  # every line newline-terminated
+    got = sorted(wire.strip("\n").split("\n"))
+    want = sorted(
+        r.line for r in queries()["sink_metrics_lines"](spark, sf_dir).collect()
+    )
+    assert len(want) > 0
+    assert got == want

@@ -245,6 +245,27 @@ def test_salted_sessionize_hash_equals_plain(spark, sf_dir):
     assert plain.count() == salted.count() > 0
 
 
+def test_bounce_rate_lag_lead_equals_session_window_twin(spark, sf_dir):
+    """The r11 lag/lead bounce plan must reproduce the r10
+    session_window formulation row-for-row — entry/bounce flags are an
+    execution collapse (no session assembly), not a semantics change.
+    Gap-rule caveat: the twins use full-precision vs second-truncated
+    gaps, which agree except for gaps inside (1800, 1801); the fixture
+    has none (they also both hash-match the same DuckDB oracle)."""
+    from hadoop_job_analyzer_spark.operators.quality import (
+        agg_session_bounce_rate_session_window,
+    )
+
+    plain = queries()["agg_session_bounce_rate"](spark, sf_dir)
+    legacy = agg_session_bounce_rate_session_window(spark, sf_dir)
+    assert [(f.name, f.dataType) for f in plain.schema] == [
+        (f.name, f.dataType) for f in legacy.schema
+    ]
+    assert legacy.exceptAll(plain).count() == 0
+    assert plain.exceptAll(legacy).count() == 0
+    assert plain.count() == legacy.count() > 0
+
+
 def test_salted_bounce_rate_hash_equals_plain(spark, sf_dir):
     """agg_session_bounce_rate_salted must reproduce the plain key
     row-for-row — the (user, day) salt + part-level entry-event reduce is
@@ -337,6 +358,59 @@ def test_salted_sessionize_boundary_cases(spark, tmp_path):
     pb = queries()["agg_session_bounce_rate"](spark, sf)
     sb = agg_session_bounce_rate_salted(spark, sf)
     assert sb.exceptAll(pb).count() == 0 and pb.exceptAll(sb).count() == 0
+
+
+def test_bounce_rate_fused_tiebreak_and_guard_fallback(spark, tmp_path):
+    """The r11 fused-long bounce plan (quality.py): two adversarial cases
+    the sf fixtures don't contain.
+      1. TIE-BREAK: two events at the IDENTICAL timestamp where the
+         event_id order disagrees with the type-code order — the entry
+         type must follow min event_id (oracle: FIRST ... ORDER BY ts,
+         event_id), which the fused packing guarantees because event_id
+         sits above the type code. A naive (ts, code) pick would answer
+         'aaa' here; correct is 'zzz'.
+      2. GUARD FALLBACK: event_id ≥ 2^28 violates the packing bound, so
+         the key must route to the session_window twin and still produce
+         the same answer the twin produces directly."""
+    import pandas as pd
+
+    from hadoop_job_analyzer_spark.operators.quality import (
+        agg_session_bounce_rate_session_window,
+    )
+
+    T = pd.Timestamp
+    # case 1: small ids, tie on ts; plus a bounce of each type
+    rows = [
+        # u1 session: entry tie at 09:00:00 → id 10 ('zzz') beats id 11 ('aaa')
+        (10, T("2025-03-10 09:00:00"), 1, "zzz", 1.0, "{}"),
+        (11, T("2025-03-10 09:00:00"), 1, "aaa", 1.0, "{}"),
+        (12, T("2025-03-10 09:10:00"), 1, "aaa", 1.0, "{}"),
+        # u2: a 1-event session (bounce) of type 'aaa'
+        (13, T("2025-03-10 09:00:00"), 2, "aaa", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d1 = tmp_path / "tie"
+    d1.mkdir()
+    pdf.to_parquet(str(d1 / "events.parquet"), index=False)
+    out = {
+        r.entry_type: (r.n_sessions, r.n_bounces)
+        for r in queries()["agg_session_bounce_rate"](spark, str(d1)).collect()
+    }
+    assert out == {"zzz": (1, 0), "aaa": (1, 1)}, out
+
+    # case 2: same events but event_id pushed past the 2^28 packing bound
+    pdf2 = pdf.assign(event_id=pdf.event_id + (1 << 28))
+    d2 = tmp_path / "bigid"
+    d2.mkdir()
+    pdf2.to_parquet(str(d2 / "events.parquet"), index=False)
+    via_key = queries()["agg_session_bounce_rate"](spark, str(d2))
+    via_twin = agg_session_bounce_rate_session_window(spark, str(d2))
+    assert via_key.exceptAll(via_twin).count() == 0
+    assert via_twin.exceptAll(via_key).count() == 0
+    out2 = {r.entry_type: (r.n_sessions, r.n_bounces) for r in via_key.collect()}
+    assert out2 == {"zzz": (1, 0), "aaa": (1, 1)}, out2
 
 
 def test_double_window_legacy_hash_equals_plain(spark, sf_dir):
