@@ -579,11 +579,86 @@ _R10_WINDOW = (
 # (rule 2 still displaces tail entries for any key added/reshaped in
 # round 11 itself.)
 
+# _R11_WINDOW — ACTIVE (rotation executed in round 11). Exactly the
+# pre-committed list above — re-derived mechanically from
+# CORRECTNESS_r01-r10 by scripts/hash_ledger.py --window, which
+# reproduced it verbatim — with ONE rule-2 displacement:
+# `agg_session_bounce_rate` was RESHAPED this round (the fused-long
+# bucket-chain plan, verification/r11_bounce_ab.json; its r10 driver
+# hash predates the reshape) so it re-faces the gate, displacing the
+# freshest tail entry (`udf_python_scalar`, last hashed r6 — it stays
+# next-in-line for r12).
+_R11_WINDOW = (
+    # rule 2 head: reshaped in round 11 (execution strategy changed,
+    # oracle/semantics identical — the gate checks exactly that the
+    # output survived).
+    "agg_session_bounce_rate",  # reshaped r11: fused-long bucket-chain (last hash r10)
+    "split_train_test",  # last driver hash r5
+    "decon_ngram_overlap",  # r5
+    "pack_sequences",  # r5
+    "text_remove_stopwords",  # r5
+    "corpus_dedup_apply",  # r5
+    "corpus_pipeline_e2e",  # r5
+    "assign_contiguous_ids",  # r5
+    "corpus_health_report",  # r5
+    "corpus_snapshot_diff",  # r5
+    "split_kfold",  # r5
+    "corpus_mix_rebalance",  # r5
+    "decon_exact_doc",  # r5
+    "sketch_countmin",  # r5
+    "sketch_kmv_distinct",  # r5
+    "agg_collect_sorted",  # r5
+    "agg_first_digit_benford",  # r5
+    "agg_user_type_entropy",  # r5
+    "agg_apdex_score",  # r5
+    "ts_seasonal_strength_dow",  # r5
+    "win_session_length_histogram",  # r5
+    "join_attribution_asof",  # r5
+    "emb_norm_percentiles",  # r5
+    "graph_type_cooccurrence",  # r5
+    "corpus_filter_funnel",  # r5
+    "decon_near_minhash",  # r5
+    "win_activity_rank_global",  # r5
+    "ts_seasonal_naive_error",  # r5
+    "dedup_vector_exact",  # r5
+    "join_snowflake_q5",  # r5
+    "text_ngram_novelty",  # r5
+    "text_vocab_growth",  # r5
+    "agg_hourly_latency_bands",  # r5
+    "fn_datetime_format",  # r5
+    "ts_dau_wau",  # r5
+    "corpus_shard_balance",  # r5
+    "ops_session_report_e2e",  # r5
+    "win_time_weighted_avg",  # r5
+    "ts_anomaly_robust_mad",  # r5
+    "ts_merge_intervals",  # r5
+    "corpus_temperature_weights",  # r5
+    "text_sentence_stats",  # r5
+    "corpus_doc_length_histogram",  # r5
+    "win_pareto_8020",  # r5
+    "ts_cumulative_daily",  # r5
+    "emb_dim_variance_top",  # r5
+    "profile_column_stats",  # r5
+    "win_rank_delta_daily",  # r5
+    "emb_pca_top_component",  # last driver hash r6
+    "sketch_hll_mergeable",  # r6
+)
+
+# _R12_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
+# the sample is predictable, not curated): once CORRECTNESS_r11 lands on
+# _R11_WINDOW, the stalest 50 become `udf_python_scalar` (r6, displaced
+# from the r11 window by the rule-2 head) plus the 49 stalest r6-hashed
+# keys in raw registration order — derive mechanically with
+# `python scripts/hash_ledger.py --window` after CORRECTNESS_r11.json
+# lands; rule 2 still displaces tail entries for any key added/reshaped
+# in round 12 itself.
+
+
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R10_WINDOW if k in d}
+    head = {k: d[k] for k in _R11_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

@@ -81,8 +81,9 @@ def test_first_50_registration_keys_follow_rotation_policy():
     assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
     window = registry._R10_WINDOW
     assert len(window) == 50 and len(set(window)) == 50
-    first = list(registry.queries())[: len(window)]
-    assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
+    # (the leads-queries assertion moved to the r11 test below when the
+    # rotation advanced; this test keeps pinning r10's DERIVATION, which
+    # is frozen history)
     all_keys = set(registry.queries())
     assert set(last_hash) >= all_keys, (
         f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
@@ -112,6 +113,51 @@ def test_first_50_registration_keys_follow_rotation_policy():
         assert key not in expected
         expected = expected[:-1]  # drop the freshest tail entry
     expected = reshaped_r10 + expected
+    assert set(window) == set(expected), (
+        f"window is not the rule-2-adjusted stalest 50; "
+        f"missing={sorted(set(expected) - set(window))} "
+        f"extra={sorted(set(window) - set(expected))}"
+    )
+
+
+def test_r11_window_follows_rotation_policy():
+    """Round-11 rotation: the active _R11_WINDOW must equal the 50 keys
+    whose most recent driver hash pass (across CORRECTNESS_r01-r10.json)
+    is oldest — ties broken by RAW registration order (_QUERIES
+    insertion, never the window-reordered queries() view: that would be
+    circular) — except that `agg_session_bounce_rate`, RESHAPED in r11
+    (fused-long bucket-chain plan), displaces the freshest tail entry
+    per rule 2. Recomputed here from the same files
+    scripts/hash_ledger.py reads, and the window must LEAD queries()
+    (the driver hard-verifies the first 50 keys)."""
+    from hadoop_job_analyzer_spark import registry
+
+    last_hash: dict[str, int] = {}
+    for rnd in range(1, 11):
+        path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
+        if not path.exists():
+            continue
+        for key, rec in json.loads(path.read_text()).items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                last_hash[key] = rnd
+    assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
+    window = registry._R11_WINDOW
+    assert len(window) == 50 and len(set(window)) == 50
+    first = list(registry.queries())[: len(window)]
+    assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
+    all_keys = set(registry.queries())
+    assert set(last_hash) >= all_keys, (
+        f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
+    )
+    registry._load_all()
+    reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
+    by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
+    expected = by_age[:50]
+    reshaped_r11 = ["agg_session_bounce_rate"]
+    for key in reshaped_r11:
+        assert key not in expected
+        expected = expected[:-1]  # drop the freshest tail entry
+    expected = reshaped_r11 + expected
     assert set(window) == set(expected), (
         f"window is not the rule-2-adjusted stalest 50; "
         f"missing={sorted(set(expected) - set(window))} "
@@ -155,7 +201,7 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    win = registry._R10_WINDOW
+    win = registry._R11_WINDOW
     assert tuple(qkeys[: len(win)]) == win
     okeys = [k for k in registry.oracle_sql() if k in set(win)]
     assert okeys == [k for k in win if k in set(okeys)]
