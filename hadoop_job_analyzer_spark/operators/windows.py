@@ -479,6 +479,85 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_sessionize_bucket_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate execution twin of win_sessionize (r11): BUCKET-CHAIN
+    sessionization — the agg_session_bounce_rate r11 insight applied to
+    the flagship key, and here no entry-pick packing is needed at all.
+
+    Fixed 1800 s buckets (width == gap) can never split internally under
+    the truncated-second > 1800 rule (in-bucket consecutive trunc diffs
+    are ≤ 1799), so:
+      1. HEAVY pass: one whole-stage-codegen HashAggregate per
+         (user_id, floor(trunc_sec/1800)) with ALL-PRIMITIVE buffers
+         (count + min/max of the long-backed µs timestamp) — no
+         MergingSessions pass, no map-side SortAggregate, no sort of
+         the event stream anywhere. Map-side combine ships
+         ~#nonempty-buckets rows; a hot user spreads across as many
+         hash cells as buckets (skew-proof without salt).
+      2. LIGHT pass: gaps-and-islands over bucket summaries per user —
+         a bucket chains iff trunc_sec(min_ts) − trunc_sec(prev_max_ts)
+         ≤ 1800, exactly the event-level rule (the boundary difference
+         IS the consecutive-event trunc gap; trunc of a min == min of
+         truncs). #buckets ≈ time-range/1800 rows per user, constant in
+         corpus size.
+      3. Session rows: sum/min/max per island + the same per-session
+         row_number the registered key uses for session_idx.
+
+    Kept unregistered pending the promotion A/B
+    (scripts/sessionize_ab.py --bucket-chain; promotion bar: ≥ 20 %
+    faster at x256 AND no skew_x256 regression); hash-equality vs the
+    registered key is pinned in tests/test_wave19.py either way."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / F.lit(1800)).alias("_bkt"),
+        "ts",
+    )
+    buckets = ev.groupBy("user_id", "_bkt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("ts").alias("_min_ts"),
+        F.max("ts").alias("_max_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_bkt")
+    flagged = buckets.select(
+        "user_id",
+        "_bkt",
+        "_n",
+        "_min_ts",
+        "_max_ts",
+        F.when(
+            F.col("_min_ts").cast("long") - F.lag("_max_ts").over(w).cast("long")
+            <= 1800,
+            0,
+        ).otherwise(1).alias("_new"),  # NULL prev (first bucket) ⇒ new session
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        flagged.withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy("user_id", "_isl")
+        .agg(
+            F.min("_min_ts").alias("session_start"),
+            F.max("_max_ts").alias("session_end"),
+            F.sum("_n").alias("n_events"),
+            (
+                F.max("_max_ts").cast("long") - F.min("_min_ts").cast("long")
+            ).alias("duration_sec"),
+        )
+    )
+    wu = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        F.row_number().over(wu).cast("bigint").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_sec",
+    )
+
+
 def _salted_session_chain(ev: DataFrame, extra_part_aggs: tuple = ()) -> DataFrame:
     """Shared machinery of the salted-sessionize twins: the (user, day)
     HEAVY pass producing session PARTS (with optional extra per-part

@@ -19,6 +19,13 @@ and counts physical-plan features that matter at 100 TB:
                       ::test_single_partition_exchange_inputs_are_metadata_sized)
 - ``bhj`` / ``smj``   broadcast-hash vs sort-merge joins
 - ``wsc``             WholeStageCodegen spans (JVM-side hot path)
+- ``sortagg``         SortAggregate nodes — the silent HashAggregate
+                      demotion any non-primitive aggregation buffer
+                      (min(struct)/min(string)/min_by) triggers, i.e. a
+                      map-side FULL SORT of the aggregated input
+                      (measured 3.4x on a 25.6M-row groupBy in the r11
+                      bounce rewrite, verification/r11_bounce_ab.json).
+                      Legitimate only over already-small inputs.
 
 Output: one JSON line per key + a markdown summary table written to
 verification/ (the judge-facing artifact). Keys whose construction runs
@@ -57,6 +64,7 @@ def census_one(spark, key: str, fn, sf_dir: str) -> dict:
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "wsc": plan.count("WholeStageCodegen"),
+        "sortagg": plan.count("SortAggregate"),
     }
 
 
@@ -79,6 +87,7 @@ def main() -> None:
         "total_exchanges": sum(r["exchanges"] for r in ok),
         "keys_with_single_partition_exchange": sum(1 for r in ok if r["single_part"]),
         "keys_with_smj": sum(1 for r in ok if r["smj"]),
+        "keys_with_sortagg": sum(1 for r in ok if r.get("sortagg")),
         "zero_shuffle_keys": sum(1 for r in ok if r["exchanges"] == 0),
     }
     print(json.dumps({"census_summary": summary}))
@@ -88,12 +97,12 @@ def main() -> None:
             f.write("# Plan census (shuffle/broadcast hygiene, all keys)\n\n")
             f.write(f"SF dir: `{sf_dir}`. Columns: see scripts/plan_census.py.\n\n")
             f.write(f"```json\n{json.dumps(summary, indent=2)}\n```\n\n")
-            f.write("| key | exch | single-part | BHJ | SMJ | WSC |\n")
-            f.write("| --- | --- | --- | --- | --- | --- |\n")
+            f.write("| key | exch | single-part | BHJ | SMJ | WSC | SortAgg |\n")
+            f.write("| --- | --- | --- | --- | --- | --- | --- |\n")
             for r in sorted(ok, key=lambda r: (-r["exchanges"], r["key"])):
                 f.write(
                     f"| {r['key']} | {r['exchanges']} | {r['single_part']} | "
-                    f"{r['bhj']} | {r['smj']} | {r['wsc']} |\n"
+                    f"{r['bhj']} | {r['smj']} | {r['wsc']} | {r.get('sortagg', 0)} |\n"
                 )
             errs = [r for r in rows if "error" in r]
             if errs:

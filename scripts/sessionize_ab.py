@@ -41,19 +41,24 @@ def main() -> None:
     ap.add_argument("--scales", default="64,256")
     args = ap.parse_args()
 
-    from hadoop_job_analyzer_spark.operators.windows import (
-        SESSIONIZE_ORACLE,
-        win_sessionize_double_window,
-    )
     from hadoop_job_analyzer_spark.registry import queries
     from hadoop_job_analyzer_spark.session import get_spark
+
+    reg = queries()  # load modules in registry order before direct imports
+    from hadoop_job_analyzer_spark.operators.windows import (
+        SESSIONIZE_ORACLE,
+        win_sessionize_bucket_chain,
+        win_sessionize_double_window,
+    )
 
     spark = get_spark("hja-sessionize-ab")
     variants = {
         # the legacy chain (registered through r9) vs the registered key
-        # (session_window formulation since r10)
+        # (session_window formulation since r10) vs the r11 bucket-chain
+        # candidate (all-primitive hash agg, no event-level sort)
         "v0_double_window": win_sessionize_double_window,
-        "v2_session_window": queries()["win_sessionize"],
+        "v2_session_window": reg["win_sessionize"],
+        "v3_bucket_chain": win_sessionize_bucket_chain,
     }
 
     results: dict[str, dict[str, dict]] = {}
