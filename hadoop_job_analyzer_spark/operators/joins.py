@@ -316,10 +316,71 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-table star. customer broadcast-joins into orders; the
     orders⋈lineitem leg shuffles on the order key; revenue follows the
     decimal-sum policy so the top-10 cut is deterministic. Groups are
-    per-order (≤7 lineitems each), so the exact sum runs on the
-    single-level long path (lsum) — no decimal accumulation in the
-    600k-row agg, one shuffle, values identical.
+    per-order (a handful of lineitems), so the exact sum runs on the
+    single-level long path (lsum) — no decimal accumulation, values
+    identical and order-independent (integer adds).
+
+    r11 reshape (the paired same-scale protocol exposed the old plan as
+    a consistent 2.3× DuckDB at x256 — previously adjudicated as
+    denominator variance; verification/r11_q3_ab.json has the variant
+    ladder):
+      * SHUFFLED HASH JOIN for orders⋈lineitem (hint on the filtered
+        orders side, the build): the old SMJ sorted the 131M-row
+        filtered lineitem leg — the single largest cost in the plan.
+        SHJ ships the same bytes but never sorts; the build side is the
+        segment+date-filtered orders at |co|/shuffle.partitions rows
+        per task (size partitions so that fits — the same contract
+        join_skew_salted documents; at a scale where it can't, drop
+        the hint and take the sort back).
+      * Aggregate on o_orderkey ALONE (o_orderdate attached as min() —
+        constant within an order): grouping on (orderkey, orderdate)
+        made EnsureRequirements insert a SECOND full exchange of the
+        joined rows, because the agg keys didn't match the join's
+        hash(orderkey) partitioning. Single-key grouping reuses it —
+        zero post-join exchanges. Measured ladder at x256: registered
+        r10 plan 9.19 s, single-key agg 8.05 s, lineitem pre-agg
+        before the join 7.90 s (the 37M-group hash agg gives back what
+        the smaller shuffle saves), SHJ+single-key agg **4.67 s vs
+        DuckDB 2.67 = 1.75×** (r10 protocol read 2.2–2.3×).
+    Top-10 FIRST (TakeOrderedAndProject = distributed per-partition
+    top-k + driver merge), THEN rank the 10 survivors — same rows and
+    ranks as rank-then-limit (identical total order), but the global
+    row_number never sees more than 10 rows in its single partition.
     """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = lsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    co = (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .select("o_orderkey", "o_orderdate")
+    )
+    agg = (
+        l.join(co.hint("shuffle_hash"), l.l_orderkey == co.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.min("o_orderdate").alias("o_orderdate"), revenue.alias("revenue"))
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .withColumn("rank_pos", F.row_number().over(w))
+    )
+
+
+def join_star_multiway_two_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy execution twin of join_star_multiway (registered through
+    r10): SMJ for orders⋈lineitem + a (orderkey, orderdate) grouped agg
+    that costs an extra full exchange of the joined rows. Kept
+    unregistered as the A/B baseline (9.19 s vs the registered 4.67 s
+    at x256, verification/r11_q3_ab.json); hash-equality pinned in
+    tests/test_wave19.py."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -335,10 +396,6 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue.alias("revenue"))
     )
-    # Top-10 FIRST (TakeOrderedAndProject = distributed per-partition
-    # top-k + driver merge), THEN rank the 10 survivors — same rows and
-    # ranks as rank-then-limit (identical total order), but the global
-    # row_number never sees more than 10 rows in its single partition.
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
     return (
         agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())

@@ -582,17 +582,20 @@ _R10_WINDOW = (
 # _R11_WINDOW — ACTIVE (rotation executed in round 11). Exactly the
 # pre-committed list above — re-derived mechanically from
 # CORRECTNESS_r01-r10 by scripts/hash_ledger.py --window, which
-# reproduced it verbatim — with ONE rule-2 displacement:
-# `agg_session_bounce_rate` was RESHAPED this round (the fused-long
-# bucket-chain plan, verification/r11_bounce_ab.json; its r10 driver
-# hash predates the reshape) so it re-faces the gate, displacing the
-# freshest tail entry (`udf_python_scalar`, last hashed r6 — it stays
+# reproduced it verbatim — with TWO rule-2 displacements:
+# `agg_session_bounce_rate` (fused-long bucket-chain plan,
+# verification/r11_bounce_ab.json) and `join_star_multiway` (SHJ +
+# single-key agg, verification/r11_q3_ab.json) were RESHAPED this round
+# (their latest driver hashes predate the reshapes) so they re-face the
+# gate, displacing the two freshest tail entries (`udf_python_scalar`
+# and `sketch_hll_mergeable`, both last hashed r6 — they stay
 # next-in-line for r12).
 _R11_WINDOW = (
     # rule 2 head: reshaped in round 11 (execution strategy changed,
     # oracle/semantics identical — the gate checks exactly that the
     # output survived).
     "agg_session_bounce_rate",  # reshaped r11: fused-long bucket-chain (last hash r10)
+    "join_star_multiway",  # reshaped r11: SHJ + single-key agg (last hash r9)
     "split_train_test",  # last driver hash r5
     "decon_ngram_overlap",  # r5
     "pack_sequences",  # r5
@@ -641,7 +644,6 @@ _R11_WINDOW = (
     "profile_column_stats",  # r5
     "win_rank_delta_daily",  # r5
     "emb_pca_top_component",  # last driver hash r6
-    "sketch_hll_mergeable",  # r6
 )
 
 # _R12_WINDOW pre-commit (policy rule 4 — committed ahead of the round so

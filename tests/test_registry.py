@@ -125,9 +125,10 @@ def test_r11_window_follows_rotation_policy():
     whose most recent driver hash pass (across CORRECTNESS_r01-r10.json)
     is oldest — ties broken by RAW registration order (_QUERIES
     insertion, never the window-reordered queries() view: that would be
-    circular) — except that `agg_session_bounce_rate`, RESHAPED in r11
-    (fused-long bucket-chain plan), displaces the freshest tail entry
-    per rule 2. Recomputed here from the same files
+    circular) — except that `agg_session_bounce_rate` (fused-long
+    bucket-chain plan) and `join_star_multiway` (SHJ + single-key agg),
+    RESHAPED in r11, displace the two freshest tail entries per
+    rule 2. Recomputed here from the same files
     scripts/hash_ledger.py reads, and the window must LEAD queries()
     (the driver hard-verifies the first 50 keys)."""
     from hadoop_job_analyzer_spark import registry
@@ -153,7 +154,7 @@ def test_r11_window_follows_rotation_policy():
     reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
     by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
     expected = by_age[:50]
-    reshaped_r11 = ["agg_session_bounce_rate"]
+    reshaped_r11 = ["agg_session_bounce_rate", "join_star_multiway"]
     for key in reshaped_r11:
         assert key not in expected
         expected = expected[:-1]  # drop the freshest tail entry

@@ -245,6 +245,27 @@ def test_salted_sessionize_hash_equals_plain(spark, sf_dir):
     assert plain.count() == salted.count() > 0
 
 
+def test_join_star_legacy_two_key_agg_equals_registered(spark, sf_dir):
+    """join_star_multiway_two_key_agg (the SMJ + (orderkey, orderdate)
+    grouped plan, registered through r10) must reproduce the r11 SHJ +
+    single-key-agg formulation row-for-row — min(o_orderdate) attaches a
+    value constant within each order, and the long-path revenue sum is
+    order-independent integer arithmetic, so the reshape is execution
+    strategy only."""
+    from hadoop_job_analyzer_spark.operators.joins import (
+        join_star_multiway_two_key_agg,
+    )
+
+    plain = queries()["join_star_multiway"](spark, sf_dir)
+    legacy = join_star_multiway_two_key_agg(spark, sf_dir)
+    assert [(f.name, f.dataType) for f in plain.schema] == [
+        (f.name, f.dataType) for f in legacy.schema
+    ]
+    prow = [tuple(r) for r in plain.collect()]
+    lrow = [tuple(r) for r in legacy.collect()]
+    assert prow == lrow and len(prow) == 10
+
+
 def test_sessionize_bucket_chain_equals_registered(spark, sf_dir):
     """win_sessionize_bucket_chain (r11 candidate: all-primitive
     bucket-chain, no event-level sort) must reproduce the registered
