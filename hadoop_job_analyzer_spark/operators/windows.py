@@ -503,10 +503,18 @@ def win_sessionize_bucket_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. Session rows: sum/min/max per island + the same per-session
          row_number the registered key uses for session_idx.
 
-    Kept unregistered pending the promotion A/B
-    (scripts/sessionize_ab.py --bucket-chain; promotion bar: ≥ 20 %
-    faster at x256 AND no skew_x256 regression); hash-equality vs the
-    registered key is pinned in tests/test_wave19.py either way."""
+    PROMOTION MEASURED AND REJECTED (r11,
+    verification/r11_sessionize_ab.json): x256 1.487 s vs the registered
+    session_window plan's 1.453 s — a tie, not the ≥ 20 % bar — and
+    SLOWER at x64 (1.34 vs 0.98 s; one extra stage of per-job fixed
+    cost). Why the bounce-rate win doesn't transfer: win_sessionize's
+    merge carries only primitive state (count/min/max over a narrow
+    (user_id, ts) projection), so session_window's map-side partial
+    merge is already sort-light and shuffle-optimal — the r11 bounce
+    rewrite won by deleting a NON-PRIMITIVE (struct) buffer that demoted
+    the whole aggregate to SortAggregate, a defect this key never had.
+    Kept unregistered as the measured dead-end; hash-equality vs the
+    registered key is pinned in tests/test_wave19.py."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.floor(F.col("ts").cast("long") / F.lit(1800)).alias("_bkt"),
