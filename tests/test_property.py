@@ -308,3 +308,80 @@ SELECT user_id, session_idx,
 FROM numbered GROUP BY user_id, session_idx
 """
     compare(sdf, sql, SF_DIR, f"prop-session-gap[{gap}s]")
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_random_gap_bucket_chain_agrees(spark_prop, data):
+    """The r11 bucket-chain claim, pinned across RANDOM gaps: for ANY
+    gap G, grouping events into fixed G-second buckets can never split
+    a session inside a bucket (in-bucket consecutive truncated-second
+    diffs are < G), and chaining bucket summaries on
+    trunc(min_ts) − trunc(prev_max_ts) ≤ G reproduces the event-level
+    gaps-and-islands rule exactly (the boundary difference IS the
+    consecutive-event gap; trunc of a min == min of truncs). Same
+    oracle as the session_window translation property above."""
+    from pyspark.sql import Window
+
+    d = _Draw(data)
+    gap = d.draw(st.integers(60, 7200))
+    ev = load_table(spark_prop, SF_DIR, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / F.lit(gap)).alias("_bkt"),
+        "ts",
+    )
+    buckets = ev.groupBy("user_id", "_bkt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("ts").alias("_min_ts"),
+        F.max("ts").alias("_max_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_bkt")
+    flagged = buckets.select(
+        "user_id",
+        "_bkt",
+        "_n",
+        "_min_ts",
+        F.when(
+            F.col("_min_ts").cast("long") - F.lag("_max_ts").over(w).cast("long")
+            <= gap,
+            0,
+        ).otherwise(1).alias("_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        flagged.withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy("user_id", "_isl")
+        .agg(F.min("_min_ts").alias("session_start"), F.sum("_n").alias("n_events"))
+    )
+    wu = Window.partitionBy("user_id").orderBy("session_start")
+    sdf = sess.select(
+        "user_id",
+        F.row_number().over(wu).cast("bigint").alias("session_idx"),
+        "session_start",
+        "n_events",
+    )
+    sql = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {gap}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_idx
+"""
+    compare(sdf, sql, SF_DIR, f"prop-bucket-chain-gap[{gap}s]")
