@@ -65,6 +65,10 @@ KEYS = [
     "text_tfidf",
     "dedup_near_minhash",
     "text_fingerprint",
+    # r11: the r10 weak key, rewritten this round (fused bucket-chain,
+    # 1.55x at x256) — tracked in-basket so a regression can't hide
+    # off-basket again
+    "agg_session_bounce_rate",
 ]
 
 
