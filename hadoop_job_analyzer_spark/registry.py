@@ -648,12 +648,30 @@ _R11_WINDOW = (
 
 # _R12_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
 # the sample is predictable, not curated): once CORRECTNESS_r11 lands on
-# _R11_WINDOW, the stalest 50 become `udf_python_scalar` (r6, displaced
-# from the r11 window by the rule-2 head) plus the 49 stalest r6-hashed
-# keys in raw registration order — derive mechanically with
-# `python scripts/hash_ledger.py --window` after CORRECTNESS_r11.json
-# lands; rule 2 still displaces tail entries for any key added/reshaped
-# in round 12 itself.
+# _R11_WINDOW, the stalest 50 are the remaining r6-hashed keys (48 of
+# them, led by the two rule-2 displacees) plus the 2 stalest r7-hashed
+# keys, in raw registration order — derived mechanically by simulating
+# the r11 landing over CORRECTNESS_r01-r10 + _R11_WINDOW (re-derive with
+# `python scripts/hash_ledger.py --window` once CORRECTNESS_r11.json
+# exists; tie-break = _QUERIES insertion order as always):
+#   sketch_hll_mergeable, udf_python_scalar (the r11 rule-2 displacees),
+#   udf_pandas_scalar, udaf_pandas_grouped, udtf_apply_in_pandas,
+#   udtf_python, udf_sql_registered, udtf_cogroup_pandas,
+#   udf_map_in_arrow, udtf_python_analyze, udf_pandas_iter,
+#   fn_string_basic, fn_string_split, fn_regexp_extract, fn_hash,
+#   fn_date_parts, fn_date_trunc, fn_date_arith, fn_math,
+#   fn_conditional, fn_cast, fn_array_basic, fn_array_higher_order,
+#   fn_json, fn_map_ops, fn_variant_semistructured,
+#   fn_levenshtein_fuzzy, fn_try_arithmetic, fn_bitwise, fn_url_parse,
+#   fn_trig, fn_base64_roundtrip, stream_file_source, stream_tumbling,
+#   stream_sliding, stream_session_window, stream_late_data,
+#   stream_dedup, stream_stateful_counter, stream_foreach_batch,
+#   stream_stream_join, stream_static_join, stream_custom_sessionize,
+#   stream_windowed_apdex, stream_near_dedup_norm,
+#   join_q7_volume_shipping, agg_approx_distinct, agg_theil_index,
+#   win_survival_gap_curve, sample_weighted_es
+# (rule 2 still displaces tail entries for any key added/reshaped in
+# round 12 itself.)
 
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:

@@ -65,8 +65,16 @@ KEYS = [
     "text_tfidf",
     "dedup_near_minhash",
     "text_fingerprint",
+]
+
+# The 11 keys above are the FROZEN basket — the round-over-round median
+# the verdicts quote is computed over exactly these, so the list never
+# changes. Keys added later are measured and emitted alongside but
+# excluded from the frozen median (the JSON carries `frozen_basket` so
+# the split is unambiguous).
+EXTRA_KEYS = [
     # r11: the r10 weak key, rewritten this round (fused bucket-chain,
-    # 1.55x at x256) — tracked in-basket so a regression can't hide
+    # 1.55x at x256) — tracked in-protocol so a regression can't hide
     # off-basket again
     "agg_session_bounce_rate",
 ]
@@ -108,7 +116,7 @@ def main() -> None:
         if not os.path.exists(f"{sf_dir}/_DONE"):
             raise SystemExit(f"{sf_dir} not staged; run scale_stress first")
         con = duck_views(sf_dir)
-        for key in KEYS:
+        for key in KEYS + EXTRA_KEYS:
             fn = reg[key]
             # warm both engines once, back to back
             con.execute(sqls[key]).fetchall()
@@ -143,7 +151,8 @@ def main() -> None:
                   f"paired={paired} spread(d)={rec['within_session_spread']['duckdb_maxmin']}",
                   flush=True)
         con.close()
-    print(json.dumps({"metric": "same_scale_ab", "results": results}))
+    print(json.dumps({"metric": "same_scale_ab", "frozen_basket": KEYS,
+                      "extra_keys": EXTRA_KEYS, "results": results}))
     spark.stop()
 
 
