@@ -94,6 +94,11 @@ HEADLINE = [
     "agg_theil_index",
     "text_edit_distance_join",
     "emb_pca_top_component",
+    # r11 addition: the former off-basket weak key, rewritten this round
+    # (fused bucket-chain, 1.55x DuckDB at x256) — in HEADLINE so every
+    # future BENCH_r{N} tracks it at sf0.1 (NOT in the frozen basket;
+    # full_suite_wall is documented as growing with the suite)
+    "agg_session_bounce_rate",
 ]
 
 CACHE_TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]
