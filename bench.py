@@ -158,6 +158,10 @@ CONSTRUCTION_TIMED = {
     "dedup_components_full",
     "emb_kmeans_iterative",
     "emb_pca_top_component",  # gram partials collect + power steps run in fn()
+    # r11: the fused bounce plan runs its dictionary/bounds pre-pass (one
+    # codegen scan + O(1) collect) inside fn() — timing only the noop
+    # write would omit a real data-scan job
+    "agg_session_bounce_rate",
 }
 
 
