@@ -33,6 +33,12 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 from ._common import spread
+from . import textops  # noqa: F401 — _health_oracle composes textops'
+# registered oracle SQL at import time; the registry's module order
+# guarantees textops-first, but a DIRECT import of corpus (tests, A/B
+# scripts) bypasses it — this import makes corpus self-sufficient (the
+# r11 trap: `from operators.quality import <twin>` in a fresh process
+# died with KeyError text_zipf_fit).
 from .llm import MINHASH_PAIRS_ORACLE
 from .neardup import dedup_components
 

@@ -252,3 +252,27 @@ def test_udf_keys_survive_foreign_cwd(sf_dir):
         out.stdout[-2000:],
         out.stderr[-4000:],
     )
+
+
+def test_operator_modules_import_standalone():
+    """Direct imports must not depend on the registry's module load
+    order (r11 trap: `from operators.quality import <twin>` in a fresh
+    process died with KeyError text_zipf_fit, because corpus composes
+    textops' registered oracle SQL at import time and nothing had
+    loaded textops). One fresh subprocess imports the cross-referencing
+    modules directly — quality (→corpus→textops), neardup (→llm) — with
+    no registry bootstrap."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, {root!r}); "
+        "import hadoop_job_analyzer_spark.operators.quality; "
+        "import hadoop_job_analyzer_spark.operators.neardup; "
+        "import hadoop_job_analyzer_spark.operators.corpus; "
+        "print('ok')"
+    ).format(root=str(REPO))
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-2000:]

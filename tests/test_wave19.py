@@ -468,6 +468,28 @@ def test_bounce_rate_fused_tiebreak_and_guard_fallback(spark, tmp_path):
     out2 = {r.entry_type: (r.n_sessions, r.n_bounces) for r in via_key.collect()}
     assert out2 == {"zzz": (1, 0), "aaa": (1, 1)}, out2
 
+    # case 3: >16 distinct types violates the 4-bit code bound — must
+    # also route to the twin (and the limit(17) pre-pass collect stays
+    # O(1) regardless of type cardinality). 20 users, each a 1-event
+    # session of its own type ⇒ every type is a 100%-bounce entry.
+    import pandas as pd  # noqa: F811 — local fixture builder
+
+    rows3 = [
+        (100 + i, T("2025-03-10 09:00:00"), 100 + i, f"type_{i:02d}", 1.0, "{}")
+        for i in range(20)
+    ]
+    pdf3 = pd.DataFrame(
+        rows3, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d3 = tmp_path / "manytypes"
+    d3.mkdir()
+    pdf3.to_parquet(str(d3 / "events.parquet"), index=False)
+    out3 = {
+        r.entry_type: (r.n_sessions, r.n_bounces)
+        for r in queries()["agg_session_bounce_rate"](spark, str(d3)).collect()
+    }
+    assert out3 == {f"type_{i:02d}": (1, 1) for i in range(20)}, out3
+
 
 def test_double_window_legacy_hash_equals_plain(spark, sf_dir):
     """win_sessionize_double_window (the lag→running-sum chain, registered
