@@ -646,39 +646,104 @@ _R11_WINDOW = (
     "emb_pca_top_component",  # last driver hash r6
 )
 
-# _R12_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
-# the sample is predictable, not curated): once CORRECTNESS_r11 lands on
-# _R11_WINDOW, the stalest 50 are the remaining r6-hashed keys (48 of
-# them, led by the two rule-2 displacees) plus the 2 stalest r7-hashed
-# keys, in raw registration order — derived mechanically by simulating
-# the r11 landing over CORRECTNESS_r01-r10 + _R11_WINDOW (re-derive with
-# `python scripts/hash_ledger.py --window` once CORRECTNESS_r11.json
-# exists; tie-break = _QUERIES insertion order as always):
-#   sketch_hll_mergeable, udf_python_scalar (the r11 rule-2 displacees),
-#   udf_pandas_scalar, udaf_pandas_grouped, udtf_apply_in_pandas,
-#   udtf_python, udf_sql_registered, udtf_cogroup_pandas,
-#   udf_map_in_arrow, udtf_python_analyze, udf_pandas_iter,
-#   fn_string_basic, fn_string_split, fn_regexp_extract, fn_hash,
-#   fn_date_parts, fn_date_trunc, fn_date_arith, fn_math,
-#   fn_conditional, fn_cast, fn_array_basic, fn_array_higher_order,
-#   fn_json, fn_map_ops, fn_variant_semistructured,
-#   fn_levenshtein_fuzzy, fn_try_arithmetic, fn_bitwise, fn_url_parse,
-#   fn_trig, fn_base64_roundtrip, stream_file_source, stream_tumbling,
-#   stream_sliding, stream_session_window, stream_late_data,
-#   stream_dedup, stream_stateful_counter, stream_foreach_batch,
-#   stream_stream_join, stream_static_join, stream_custom_sessionize,
-#   stream_windowed_apdex, stream_near_dedup_norm,
-#   join_q7_volume_shipping, agg_approx_distinct, agg_theil_index,
-#   win_survival_gap_curve, sample_weighted_es
-# (rule 2 still displaces tail entries for any key added/reshaped in
-# round 12 itself.)
+# _R12_WINDOW — ACTIVE (rotation executed in round 12). Exactly the
+# pre-committed list (policy rule 4): once CORRECTNESS_r11 landed 50/50
+# on _R11_WINDOW, the stalest 50 are the remaining r6-hashed keys (48 of
+# them, led by the two r11 rule-2 displacees) plus the 2 stalest
+# r7-hashed keys, in raw registration order. Re-derived mechanically at
+# round-12 open with `python scripts/hash_ledger.py --window` over
+# CORRECTNESS_r01-r11 — the derivation reproduced the pre-commit
+# VERBATIM (zero displacements needed so far; rule 2 still displaces
+# tail entries for any key reshaped later in round 12 itself).
+_R12_WINDOW = (
+    "sketch_hll_mergeable",  # last driver hash r6 (r11 rule-2 displacee)
+    "udf_python_scalar",  # r6 (r11 rule-2 displacee)
+    "udf_pandas_scalar",  # r6
+    "udaf_pandas_grouped",  # r6
+    "udtf_apply_in_pandas",  # r6
+    "udtf_python",  # r6
+    "udf_sql_registered",  # r6
+    "udtf_cogroup_pandas",  # r6
+    "udf_map_in_arrow",  # r6
+    "udtf_python_analyze",  # r6
+    "udf_pandas_iter",  # r6
+    "fn_string_basic",  # r6
+    "fn_string_split",  # r6
+    "fn_regexp_extract",  # r6
+    "fn_hash",  # r6
+    "fn_date_parts",  # r6
+    "fn_date_trunc",  # r6
+    "fn_date_arith",  # r6
+    "fn_math",  # r6
+    "fn_conditional",  # r6
+    "fn_cast",  # r6
+    "fn_array_basic",  # r6
+    "fn_array_higher_order",  # r6
+    "fn_json",  # r6
+    "fn_map_ops",  # r6
+    "fn_variant_semistructured",  # r6
+    "fn_levenshtein_fuzzy",  # r6
+    "fn_try_arithmetic",  # r6
+    "fn_bitwise",  # r6
+    "fn_url_parse",  # r6
+    "fn_trig",  # r6
+    "fn_base64_roundtrip",  # r6
+    "stream_file_source",  # r6
+    "stream_tumbling",  # r6
+    "stream_sliding",  # r6
+    "stream_session_window",  # r6
+    "stream_late_data",  # r6
+    "stream_dedup",  # r6
+    "stream_stateful_counter",  # r6
+    "stream_foreach_batch",  # r6
+    "stream_stream_join",  # r6
+    "stream_static_join",  # r6
+    "stream_custom_sessionize",  # r6
+    "stream_windowed_apdex",  # r6
+    "stream_near_dedup_norm",  # r6
+    "join_q7_volume_shipping",  # r6
+    "agg_approx_distinct",  # r6
+    "agg_theil_index",  # r6
+    "win_survival_gap_curve",  # last driver hash r7
+    "sample_weighted_es",  # r7
+)
+
+# _R13_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
+# the sample is predictable, not curated): once CORRECTNESS_r12 lands on
+# _R12_WINDOW, the stalest 50 are the 48 remaining r7-hashed keys plus
+# the 2 stalest r8-hashed keys, in raw registration order — derived
+# mechanically by simulating the r12 landing over CORRECTNESS_r01-r11 +
+# _R12_WINDOW (re-derive with `python scripts/hash_ledger.py --window`
+# once CORRECTNESS_r12.json exists; tie-break = _QUERIES insertion
+# order as always):
+#   sketch_bloom_membership, sketch_histogram_quantile,
+#   sketch_heavy_hitters, sketch_ams_selfjoin_size, mm_decode_meta,
+#   mm_frame_sample, mm_audio_features, mm_image_resize,
+#   mm_modality_mix_report, set_union_all, set_union_distinct,
+#   set_intersect, set_except, merge_scd2, set_except_all,
+#   set_intersect_all, set_symmetric_diff, set_union_byname_evolution,
+#   join_scd2_pointintime, sort_multi_null, limit_topk_global,
+#   distinct_values, sort_pagination_page2, sink_jsonl_roundtrip,
+#   scan_partition_pruned_read, sink_metrics_lines,
+#   ops_job_summary_report, scan_csv_malformed_permissive,
+#   scan_parquet_metadata, join_q19_disjunctive,
+#   join_q21_sole_failing_supplier, agg_percentile_exact,
+#   agg_pivot_wide, agg_unpivot_melt, agg_bool_count_if,
+#   agg_string_concat_ordered, agg_regr_slope_grouped, agg_bitmap_types,
+#   agg_gini_user_activity, agg_mode_exact, agg_moments_skew,
+#   agg_percentile_approx_verdict, agg_psi_drift, agg_ks_binned_drift,
+#   agg_winsorized_mean, win_new_vs_returning, ts_burstiness_fano,
+#   win_session_funnel, win_topk_per_group, win_rank_dense
+# (after which nothing is older than r8 — the freshness bound VERDICT
+# r11 task #7 asks for. Rule 2 still displaces tail entries for any key
+# added/reshaped in round 13 itself.)
 
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R11_WINDOW if k in d}
+    head = {k: d[k] for k in _R12_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Floor-row crossover demonstration (VERDICT r11 task #2).
+
+Three same-scale rows are still >2x DuckDB at x256 — dedup_exact
+(8.01x, DuckDB 0.08 s), events_hourly (6.03x, 0.14 s), text_wordcount
+(3.26x, 0.24 s). Every one is a fixed-per-job-cost-over-a-trivial-
+denominator row: the Spark absolutes are <0.9 s and the verdicts have
+accepted the "floor" adjudication while flagging it as EXTRAPOLATED.
+This script demonstrates it: stage the same shift-inflated protocol at
+x1024 (and optionally beyond) for the ONLY two tables these queries
+read (documents, events — so the staging cost is ~2 GB, not the 25 GB
+a full x1024 dir would be), and run the r11 PAIRED protocol (alternate
+engine order per round, 3 paired ratios, median) at each scale.
+
+Pass criterion (VERDICT r11 task #2): each row either crosses <=2x at
+the larger scale, or its measured curve shows the Spark absolute
+growing SUBLINEARLY in scale while DuckDB's grows ~linearly — i.e. the
+crossover scale is finite and the trend is monotone in Spark's favor.
+
+Staging: /tmp/hja_scale/floor_x{K}/ holds documents.parquet and
+events.parquet only, built by key-shifting q copies of the existing
+x256 staged tables (q = K/256) — byte-compatible with the scale_stress
+inflation (doc_id/event_id shifted per copy, text/value columns
+duplicated, so dedup_exact's duplicate-mass semantics match the x256
+protocol exactly).
+
+Usage: python scripts/floor_crossover.py [--scales 256,1024]
+  (x256 rows re-measured here too, same session, so the curve is
+   within-session comparable.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+OUT = "/tmp/hja_scale"
+BASE_SCALE = 256  # floor_x{K} is staged from the full x256 dir
+FLOOR_TABLES = ("documents", "events")
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS ts_hour, event_type,
+       COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+KEYS = ["dedup_exact", "events_hourly", "text_wordcount"]
+
+
+def stage(spark, k: int) -> str:
+    """Key-shift q = k/BASE_SCALE copies of the x256 documents/events."""
+    src = f"{OUT}/x{BASE_SCALE}"
+    if not os.path.exists(f"{src}/_DONE"):
+        raise SystemExit(f"{src} not staged; run scale_stress first")
+    out_dir = f"{OUT}/floor_x{k}"
+    if os.path.exists(f"{out_dir}/_DONE"):
+        return out_dir
+    assert k % BASE_SCALE == 0, "floor scales must be multiples of the base"
+    q = k // BASE_SCALE
+    os.makedirs(out_dir, exist_ok=True)
+    shift_key = {"documents": "doc_id", "events": "event_id"}
+    for t in FLOOR_TABLES:
+        raw = spark.read.parquet(f"{src}/{t}.parquet")
+        key = shift_key[t]
+        off = raw.agg(F.max(key)).collect()[0][0] + 1
+        parts = [raw] + [
+            raw.withColumn(key, F.col(key) + F.lit(i * off)) for i in range(1, q)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    open(f"{out_dir}/_DONE", "w").close()
+    return out_dir
+
+
+def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in FLOOR_TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+        )
+    return con
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="256,1024")
+    args = ap.parse_args()
+
+    import bench
+    from hadoop_job_analyzer_spark.registry import oracle_sql, queries
+    from hadoop_job_analyzer_spark.session import get_spark
+
+    spark = get_spark("hja-floor-crossover")
+    reg = dict(queries())
+    reg["events_hourly"] = bench.events_hourly
+    sqls = dict(oracle_sql())
+    sqls["events_hourly"] = EVENTS_HOURLY_SQL
+
+    results: dict[str, dict[str, dict]] = {}
+    for k in (int(s) for s in args.scales.split(",")):
+        # x256 reads the full staged dir (all tables present); larger
+        # floor scales read the documents/events-only staging
+        sf_dir = f"{OUT}/x{k}" if k == BASE_SCALE else stage(spark, k)
+        con = duck_views(sf_dir)
+        for key in KEYS:
+            fn = reg[key]
+            con.execute(sqls[key]).fetchall()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dtimes, stimes = [], []
+            for rnd in range(3):
+                def time_duck() -> None:
+                    t0 = time.perf_counter()
+                    con.execute(sqls[key]).fetchall()
+                    dtimes.append(time.perf_counter() - t0)
+
+                def time_spark() -> None:
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    stimes.append(time.perf_counter() - t0)
+
+                first, second = (time_duck, time_spark) if rnd % 2 == 0 else (
+                    time_spark, time_duck)
+                first()
+                second()
+            paired = [round(s / d, 2) for s, d in zip(stimes, dtimes)]
+            rec = {
+                "duckdb_median3": round(statistics.median(dtimes), 3),
+                "spark_median3": round(statistics.median(stimes), 3),
+                "paired_ratios": paired,
+                "paired_ratio_median": round(sorted(paired)[1], 2),
+                "within_session_spread": {
+                    "duckdb_maxmin": round(max(dtimes) / min(dtimes), 2),
+                    "spark_maxmin": round(max(stimes) / min(stimes), 2),
+                },
+            }
+            results.setdefault(f"x{k}", {})[key] = rec
+            print(
+                f"x{k} {key}: duckdb={rec['duckdb_median3']}s "
+                f"spark={rec['spark_median3']}s "
+                f"paired_median={rec['paired_ratio_median']}x paired={paired}",
+                flush=True,
+            )
+        con.close()
+    print(json.dumps({"metric": "floor_crossover", "keys": KEYS,
+                      "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -15,8 +15,10 @@ Protocol, symmetric by construction:
 - no Spark table caching (the scale_stress protocol, NOT bench.py's
   cached-tables protocol),
 - one warm run per engine, then PAIRED ALTERNATION (VERDICT r10 task
-  #7): 3 rounds of (DuckDB once, Spark once) per query, each round
-  yielding a paired ratio s_i/d_i measured seconds apart — so the
+  #7): 3 rounds of (one DuckDB run, one Spark run) per query — engine
+  order SWAPPED on odd rounds (r11 ADVICE) so a fixed ordering effect
+  cancels across the 3 ratios — each round yielding a paired ratio
+  s_i/d_i measured seconds apart, so the
   cross-session DuckDB denominator swing (up to 2.3× between sessions,
   verification/r10_headline5_band.json) can no longer enter a ratio.
   Emitted per query: the 3 paired ratios, their median, and a
@@ -122,15 +124,28 @@ def main() -> None:
             con.execute(sqls[key]).fetchall()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             # paired alternation: each round measures both engines
-            # seconds apart, yielding one paired ratio per round
+            # seconds apart, yielding one paired ratio per round.
+            # Engine ORDER alternates across rounds (r11 ADVICE): a fixed
+            # DuckDB-first order would land any systematic carryover
+            # (page-cache refresh, CPU ramp, GC settling from the prior
+            # engine's run) on the same engine in all 3 ratios; swapping
+            # per round makes ordering effects cancel in the median.
             dtimes, stimes = [], []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(sqls[key]).fetchall()
-                dtimes.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                stimes.append(time.perf_counter() - t0)
+            for rnd in range(3):
+                def time_duck() -> None:
+                    t0 = time.perf_counter()
+                    con.execute(sqls[key]).fetchall()
+                    dtimes.append(time.perf_counter() - t0)
+
+                def time_spark() -> None:
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    stimes.append(time.perf_counter() - t0)
+
+                first, second = (time_duck, time_spark) if rnd % 2 == 0 else (
+                    time_spark, time_duck)
+                first()
+                second()
             paired = [round(s / d, 2) for s, d in zip(stimes, dtimes)]
             rec = {
                 "duckdb_median3": round(statistics.median(dtimes), 3),

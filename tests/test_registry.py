@@ -144,8 +144,9 @@ def test_r11_window_follows_rotation_policy():
     assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
     window = registry._R11_WINDOW
     assert len(window) == 50 and len(set(window)) == 50
-    first = list(registry.queries())[: len(window)]
-    assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
+    # (the leads-queries assertion moved to the r12 test below when the
+    # rotation advanced; this test keeps pinning r11's DERIVATION, which
+    # is frozen history)
     all_keys = set(registry.queries())
     assert set(last_hash) >= all_keys, (
         f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
@@ -163,6 +164,50 @@ def test_r11_window_follows_rotation_policy():
         f"window is not the rule-2-adjusted stalest 50; "
         f"missing={sorted(set(expected) - set(window))} "
         f"extra={sorted(set(window) - set(expected))}"
+    )
+
+
+def test_r12_window_follows_rotation_policy():
+    """Round-12 rotation: the active _R12_WINDOW must equal the 50 keys
+    whose most recent driver hash pass (across CORRECTNESS_r01-r11.json)
+    is oldest, ties broken by RAW registration order (_QUERIES insertion,
+    never the window-reordered queries() view — that would be circular).
+    No key was reshaped at rotation time, so there is no rule-2 head and
+    the expected list is the pure stalest-50.
+
+    Unlike the earlier rotation tests this asserts the FULL ORDERED
+    tuple, not set equality (advisor r11): the driver samples queries()
+    in insertion order, so a silently reordered window would change
+    which keys face the gate first even with the set unchanged. The
+    window must also LEAD queries()."""
+    from hadoop_job_analyzer_spark import registry
+
+    last_hash: dict[str, int] = {}
+    for rnd in range(1, 12):
+        path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
+        if not path.exists():
+            continue
+        for key, rec in json.loads(path.read_text()).items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                last_hash[key] = rnd
+    assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
+    window = registry._R12_WINDOW
+    assert len(window) == 50 and len(set(window)) == 50
+    first = list(registry.queries())[: len(window)]
+    assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
+    all_keys = set(registry.queries())
+    assert set(last_hash) >= all_keys, (
+        f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
+    )
+    registry._load_all()
+    reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
+    by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
+    expected = tuple(by_age[:50])
+    assert window == expected, (
+        f"window is not the stalest 50 in derivation order; "
+        f"first divergence at index "
+        f"{next((i for i, (a, b) in enumerate(zip(window, expected)) if a != b), len(window))}: "
+        f"window={window[:5]}... expected={expected[:5]}..."
     )
 
 
@@ -202,7 +247,7 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    win = registry._R11_WINDOW
+    win = registry._R12_WINDOW
     assert tuple(qkeys[: len(win)]) == win
     okeys = [k for k in registry.oracle_sql() if k in set(win)]
     assert okeys == [k for k in win if k in set(okeys)]

@@ -608,3 +608,147 @@ def test_checkpoint_resume_custom_sessionize(spark, sf_dir, tmp_path):
     n_events_total = load_table(spark, sf_dir, "events").count()
     assert sum(r[3] for r in ra) == n_events_total
     assert len(ra) > 0
+
+
+def test_carbon_target_flag_ships_report_lines_over_loopback(spark, sf_dir, monkeypatch):
+    """VERDICT r11 task #5: the composed e2e report itself must be able
+    to push bytes to a configurable host:port. With HJA_CARBON_TARGET
+    set, ops_stream_session_report drains through the foreachBatch
+    socket bridge — each complete-mode snapshot's rendered Graphite
+    lines land on the wire from the executors — and the RETURNED frame
+    must be hash-identical to the flag-off path (the oracle grades the
+    same frame either way). The fixture backlog drains in one
+    availableNow snapshot, so the wire carries exactly the final report
+    lines."""
+    import socket
+    import threading
+
+    received: list[bytes] = []
+    srv = socket.create_server(("127.0.0.1", 0))
+    srv.settimeout(0.5)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve() -> None:
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            with conn:
+                chunks = []
+                while True:
+                    b = conn.recv(65536)
+                    if not b:
+                        break
+                    chunks.append(b)
+                received.append(b"".join(chunks))
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        monkeypatch.setenv("HJA_CARBON_TARGET", f"127.0.0.1:{port}")
+        flagged = queries()["ops_stream_session_report"](spark, sf_dir)
+        flagged_rows = _rows(flagged)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+        srv.close()
+    monkeypatch.delenv("HJA_CARBON_TARGET")
+    plain_rows = _rows(queries()["ops_stream_session_report"](spark, sf_dir))
+    assert flagged_rows == plain_rows, "flag changed the returned report frame"
+
+    wire = b"".join(received).decode("utf-8")
+    assert wire.endswith("\n")
+    got = sorted(wire.strip("\n").split("\n"))
+    want = sorted(r[3] for r in flagged_rows)  # column order: ..., line
+    assert len(want) > 0
+    assert got == want, "wire lines != report lines"
+
+
+def test_checkpoint_resume_after_midbacklog_stop(spark, sf_dir, tmp_path):
+    """Failure-recovery drill 3 of 3 (VERDICT r11 task #6): unlike the
+    drain-to-idle drills above, the query is KILLED mid-backlog — all 3
+    slices are visible from the start, maxFilesPerTrigger=1 forces one
+    slice per micro-batch, and query.stop() fires as soon as the first
+    batch commits (possibly interrupting batch 2 in flight — exactly the
+    crash shape; the _batch_id dynamic-overwrite emit makes the replay
+    idempotent). Restarting from the same checkpoint under the default
+    RocksDB store must reload offsets + session state and produce a
+    final complete-mode snapshot row-equal to the uninterrupted run's."""
+    import time as _time
+
+    slices = _stage_time_split(spark, sf_dir, tmp_path)
+
+    def build(src: str):
+        return (
+            _read_slices_stream(spark, src)
+            .withWatermark("ts", "2 hours")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("win"), F.col("user_id")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    # uninterrupted reference: all slices, one availableNow drain
+    src_a = tmp_path / "src_a"
+    src_a.mkdir()
+    for i, p in enumerate(slices):
+        _copy_slice(p, str(src_a), f"f{i}")
+    out_a, ckpt_a = str(tmp_path / "out_a"), str(tmp_path / "ckpt_a")
+    _drain_with_checkpoint(build(str(src_a)), ckpt_a, out_a, "complete")
+
+    # killed run: same full backlog, stopped after the first commit
+    src_b = tmp_path / "src_b"
+    src_b.mkdir()
+    for i, p in enumerate(slices):
+        _copy_slice(p, str(src_b), f"f{i}")
+    out_b, ckpt_b = str(tmp_path / "out_b"), str(tmp_path / "ckpt_b")
+    committed: list[int] = []
+
+    def emit(bdf, bid: int) -> None:
+        (
+            bdf.withColumn("_batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_b)
+        )
+        committed.append(bid)
+
+    # maxFilesPerTrigger=1 comes from _read_slices_stream's source options
+    q = (
+        build(str(src_b))
+        .writeStream.foreachBatch(emit)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt_b)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = _time.time() + 120
+    while not committed and q.isActive and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert committed, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+
+    # restart from the same checkpoint; availableNow drains the rest
+    _drain_with_checkpoint(build(str(src_b)), ckpt_b, out_b, "complete")
+
+    def final_snapshot(out: str):
+        df = spark.read.parquet(out)
+        last = df.agg(F.max("_batch_id")).first()[0]
+        return df.where(F.col("_batch_id") == last).drop("_batch_id")
+
+    ra = _rows(final_snapshot(out_a))
+    rb = _rows(final_snapshot(out_b))
+    assert ra == rb, f"killed-then-resumed != uninterrupted ({len(ra)} vs {len(rb)})"
+    n_events_total = load_table(spark, sf_dir, "events").count()
+    assert sum(r[3] for r in ra) == n_events_total
+    assert len(ra) > 0
