@@ -137,10 +137,20 @@ COMPARABLE_BASKET = (
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only twin of BASELINE.md's `events_hourly` (hour x type agg)."""
+    """Bench-only twin of BASELINE.md's `events_hourly` (hour x type agg).
+
+    r12: hour truncation is epoch ARITHMETIC (secs - secs % 3600), not
+    date_trunc — identical output under the session's pinned UTC zone
+    (row-equality verified at x4096), but date_trunc pays a
+    zone-aware ZonedDateTime conversion per row inside codegen while
+    the arithmetic stays in long registers: measured 4.8-5.3 s →
+    3.4-4.3 s on the 410 M-row x4096 staging (~1.4×). The same-scale
+    ratio for this floor row drops accordingly (floor_crossover)."""
     ev = load_table(spark, sf_dir, "events")
+    secs = F.col("ts").cast("long")
     return ev.groupBy(
-        F.date_trunc("hour", "ts").alias("ts_hour"), "event_type"
+        (secs - F.pmod(secs, F.lit(3600))).cast("timestamp").alias("ts_hour"),
+        "event_type",
     ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
 
 

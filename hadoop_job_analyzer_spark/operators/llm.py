@@ -509,17 +509,34 @@ LIMIT 20
 """,
 )
 def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 tokens over the corpus (map-side partial agg keeps the
-    shuffle at vocabulary size, not token count). Ranking is
-    distributed top-k FIRST (orderBy+limit compiles to TakeOrdered —
-    per-partition heaps, no global sort), THEN a row_number window
-    over the surviving 20 rows; ranking before limiting would funnel
-    the whole vocabulary through one WindowExec partition."""
+    """Top-20 tokens over the corpus, collapse-identical-texts-first
+    (r12 reshape, the text_fingerprint discipline): duplicate documents
+    are collapsed to (text, copies) by one hash agg BEFORE the token
+    explode, so every distinct text is tokenized exactly once and token
+    counts come from sum(copies) — on a crawl-shaped corpus (the staged
+    duplication protocol, and reality at 100 TB) the explode shrinks by
+    the duplication factor. Measured at x4096: 9.2 s → 2.4 s (3.8×),
+    taking the same-scale ratio from 2.5× DuckDB to 0.67× — the floor
+    row crossed (VERDICT r11 task #2, verification/r12_floor_crossover
+    records the curve). Dup-free cost is two extra metadata-sized
+    stages (sf0.1: 0.15 → 0.3 s, pure stage floor — the documented
+    text_fingerprint trade). No explicit repartition after the
+    collapse: downstream work is proportional to post-shuffle bytes
+    (distinct texts), so AQE's size-based coalesce is the right call in
+    both regimes — unlike the r10 fingerprint trap, where heavy
+    per-row work sat downstream of a metadata-sized exchange.
+
+    Ranking is distributed top-k FIRST (orderBy+limit compiles to
+    TakeOrdered — per-partition heaps, no global sort), THEN a
+    row_number window over the surviving 20 rows; ranking before
+    limiting would funnel the whole vocabulary through one WindowExec
+    partition."""
     d = load_table(spark, sf_dir, "documents")
+    per_text = d.groupBy("text").agg(F.count(F.lit(1)).alias("copies"))
     counts = (
-        d.select(F.explode(F.split("text", " ")).alias("token"))
+        per_text.select(F.explode(F.split("text", " ")).alias("token"), "copies")
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("copies").alias("n"))
     )
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())

@@ -653,9 +653,16 @@ _R11_WINDOW = (
 # r7-hashed keys, in raw registration order. Re-derived mechanically at
 # round-12 open with `python scripts/hash_ledger.py --window` over
 # CORRECTNESS_r01-r11 — the derivation reproduced the pre-commit
-# VERBATIM (zero displacements needed so far; rule 2 still displaces
-# tail entries for any key reshaped later in round 12 itself).
+# VERBATIM, then ONE rule-2 displacement landed mid-round:
+# `text_wordcount` (collapse-identical-texts plan, r12 reshape — its
+# r10 driver hash predates the reshape, so it re-faces the gate),
+# displacing the freshest tail entry (`sample_weighted_es`, last
+# hashed r7 — it stays next-in-line for r13).
 _R12_WINDOW = (
+    # rule 2 head: reshaped in round 12 (execution strategy changed,
+    # oracle/semantics identical — the gate checks exactly that the
+    # output survived).
+    "text_wordcount",  # reshaped r12: collapse-identical-texts (last hash r10)
     "sketch_hll_mergeable",  # last driver hash r6 (r11 rule-2 displacee)
     "udf_python_scalar",  # r6 (r11 rule-2 displacee)
     "udf_pandas_scalar",  # r6
@@ -705,26 +712,26 @@ _R12_WINDOW = (
     "agg_approx_distinct",  # r6
     "agg_theil_index",  # r6
     "win_survival_gap_curve",  # last driver hash r7
-    "sample_weighted_es",  # r7
 )
 
 # _R13_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
 # the sample is predictable, not curated): once CORRECTNESS_r12 lands on
-# _R12_WINDOW, the stalest 50 are the 48 remaining r7-hashed keys plus
-# the 2 stalest r8-hashed keys, in raw registration order — derived
-# mechanically by simulating the r12 landing over CORRECTNESS_r01-r11 +
-# _R12_WINDOW (re-derive with `python scripts/hash_ledger.py --window`
-# once CORRECTNESS_r12.json exists; tie-break = _QUERIES insertion
-# order as always):
-#   sketch_bloom_membership, sketch_histogram_quantile,
-#   sketch_heavy_hitters, sketch_ams_selfjoin_size, mm_decode_meta,
-#   mm_frame_sample, mm_audio_features, mm_image_resize,
-#   mm_modality_mix_report, set_union_all, set_union_distinct,
-#   set_intersect, set_except, merge_scd2, set_except_all,
-#   set_intersect_all, set_symmetric_diff, set_union_byname_evolution,
-#   join_scd2_pointintime, sort_multi_null, limit_topk_global,
-#   distinct_values, sort_pagination_page2, sink_jsonl_roundtrip,
-#   scan_partition_pruned_read, sink_metrics_lines,
+# _R12_WINDOW, the stalest 50 are the 49 remaining r7-hashed keys (led
+# by `sample_weighted_es`, the r12 rule-2 displacee) plus the stalest
+# r8-hashed key, in raw registration order — derived mechanically by
+# simulating the r12 landing over CORRECTNESS_r01-r11 + _R12_WINDOW
+# (re-derive with `python scripts/hash_ledger.py --window` once
+# CORRECTNESS_r12.json exists; tie-break = _QUERIES insertion order as
+# always):
+#   sample_weighted_es, sketch_bloom_membership,
+#   sketch_histogram_quantile, sketch_heavy_hitters,
+#   sketch_ams_selfjoin_size, mm_decode_meta, mm_frame_sample,
+#   mm_audio_features, mm_image_resize, mm_modality_mix_report,
+#   set_union_all, set_union_distinct, set_intersect, set_except,
+#   merge_scd2, set_except_all, set_intersect_all, set_symmetric_diff,
+#   set_union_byname_evolution, join_scd2_pointintime, sort_multi_null,
+#   limit_topk_global, distinct_values, sort_pagination_page2,
+#   sink_jsonl_roundtrip, scan_partition_pruned_read, sink_metrics_lines,
 #   ops_job_summary_report, scan_csv_malformed_permissive,
 #   scan_parquet_metadata, join_q19_disjunctive,
 #   join_q21_sole_failing_supplier, agg_percentile_exact,
@@ -733,7 +740,7 @@ _R12_WINDOW = (
 #   agg_gini_user_activity, agg_mode_exact, agg_moments_skew,
 #   agg_percentile_approx_verdict, agg_psi_drift, agg_ks_binned_drift,
 #   agg_winsorized_mean, win_new_vs_returning, ts_burstiness_fano,
-#   win_session_funnel, win_topk_per_group, win_rank_dense
+#   win_session_funnel, win_topk_per_group
 # (after which nothing is older than r8 — the freshness bound VERDICT
 # r11 task #7 asks for. Rule 2 still displaces tail entries for any key
 # added/reshaped in round 13 itself.)

@@ -171,9 +171,10 @@ def test_r12_window_follows_rotation_policy():
     """Round-12 rotation: the active _R12_WINDOW must equal the 50 keys
     whose most recent driver hash pass (across CORRECTNESS_r01-r11.json)
     is oldest, ties broken by RAW registration order (_QUERIES insertion,
-    never the window-reordered queries() view — that would be circular).
-    No key was reshaped at rotation time, so there is no rule-2 head and
-    the expected list is the pure stalest-50.
+    never the window-reordered queries() view — that would be circular)
+    — except that `text_wordcount` (collapse-identical-texts plan),
+    RESHAPED in r12, leads the window and displaces the freshest tail
+    entry per rule 2.
 
     Unlike the earlier rotation tests this asserts the FULL ORDERED
     tuple, not set equality (advisor r11): the driver samples queries()
@@ -202,7 +203,12 @@ def test_r12_window_follows_rotation_policy():
     registry._load_all()
     reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
     by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
-    expected = tuple(by_age[:50])
+    reshaped_r12 = ["text_wordcount"]
+    stalest = by_age[:50]
+    for key in reshaped_r12:
+        assert key not in stalest
+        stalest = stalest[:-1]  # each reshape displaces the freshest tail entry
+    expected = tuple(reshaped_r12 + stalest)
     assert window == expected, (
         f"window is not the stalest 50 in derivation order; "
         f"first divergence at index "
