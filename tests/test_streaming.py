@@ -752,3 +752,81 @@ def test_checkpoint_resume_after_midbacklog_stop(spark, sf_dir, tmp_path):
     n_events_total = load_table(spark, sf_dir, "events").count()
     assert sum(r[3] for r in ra) == n_events_total
     assert len(ra) > 0
+
+
+def test_midbacklog_stop_custom_sessionize(spark, sf_dir, tmp_path):
+    """Kill-mid-backlog drill for the OTHER stateful shape
+    (applyInPandasWithState — GroupState carries open sessions): all 3
+    slices visible, maxFilesPerTrigger=1, query.stop() after the first
+    commit, restart from the same RocksDB checkpoint. Update-mode
+    emissions from the killed+resumed run reduce through
+    _custom_sessionize_final to the same rows as the uninterrupted
+    run's — only recovered GroupState can extend a pre-stop open
+    session instead of double-opening it."""
+    import time as _time
+
+    from hadoop_job_analyzer_spark.streaming.streams import (
+        _custom_sessionize_final,
+        apply_custom_sessionize,
+    )
+
+    slices = _stage_time_split(spark, sf_dir, tmp_path)
+
+    src_a = tmp_path / "src_a"
+    src_a.mkdir()
+    for i, p in enumerate(slices):
+        _copy_slice(p, str(src_a), f"f{i}")
+    out_a, ckpt_a = str(tmp_path / "out_a"), str(tmp_path / "ckpt_a")
+    _drain_with_checkpoint(
+        apply_custom_sessionize(_read_slices_stream(spark, str(src_a))),
+        ckpt_a,
+        out_a,
+        "update",
+    )
+
+    src_b = tmp_path / "src_b"
+    src_b.mkdir()
+    for i, p in enumerate(slices):
+        _copy_slice(p, str(src_b), f"f{i}")
+    out_b, ckpt_b = str(tmp_path / "out_b"), str(tmp_path / "ckpt_b")
+    committed: list[int] = []
+
+    def emit(bdf, bid: int) -> None:
+        (
+            bdf.withColumn("_batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_b)
+        )
+        committed.append(bid)
+
+    q = (
+        apply_custom_sessionize(_read_slices_stream(spark, str(src_b)))
+        .writeStream.foreachBatch(emit)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_b)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = _time.time() + 120
+    while not committed and q.isActive and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert committed, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+
+    _drain_with_checkpoint(
+        apply_custom_sessionize(_read_slices_stream(spark, str(src_b))),
+        ckpt_b,
+        out_b,
+        "update",
+    )
+
+    fin_a = _custom_sessionize_final(spark.read.parquet(out_a).drop("_batch_id"))
+    fin_b = _custom_sessionize_final(spark.read.parquet(out_b).drop("_batch_id"))
+    ra, rb = _rows(fin_a), _rows(fin_b)
+    assert ra == rb, f"killed-then-resumed != uninterrupted ({len(ra)} vs {len(rb)})"
+    n_events_total = load_table(spark, sf_dir, "events").count()
+    assert sum(r[3] for r in ra) == n_events_total
+    assert len(ra) > 0
