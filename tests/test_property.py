@@ -385,3 +385,80 @@ SELECT user_id, session_idx,
 FROM numbered GROUP BY user_id, session_idx
 """
     compare(sdf, sql, SF_DIR, f"prop-bucket-chain-gap[{gap}s]")
+
+
+# --- collapse-identical-texts algebra (r12) ----------------------------------
+# The text_wordcount reshape rests on a multiset identity: collapsing
+# duplicate documents to (text, copies) and summing copies per exploded
+# token equals counting tokens over the raw corpus — for ANY corpus,
+# any duplication profile, including empty strings (split('', ' ') is
+# [''] in both plans). The registered key pins the fixture corpus via
+# the DuckDB oracle; this property pins the PLAN equivalence on random
+# dup-heavy corpora the fixtures don't contain.
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_random_corpus_collapse_wordcount_agrees(spark_prop, data):
+    d = _Draw(data)
+    vocab = ["alpha", "beta", "gamma", "", "x1", "yy"]
+    n_distinct = d.draw(st.integers(1, 8))
+    texts = [
+        " ".join(
+            d.draw(st.sampled_from(vocab))
+            for _ in range(d.draw(st.integers(0, 6)))
+        )
+        for _ in range(n_distinct)
+    ]
+    # duplication profile: each distinct text appears 1..7 times
+    rows = []
+    doc_id = 0
+    for t in texts:
+        for _ in range(d.draw(st.integers(1, 7))):
+            rows.append((doc_id, t))
+            doc_id += 1
+    docs = spark_prop.createDataFrame(rows, "doc_id bigint, text string")
+
+    naive = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    collapsed = (
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .select(F.explode(F.split("text", " ")).alias("token"), "copies")
+        .groupBy("token")
+        .agg(F.sum("copies").alias("n"))
+    )
+    a = sorted(map(tuple, naive.collect()))
+    b = sorted(map(tuple, collapsed.collect()))
+    assert a == b, f"collapse != naive on {rows!r}"
+
+
+# --- epoch-arithmetic truncation identity (r12) -------------------------------
+# The bench events_hourly twin replaces date_trunc('hour', ts) with
+# (secs - pmod(secs, 3600)).cast(timestamp). Under the session's pinned
+# UTC zone these are the same function on ALL of time — including
+# pre-1970 timestamps, where a naive % (remainder, sign-following)
+# would round toward zero instead of flooring; pmod's non-negative
+# remainder keeps the floor. Pinned on random epochs, both signs.
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_random_epoch_arith_trunc_equals_date_trunc(spark_prop, data):
+    d = _Draw(data)
+    epochs = [
+        d.draw(st.integers(-2_000_000_000, 2_000_000_000)) for _ in range(40)
+    ]
+    df = spark_prop.createDataFrame([(e,) for e in epochs], "secs bigint").select(
+        F.col("secs").cast("timestamp").alias("ts")
+    )
+    secs = F.col("ts").cast("long")
+    both = df.select(
+        F.date_trunc("hour", "ts").alias("a"),
+        (secs - F.pmod(secs, F.lit(3600))).cast("timestamp").alias("b"),
+    )
+    bad = both.where(~F.col("a").eqNullSafe(F.col("b"))).collect()
+    assert not bad, f"arith trunc != date_trunc on {bad[:5]}"
