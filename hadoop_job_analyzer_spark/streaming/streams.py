@@ -1202,7 +1202,12 @@ def ops_stream_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink drain.
     target = os.environ.get("HJA_CARBON_TARGET", "")
     if target:
-        host, _, port_s = target.rpartition(":")
+        host, sep, port_s = target.rpartition(":")
+        if not sep or not host or not port_s.isdigit():
+            raise ValueError(
+                f"HJA_CARBON_TARGET={target!r} — expected 'host:port' with a "
+                "numeric port (e.g. 'carbon-relay.internal:2003')"
+            )
         sender = _line_sender(host, int(port_s))
         snap_dir = os.path.join(_ARTIFACTS, f"carbon_snap_{next(_uid)}")
         shutil.rmtree(snap_dir, ignore_errors=True)

@@ -830,3 +830,77 @@ def test_midbacklog_stop_custom_sessionize(spark, sf_dir, tmp_path):
     n_events_total = load_table(spark, sf_dir, "events").count()
     assert sum(r[3] for r in ra) == n_events_total
     assert len(ra) > 0
+
+
+def test_line_sender_chunks_large_partitions():
+    """_line_sender (r11 ADVICE fix) must stream a partition in bounded
+    chunks rather than one payload string: drive it directly with
+    3 × _SOCKET_CHUNK_ROWS + 7 rows against a loopback listener and
+    assert every line arrives exactly once, newline-terminated, and the
+    data arrived in >1 sendall (the listener sees multiple recv chunks
+    whose cumulative size matches; one giant sendall of this payload
+    would exceed the per-send chunk bound). Empty partitions must not
+    open a connection."""
+    import socket
+    import threading
+    from types import SimpleNamespace
+
+    from hadoop_job_analyzer_spark.streaming.streams import (
+        _SOCKET_CHUNK_ROWS,
+        _line_sender,
+    )
+
+    n = 3 * _SOCKET_CHUNK_ROWS + 7
+    received: list[bytes] = []
+    conn_count = [0]
+    srv = socket.create_server(("127.0.0.1", 0))
+    srv.settimeout(0.5)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve() -> None:
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            conn_count[0] += 1
+            with conn:
+                while True:
+                    b = conn.recv(65536)
+                    if not b:
+                        break
+                    received.append(b)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        send = _line_sender("127.0.0.1", port)
+        send(SimpleNamespace(line=f"m.path {i} 1700000000") for i in range(n))
+        # empty partition: no connection
+        send(iter(()))
+        deadline = threading.Event()
+        deadline.wait(0.3)  # let the listener drain the final recv
+    finally:
+        stop.set()
+        t.join(timeout=10)
+        srv.close()
+
+    wire = b"".join(received).decode("utf-8")
+    assert wire.endswith("\n")
+    lines = wire.strip("\n").split("\n")
+    assert len(lines) == n
+    assert lines[0] == "m.path 0 1700000000" and lines[-1] == f"m.path {n-1} 1700000000"
+    assert conn_count[0] == 1, "empty partition must not open a second connection"
+
+
+def test_carbon_target_malformed_fails_loudly(spark, sf_dir, monkeypatch):
+    """A malformed HJA_CARBON_TARGET must fail at drain setup with a
+    clear message, not as an int() traceback mid-query (or, worse, a
+    silent fallback that never emits)."""
+    import pytest
+
+    for bad in ("hostonly", ":2003", "relay:", "relay:20x3"):
+        monkeypatch.setenv("HJA_CARBON_TARGET", bad)
+        with pytest.raises(ValueError, match="HJA_CARBON_TARGET"):
+            queries()["ops_stream_session_report"](spark, sf_dir)
