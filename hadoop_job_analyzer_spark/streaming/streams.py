@@ -1206,7 +1206,7 @@ def ops_stream_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not sep or not host or not port_s.isdigit():
             raise ValueError(
                 f"HJA_CARBON_TARGET={target!r} — expected 'host:port' with a "
-                "numeric port (e.g. 'carbon-relay.internal:2003')"
+                "numeric port (e.g. 'relay.example.com:2003')"
             )
         sender = _line_sender(host, int(port_s))
         snap_dir = os.path.join(_ARTIFACTS, f"carbon_snap_{next(_uid)}")
