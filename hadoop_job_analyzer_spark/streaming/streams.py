@@ -1203,18 +1203,37 @@ def ops_stream_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.environ.get("HJA_CARBON_TARGET", "")
     if target:
         host, sep, port_s = target.rpartition(":")
-        if not sep or not host or not port_s.isdigit():
+        # isdigit() alone accepts non-ASCII digits ('²') that int() then
+        # rejects with a bare traceback, and bracketed IPv6 would pass
+        # the parse but fail at getaddrinfo mid-drain (r12 self-review)
+        # — require a plain hostname/IPv4 and an ASCII port here.
+        if (
+            not sep
+            or not host
+            or "[" in host
+            or ":" in host
+            or not (port_s.isascii() and port_s.isdigit())
+        ):
             raise ValueError(
                 f"HJA_CARBON_TARGET={target!r} — expected 'host:port' with a "
-                "numeric port (e.g. 'relay.example.com:2003')"
+                "plain hostname/IPv4 and an ASCII-numeric port "
+                "(e.g. 'relay.example.com:2003')"
             )
         sender = _line_sender(host, int(port_s))
         snap_dir = os.path.join(_ARTIFACTS, f"carbon_snap_{next(_uid)}")
         shutil.rmtree(snap_dir, ignore_errors=True)
 
         def emit(batch_df: DataFrame, batch_id: int) -> None:
-            _session_report_lines(batch_df).select("line").foreachPartition(sender)
-            batch_df.write.mode("overwrite").parquet(snap_dir)
+            # two actions consume this snapshot (socket send + parquet
+            # keep-latest); without persist each would re-read the state
+            # store and re-run the rollup (r12 self-review) — the
+            # documented foreachBatch multi-action pattern.
+            batch_df.persist()
+            try:
+                _session_report_lines(batch_df).select("line").foreachPartition(sender)
+                batch_df.write.mode("overwrite").parquet(snap_dir)
+            finally:
+                batch_df.unpersist()
 
         q = (
             sess.writeStream.foreachBatch(emit)

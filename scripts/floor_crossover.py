@@ -34,13 +34,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+
+from scripts._ab_common import paired_rounds
 
 from pyspark.sql import functions as F
 
@@ -48,6 +48,11 @@ OUT = "/tmp/hja_scale"
 BASE_SCALE = 256  # floor_x{K} is staged from the full x256 dir
 FLOOR_TABLES = ("documents", "events")
 
+# Fairness note (r12 self-review): the Spark twin uses epoch arithmetic
+# (its faster form; date_trunc pays a zone conversion per row in Spark),
+# while this SQL keeps date_trunc — measured to be DUCKDB's faster form
+# (0.94 s vs 1.00 s for epoch-arith at x4096), so each engine runs its
+# best formulation and the ratio is engine-vs-engine, not query-text.
 EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS ts_hour, event_type,
        COUNT(*) AS n_events, SUM(value) AS sum_value
@@ -72,7 +77,10 @@ def stage(spark, k: int) -> str:
     for t in FLOOR_TABLES:
         raw = spark.read.parquet(f"{src}/{t}.parquet")
         key = shift_key[t]
-        off = raw.agg(F.max(key)).collect()[0][0] + 1
+        max_key = raw.agg(F.max(key)).collect()[0][0]
+        if max_key is None:
+            raise SystemExit(f"{src}/{t}.parquet is empty — staging is broken")
+        off = max_key + 1
         parts = [raw] + [
             raw.withColumn(key, F.col(key) + F.lit(i * off)) for i in range(1, q)
         ]
@@ -114,44 +122,31 @@ def main() -> None:
     for k in (int(s) for s in args.scales.split(",")):
         # x256 reads the full staged dir (all tables present); larger
         # floor scales read the documents/events-only staging
-        sf_dir = f"{OUT}/x{k}" if k == BASE_SCALE else stage(spark, k)
+        if k == BASE_SCALE:
+            sf_dir = f"{OUT}/x{k}"
+            if not os.path.exists(f"{sf_dir}/_DONE"):
+                raise SystemExit(f"{sf_dir} not staged; run scale_stress first")
+        else:
+            sf_dir = stage(spark, k)
         con = duck_views(sf_dir)
         for key in KEYS:
             fn = reg[key]
             con.execute(sqls[key]).fetchall()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dtimes, stimes = [], []
-            for rnd in range(3):
-                def time_duck() -> None:
-                    t0 = time.perf_counter()
-                    con.execute(sqls[key]).fetchall()
-                    dtimes.append(time.perf_counter() - t0)
-
-                def time_spark() -> None:
-                    t0 = time.perf_counter()
-                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                    stimes.append(time.perf_counter() - t0)
-
-                first, second = (time_duck, time_spark) if rnd % 2 == 0 else (
-                    time_spark, time_duck)
-                first()
-                second()
-            paired = [round(s / d, 2) for s, d in zip(stimes, dtimes)]
-            rec = {
-                "duckdb_median3": round(statistics.median(dtimes), 3),
-                "spark_median3": round(statistics.median(stimes), 3),
-                "paired_ratios": paired,
-                "paired_ratio_median": round(sorted(paired)[1], 2),
-                "within_session_spread": {
-                    "duckdb_maxmin": round(max(dtimes) / min(dtimes), 2),
-                    "spark_maxmin": round(max(stimes) / min(stimes), 2),
-                },
-            }
+            # shared paired protocol (scripts/_ab_common.py)
+            rec = paired_rounds(
+                lambda: con.execute(sqls[key]).fetchall(),
+                lambda: fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
             results.setdefault(f"x{k}", {})[key] = rec
             print(
                 f"x{k} {key}: duckdb={rec['duckdb_median3']}s "
                 f"spark={rec['spark_median3']}s "
-                f"paired_median={rec['paired_ratio_median']}x paired={paired}",
+                f"paired_median={rec['paired_ratio_median']}x "
+                f"paired={rec['paired_ratios']}",
                 flush=True,
             )
         con.close()

@@ -35,18 +35,23 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from scripts._ab_common import paired_rounds
+
 OUT = "/tmp/hja_scale"
 
 # (key, duckdb sql) — oracle texts for the registered keys, the bench
 # twin's SQL for events_hourly. Resolved lazily for registry keys.
+# Fairness note (r12 self-review): the Spark twin uses epoch arithmetic
+# (its faster form; date_trunc pays a zone conversion per row in Spark),
+# while this SQL keeps date_trunc — measured to be DUCKDB's faster form
+# (0.94 s vs 1.00 s for epoch-arith at x4096), so each engine runs its
+# best formulation and the ratio is engine-vs-engine, not query-text.
 EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS ts_hour, event_type,
        COUNT(*) AS n_events, SUM(value) AS sum_value
@@ -123,43 +128,16 @@ def main() -> None:
             # warm both engines once, back to back
             con.execute(sqls[key]).fetchall()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            # paired alternation: each round measures both engines
-            # seconds apart, yielding one paired ratio per round.
-            # Engine ORDER alternates across rounds (r11 ADVICE): a fixed
-            # DuckDB-first order would land any systematic carryover
-            # (page-cache refresh, CPU ramp, GC settling from the prior
-            # engine's run) on the same engine in all 3 ratios; swapping
-            # per round makes ordering effects cancel in the median.
-            dtimes, stimes = [], []
-            for rnd in range(3):
-                def time_duck() -> None:
-                    t0 = time.perf_counter()
-                    con.execute(sqls[key]).fetchall()
-                    dtimes.append(time.perf_counter() - t0)
-
-                def time_spark() -> None:
-                    t0 = time.perf_counter()
-                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                    stimes.append(time.perf_counter() - t0)
-
-                first, second = (time_duck, time_spark) if rnd % 2 == 0 else (
-                    time_spark, time_duck)
-                first()
-                second()
-            paired = [round(s / d, 2) for s, d in zip(stimes, dtimes)]
-            rec = {
-                "duckdb_median3": round(statistics.median(dtimes), 3),
-                "spark_median3": round(statistics.median(stimes), 3),
-                "ratio": round(
-                    statistics.median(stimes) / statistics.median(dtimes), 2
-                ),
-                "paired_ratios": paired,
-                "paired_ratio_median": round(sorted(paired)[1], 2),
-                "within_session_spread": {
-                    "duckdb_maxmin": round(max(dtimes) / min(dtimes), 2),
-                    "spark_maxmin": round(max(stimes) / min(stimes), 2),
-                },
-            }
+            # paired alternation with per-round engine-order swap —
+            # the shared protocol implementation (scripts/_ab_common.py)
+            rec = paired_rounds(
+                lambda: con.execute(sqls[key]).fetchall(),
+                lambda: fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+            paired = rec["paired_ratios"]
             results.setdefault(f"x{k}", {})[key] = rec
             print(f"x{k} {key}: duckdb={rec['duckdb_median3']}s "
                   f"spark={rec['spark_median3']}s ratio={rec['ratio']}x "

@@ -387,10 +387,17 @@ def test_socket_sink_carbon_lines_over_loopback(spark, sf_dir):
     stop = threading.Event()
 
     def serve() -> None:
-        while not stop.is_set():
+        # drain-then-exit (r12 self-review): only stop once accept times
+        # out with the stop flag set, so a connection still sitting in
+        # the listen backlog when the driver reaches `finally` (one per
+        # non-empty partition — count depends on AQE) is served, not
+        # dropped.
+        while True:
             try:
                 conn, _ = srv.accept()
             except socket.timeout:
+                if stop.is_set():
+                    break
                 continue
             with conn:
                 chunks = []
@@ -630,10 +637,17 @@ def test_carbon_target_flag_ships_report_lines_over_loopback(spark, sf_dir, monk
     stop = threading.Event()
 
     def serve() -> None:
-        while not stop.is_set():
+        # drain-then-exit (r12 self-review): only stop once accept times
+        # out with the stop flag set, so a connection still sitting in
+        # the listen backlog when the driver reaches `finally` (one per
+        # non-empty partition — count depends on AQE) is served, not
+        # dropped.
+        while True:
             try:
                 conn, _ = srv.accept()
             except socket.timeout:
+                if stop.is_set():
+                    break
                 continue
             with conn:
                 chunks = []
@@ -832,15 +846,16 @@ def test_midbacklog_stop_custom_sessionize(spark, sf_dir, tmp_path):
     assert len(ra) > 0
 
 
-def test_line_sender_chunks_large_partitions():
+def test_line_sender_chunks_large_partitions(monkeypatch):
     """_line_sender (r11 ADVICE fix) must stream a partition in bounded
     chunks rather than one payload string: drive it directly with
-    3 × _SOCKET_CHUNK_ROWS + 7 rows against a loopback listener and
-    assert every line arrives exactly once, newline-terminated, and the
-    data arrived in >1 sendall (the listener sees multiple recv chunks
-    whose cumulative size matches; one giant sendall of this payload
-    would exceed the per-send chunk bound). Empty partitions must not
-    open a connection."""
+    3 × _SOCKET_CHUNK_ROWS + 7 rows against a loopback listener.
+    Asserts every line arrives exactly once, newline-terminated, AND —
+    via a counting wrapper around socket.create_connection — that the
+    payload left in exactly ceil(n / chunk) = 4 sendall calls (reverting
+    to the old one-giant-payload sendall fails this count, which is the
+    bounded-executor-memory contract the test exists to pin). Empty
+    partitions must not open a connection."""
     import socket
     import threading
     from types import SimpleNamespace
@@ -848,6 +863,26 @@ def test_line_sender_chunks_large_partitions():
     from hadoop_job_analyzer_spark.streaming.streams import (
         _SOCKET_CHUNK_ROWS,
         _line_sender,
+    )
+
+    sendall_count = [0]
+    real_create = socket.create_connection
+
+    class _CountingSock:
+        def __init__(self, s):
+            self._s = s
+
+        def sendall(self, b):
+            sendall_count[0] += 1
+            return self._s.sendall(b)
+
+        def close(self):
+            return self._s.close()
+
+    monkeypatch.setattr(
+        socket,
+        "create_connection",
+        lambda *a, **k: _CountingSock(real_create(*a, **k)),
     )
 
     n = 3 * _SOCKET_CHUNK_ROWS + 7
@@ -859,10 +894,17 @@ def test_line_sender_chunks_large_partitions():
     stop = threading.Event()
 
     def serve() -> None:
-        while not stop.is_set():
+        # drain-then-exit (r12 self-review): only stop once accept times
+        # out with the stop flag set, so a connection still sitting in
+        # the listen backlog when the driver reaches `finally` (one per
+        # non-empty partition — count depends on AQE) is served, not
+        # dropped.
+        while True:
             try:
                 conn, _ = srv.accept()
             except socket.timeout:
+                if stop.is_set():
+                    break
                 continue
             conn_count[0] += 1
             with conn:
@@ -892,6 +934,9 @@ def test_line_sender_chunks_large_partitions():
     assert len(lines) == n
     assert lines[0] == "m.path 0 1700000000" and lines[-1] == f"m.path {n-1} 1700000000"
     assert conn_count[0] == 1, "empty partition must not open a second connection"
+    assert sendall_count[0] == 4, (
+        f"expected 3 full chunks + 1 remainder, saw {sendall_count[0]} sendalls"
+    )
 
 
 def test_carbon_target_malformed_fails_loudly(spark, sf_dir, monkeypatch):
