@@ -7,8 +7,17 @@ on odd rounds (r11 ADVICE — a fixed order lands any systematic
 carryover on the same engine in every ratio), each round yielding a
 paired ratio s_i/d_i measured seconds apart so the cross-session
 DuckDB denominator swing cannot enter a ratio. Emits the medians, the
-paired ratios, and a within-session max/min spread per engine — a
+paired ratios, the RAW per-round times with each round's engine order
+(r12 redraw lesson: medians alone cannot decompose an ordering effect
+after the fact), and a within-session max/min spread per engine — a
 paired ratio is only as trustworthy as its spread is tight.
+
+Warm-up lives here too, and defaults to TWO runs per engine: the r12
+join_star adjudication (verification/r12_same_scale_ab_redraw.json)
+measured DuckDB's first post-warm run still 1.4-2x above its
+steady state on GB-scale inputs — one warm run under-warms its buffer
+state, and an under-warmed first round lands asymmetrically on
+whichever engine runs first.
 """
 
 from __future__ import annotations
@@ -22,9 +31,14 @@ def paired_rounds(
     run_duck: Callable[[], None],
     run_spark: Callable[[], None],
     rounds: int = 3,
+    warm_runs: int = 2,
 ) -> dict:
+    for _ in range(warm_runs):
+        run_duck()
+        run_spark()
     dtimes: list[float] = []
     stimes: list[float] = []
+    order: list[str] = []
     for rnd in range(rounds):
         def time_duck() -> None:
             t0 = time.perf_counter()
@@ -38,6 +52,7 @@ def paired_rounds(
 
         first, second = (time_duck, time_spark) if rnd % 2 == 0 else (
             time_spark, time_duck)
+        order.append("duck_first" if rnd % 2 == 0 else "spark_first")
         first()
         second()
     paired = [round(s / d, 2) for s, d in zip(stimes, dtimes)]
@@ -47,6 +62,10 @@ def paired_rounds(
         "ratio": round(statistics.median(stimes) / statistics.median(dtimes), 2),
         "paired_ratios": paired,
         "paired_ratio_median": round(sorted(paired)[len(paired) // 2], 2),
+        "duckdb_times": [round(t, 3) for t in dtimes],
+        "spark_times": [round(t, 3) for t in stimes],
+        "round_order": order,
+        "warm_runs": warm_runs,
         "within_session_spread": {
             "duckdb_maxmin": round(max(dtimes) / min(dtimes), 2),
             "spark_maxmin": round(max(stimes) / min(stimes), 2),

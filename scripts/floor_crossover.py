@@ -131,9 +131,8 @@ def main() -> None:
         con = duck_views(sf_dir)
         for key in KEYS:
             fn = reg[key]
-            con.execute(sqls[key]).fetchall()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            # shared paired protocol (scripts/_ab_common.py)
+            # shared paired protocol (scripts/_ab_common.py) — owns the
+            # warm-up (2 runs/engine since r12)
             rec = paired_rounds(
                 lambda: con.execute(sqls[key]).fetchall(),
                 lambda: fn(spark, sf_dir)

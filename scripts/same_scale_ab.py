@@ -14,17 +14,21 @@ Protocol, symmetric by construction:
   from OS page cache after one warm pass),
 - no Spark table caching (the scale_stress protocol, NOT bench.py's
   cached-tables protocol),
-- one warm run per engine, then PAIRED ALTERNATION (VERDICT r10 task
-  #7): 3 rounds of (one DuckDB run, one Spark run) per query — engine
-  order SWAPPED on odd rounds (r11 ADVICE) so a fixed ordering effect
-  cancels across the 3 ratios — each round yielding a paired ratio
-  s_i/d_i measured seconds apart, so the
+- TWO warm runs per engine (since r12 close: the join_star
+  adjudication measured one warm run under-warming DuckDB's buffer
+  state 1.4-2× on GB-scale inputs), then PAIRED ALTERNATION (VERDICT
+  r10 task #7): 3 rounds of (one DuckDB run, one Spark run) per query
+  — engine order SWAPPED on odd rounds (r11 ADVICE) so a fixed
+  ordering effect cancels across the 3 ratios — each round yielding a
+  paired ratio s_i/d_i measured seconds apart, so the
   cross-session DuckDB denominator swing (up to 2.3× between sessions,
   verification/r10_headline5_band.json) can no longer enter a ratio.
-  Emitted per query: the 3 paired ratios, their median, and a
-  within-session variance figure for each engine (max/min across the 3
-  rounds) — a paired ratio is only as trustworthy as its within-session
-  spread is tight.
+  Emitted per query: the 3 paired ratios, their median, the raw
+  per-round times with each round's engine order (so an ordering
+  effect can be decomposed after the fact), and a within-session
+  variance figure for each engine (max/min across the 3 rounds) — a
+  paired ratio is only as trustworthy as its within-session spread is
+  tight.
 - Spark executes to the noop sink; DuckDB fetches the (small) result.
 
 Usage: python scripts/same_scale_ab.py [--scales 64,256]
@@ -125,11 +129,10 @@ def main() -> None:
         con = duck_views(sf_dir)
         for key in KEYS + EXTRA_KEYS:
             fn = reg[key]
-            # warm both engines once, back to back
-            con.execute(sqls[key]).fetchall()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             # paired alternation with per-round engine-order swap —
             # the shared protocol implementation (scripts/_ab_common.py)
+            # owns the warm-up too (2 runs/engine since r12: one warm
+            # run measurably under-warms DuckDB on GB-scale inputs)
             rec = paired_rounds(
                 lambda: con.execute(sqls[key]).fetchall(),
                 lambda: fn(spark, sf_dir)
