@@ -245,6 +245,8 @@ def test_bench_probe_contamination_rule():
     clean = bench._probe_contamination(0.120, 0.060)
     assert clean["load_contaminated"] is False
     assert clean["inflated_positions"] == []
+    assert clean["elevated_positions"] == []
+    assert clean["cold_box_suspect"] is False
     # a start like r10's in-driver 0.25-class inflation must be flagged
     dirty_start = bench._probe_contamination(0.24, 0.060)
     assert dirty_start["load_contaminated"] is True
@@ -252,7 +254,16 @@ def test_bench_probe_contamination_rule():
     dirty_end = bench._probe_contamination(0.120, 0.15)
     assert dirty_end["load_contaminated"] is True
     assert dirty_end["inflated_positions"] == ["end"]
-    # just under the 1.5× line on both → clean (rule is ≥)
+    # just under the 1.5× line on both → not contaminated, but labeled
+    # cold-box-suspect (r12: post-reboot draws live in exactly this gap)
     edge = bench._probe_contamination(0.154 * 1.5 - 1e-6, 0.067 * 1.5 - 1e-6)
     assert edge["load_contaminated"] is False
+    assert edge["cold_box_suspect"] is True
+    assert sorted(edge["elevated_positions"]) == ["end", "start"]
+    # the r12 post-reboot anchor-4 shape: start elevated, end elevated
+    cold = bench._probe_contamination(0.1714, 0.0875)
+    assert cold["load_contaminated"] is False
+    assert cold["cold_box_suspect"] is True
+    # fully-contaminated runs are NOT cold-box-suspect (stronger label wins)
+    assert dirty_start["cold_box_suspect"] is False
     assert clean["probe_band"] == {"start": [0.126, 0.154], "end": [0.052, 0.067]}
