@@ -208,11 +208,15 @@ def _probe_contamination(probe_start: float, probe_end: float) -> dict:
         k: p >= PROBE_BAND[k][1] * PROBE_INFLATION_FACTOR
         for k, p in probes.items()
     }
+    # Strict `<` on the ceiling (ADVICE r12): the band is documented
+    # inclusive ("draws graze the 0.154 ceiling from below"), so a probe
+    # exactly AT the ceiling is clean; the elevated window is strictly
+    # between ceiling and trigger, matching BASELINE.md's wording.
     elevated = {
-        k: (PROBE_BAND[k][1] <= p < PROBE_BAND[k][1] * PROBE_INFLATION_FACTOR)
+        k: (PROBE_BAND[k][1] < p < PROBE_BAND[k][1] * PROBE_INFLATION_FACTOR)
         for k, p in probes.items()
     }
-    return {
+    out = {
         "load_contaminated": verdicts["start"] or verdicts["end"],
         "probe_band": {k: list(v) for k, v in PROBE_BAND.items()},
         "probe_inflation_factor": PROBE_INFLATION_FACTOR,
@@ -221,6 +225,18 @@ def _probe_contamination(probe_start: float, probe_end: float) -> dict:
         "cold_box_suspect": (elevated["start"] or elevated["end"])
         and not (verdicts["start"] or verdicts["end"]),
     }
+    if out["cold_box_suspect"]:
+        # ADVICE r12: the label's evidence (probe between ceiling and
+        # trigger) cannot distinguish a cooling box from clean-band
+        # drift (r12 close anchors fired it on a warm box whose start
+        # band had drifted). Say so IN the record so a reader doesn't
+        # need BASELINE.md open to avoid the misread.
+        out["cold_box_note"] = (
+            "probe between band ceiling and 1.5x trigger; consistent with "
+            "a cold/cooling box OR clean-band drift (r12 bisect) — "
+            "adjudicate against a later in-band draw, not as a regression"
+        )
+    return out
 
 
 def _calibration_probe(spark: SparkSession) -> float:

@@ -714,43 +714,105 @@ _R12_WINDOW = (
     "win_survival_gap_curve",  # last driver hash r7
 )
 
-# _R13_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
-# the sample is predictable, not curated): once CORRECTNESS_r12 lands on
-# _R12_WINDOW, the stalest 50 are the 49 remaining r7-hashed keys (led
-# by `sample_weighted_es`, the r12 rule-2 displacee) plus the stalest
-# r8-hashed key, in raw registration order — derived mechanically by
-# simulating the r12 landing over CORRECTNESS_r01-r11 + _R12_WINDOW
-# (re-derive with `python scripts/hash_ledger.py --window` once
-# CORRECTNESS_r12.json exists; tie-break = _QUERIES insertion order as
-# always):
-#   sample_weighted_es, sketch_bloom_membership,
-#   sketch_histogram_quantile, sketch_heavy_hitters,
-#   sketch_ams_selfjoin_size, mm_decode_meta, mm_frame_sample,
-#   mm_audio_features, mm_image_resize, mm_modality_mix_report,
-#   set_union_all, set_union_distinct, set_intersect, set_except,
-#   merge_scd2, set_except_all, set_intersect_all, set_symmetric_diff,
-#   set_union_byname_evolution, join_scd2_pointintime, sort_multi_null,
-#   limit_topk_global, distinct_values, sort_pagination_page2,
-#   sink_jsonl_roundtrip, scan_partition_pruned_read, sink_metrics_lines,
-#   ops_job_summary_report, scan_csv_malformed_permissive,
-#   scan_parquet_metadata, join_q19_disjunctive,
-#   join_q21_sole_failing_supplier, agg_percentile_exact,
-#   agg_pivot_wide, agg_unpivot_melt, agg_bool_count_if,
-#   agg_string_concat_ordered, agg_regr_slope_grouped, agg_bitmap_types,
-#   agg_gini_user_activity, agg_mode_exact, agg_moments_skew,
-#   agg_percentile_approx_verdict, agg_psi_drift, agg_ks_binned_drift,
-#   agg_winsorized_mean, win_new_vs_returning, ts_burstiness_fano,
-#   win_session_funnel, win_topk_per_group
-# (after which nothing is older than r8 — the freshness bound VERDICT
-# r11 task #7 asks for. Rule 2 still displaces tail entries for any key
-# added/reshaped in round 13 itself.)
+# _R13_WINDOW — ACTIVE (rotation executed in round 13). Exactly the
+# pre-committed list (policy rule 4): once CORRECTNESS_r12 landed 50/50
+# on _R12_WINDOW, the stalest 50 are the 49 remaining r7-hashed keys
+# (led by `sample_weighted_es`, the r12 rule-2 displacee) plus the
+# stalest r8-hashed key, in raw registration order. Re-derived
+# mechanically at round-13 open with `python scripts/hash_ledger.py
+# --window` over CORRECTNESS_r01-r12 — the derivation reproduced the
+# round-12 pre-commit VERBATIM (zero adjustments; no key was reshaped
+# at round open, so there is no rule-2 head). After CORRECTNESS_r13
+# lands 50/50 on this window, nothing is older than r8 — the freshness
+# bound VERDICT r11 task #7 asks for. Rule 2 still displaces tail
+# entries for any key added/reshaped in round 13 itself.
+_R13_WINDOW = (
+    "sample_weighted_es",  # last driver hash r7
+    "sketch_bloom_membership",  # r7
+    "sketch_histogram_quantile",  # r7
+    "sketch_heavy_hitters",  # r7
+    "sketch_ams_selfjoin_size",  # r7
+    "mm_decode_meta",  # r7
+    "mm_frame_sample",  # r7
+    "mm_audio_features",  # r7
+    "mm_image_resize",  # r7
+    "mm_modality_mix_report",  # r7
+    "set_union_all",  # r7
+    "set_union_distinct",  # r7
+    "set_intersect",  # r7
+    "set_except",  # r7
+    "merge_scd2",  # r7
+    "set_except_all",  # r7
+    "set_intersect_all",  # r7
+    "set_symmetric_diff",  # r7
+    "set_union_byname_evolution",  # r7
+    "join_scd2_pointintime",  # r7
+    "sort_multi_null",  # r7
+    "limit_topk_global",  # r7
+    "distinct_values",  # r7
+    "sort_pagination_page2",  # r7
+    "sink_jsonl_roundtrip",  # r7
+    "scan_partition_pruned_read",  # r7
+    "sink_metrics_lines",  # r7
+    "ops_job_summary_report",  # r7
+    "scan_csv_malformed_permissive",  # r7
+    "scan_parquet_metadata",  # r7
+    "join_q19_disjunctive",  # r7
+    "join_q21_sole_failing_supplier",  # r7
+    "agg_percentile_exact",  # r7
+    "agg_pivot_wide",  # r7
+    "agg_unpivot_melt",  # r7
+    "agg_bool_count_if",  # r7
+    "agg_string_concat_ordered",  # r7
+    "agg_regr_slope_grouped",  # r7
+    "agg_bitmap_types",  # r7
+    "agg_gini_user_activity",  # r7
+    "agg_mode_exact",  # r7
+    "agg_moments_skew",  # r7
+    "agg_percentile_approx_verdict",  # r7
+    "agg_psi_drift",  # r7
+    "agg_ks_binned_drift",  # r7
+    "agg_winsorized_mean",  # r7
+    "win_new_vs_returning",  # r7
+    "ts_burstiness_fano",  # r7
+    "win_session_funnel",  # r7
+    "win_topk_per_group",  # last driver hash r8
+)
+
+# _R14_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
+# the sample is predictable, not curated): once CORRECTNESS_r13 lands
+# 50/50 on _R13_WINDOW, every key's latest hash is r8+ and the stalest
+# 50 are the remaining 46 r8-hashed keys plus the 4 stalest r9-hashed
+# keys, in raw registration order — derived mechanically by simulating
+# the r13 landing over CORRECTNESS_r01-r12 + _R13_WINDOW (re-derive
+# with `python scripts/hash_ledger.py --window` once CORRECTNESS_r13
+# exists; tie-break = _QUERIES insertion order as always):
+#   win_rank_dense, win_lag_lead, win_running_sum, win_moving_avg,
+#   win_range_frame, win_sessionize_salted,
+#   agg_session_bounce_rate_salted, dedup_near_minhash_full,
+#   dedup_components_full, emb_mrl_truncate_recall, dedup_containment,
+#   graph_degree_stats, emb_pq_quantize, graph_triangle_count,
+#   dedup_source_matrix, emb_ivf_build_stats, sim_knn_join_bucketed,
+#   emb_kmeans_iterative, sim_range_search, emb_outlier_mahalanobis,
+#   decon_embedding, emb_binary_quantize, sim_rerank_two_stage,
+#   dedup_keeper_quality, text_edit_distance_join, text_langid,
+#   text_quality, text_token_stats, text_lm_unigram_score,
+#   text_token_entropy, text_zipf_fit, text_hapax_ratio,
+#   text_compression_ratio, text_pii_scrub, text_repetition_score,
+#   corpus_epoch_plan, ops_stream_session_report,
+#   filter_blocklist_regex, join_bloom_prejoin, join_range_bucketed,
+#   join_q4_priority_semi, join_q18_large_orders, agg_dow_hour_heatmap,
+#   agg_multi_distinct, text_dup_gram_mass, win_percent_rank_global,
+#   scan_parquet, scan_parquet_nanos, scan_column_prune, scan_csv_schema
+# (after which nothing is older than r9). Rule 2 still displaces tail
+# entries for any key added/reshaped in round 14 itself.
 
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R12_WINDOW if k in d}
+    head = {k: d[k] for k in _R13_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

@@ -61,7 +61,10 @@ def paired_rounds(
         "spark_median3": round(statistics.median(stimes), 3),
         "ratio": round(statistics.median(stimes) / statistics.median(dtimes), 2),
         "paired_ratios": paired,
-        "paired_ratio_median": round(sorted(paired)[len(paired) // 2], 2),
+        # statistics.median, not sorted()[n//2] (ADVICE r12): for even
+        # round counts the latter is the upper-middle element, biasing
+        # the headline ratio high or low by half a gap.
+        "paired_ratio_median": round(statistics.median(paired), 2),
         "duckdb_times": [round(t, 3) for t in dtimes],
         "spark_times": [round(t, 3) for t in stimes],
         "round_order": order,
@@ -71,3 +74,64 @@ def paired_rounds(
             "spark_maxmin": round(max(stimes) / min(stimes), 2),
         },
     }
+
+
+def solo_blocks(
+    run_duck: Callable[[], None],
+    run_spark: Callable[[], None],
+    rounds: int = 3,
+    warm_runs: int = 2,
+) -> dict:
+    """Solo-block medians (VERDICT r12 task #2, automating the r12
+    adjudication protocol): each engine measured in an UNINTERRUPTED
+    block of consecutive runs, DuckDB's block first, so the measured
+    ~1.7x Spark-to-DuckDB within-session carryover
+    (verification/r12_heavy3_protocol_adjudication.json) cannot inflate
+    a DuckDB denominator — every measured DuckDB run follows only other
+    DuckDB runs. Each block opens with its own warm runs, which also
+    absorb any residue of whatever ran before the block started.
+
+    This is the companion to paired_rounds, not a replacement: paired
+    ratios cancel cross-session drift, solo blocks cancel within-session
+    carryover. Where the two disagree on a heavy row, BASELINE.md's
+    quoting rule takes the number LESS favorable to this engine
+    (quoted_ratio in same_scale_ab.py)."""
+
+    def block(run: Callable[[], None]) -> list[float]:
+        for _ in range(warm_runs):
+            run()
+        times: list[float] = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        return times
+
+    dtimes = block(run_duck)
+    stimes = block(run_spark)
+    dmed = statistics.median(dtimes)
+    smed = statistics.median(stimes)
+    return {
+        "duckdb_solo_median": round(dmed, 3),
+        "spark_solo_median": round(smed, 3),
+        "solo_ratio": round(smed / dmed, 2),
+        "duckdb_solo_times": [round(t, 3) for t in dtimes],
+        "spark_solo_times": [round(t, 3) for t in stimes],
+        "block_order": ["duckdb", "spark"],
+        "warm_runs": warm_runs,
+        "within_block_spread": {
+            "duckdb_maxmin": round(max(dtimes) / min(dtimes), 2),
+            "spark_maxmin": round(max(stimes) / min(stimes), 2),
+        },
+    }
+
+
+def quoted_ratio(paired_rec: dict, solo_rec: dict | None) -> tuple[float, str]:
+    """The BASELINE.md quoting rule as code: where paired and solo-block
+    protocols disagree, quote the ratio LESS favorable to this engine
+    (the larger one). Returns (ratio, which-protocol-it-came-from)."""
+    if solo_rec is None:
+        return paired_rec["paired_ratio_median"], "paired"
+    if solo_rec["solo_ratio"] > paired_rec["paired_ratio_median"]:
+        return solo_rec["solo_ratio"], "solo_block"
+    return paired_rec["paired_ratio_median"], "paired"

@@ -45,7 +45,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from scripts._ab_common import paired_rounds
+import statistics
+
+from scripts._ab_common import paired_rounds, quoted_ratio, solo_blocks
 
 OUT = "/tmp/hja_scale"
 
@@ -90,6 +92,20 @@ EXTRA_KEYS = [
     "agg_session_bounce_rate",
 ]
 
+# Quoting rule, automated (VERDICT r12 task #2): rows that ALWAYS get a
+# solo-block companion measurement — the two where the r12 adjudication
+# found paired and solo protocols disagreeing (the paired interleaving
+# lands a measured ~1.7x Spark-to-DuckDB carryover on GB-scale DuckDB
+# runs; Spark is order-insensitive) — plus, dynamically, any row whose
+# paired-protocol within-session DuckDB spread exceeds SOLO_TRIGGER_SPREAD
+# (a loose DuckDB block is exactly the carryover signature). Where the
+# two protocols disagree, `quoted_ratio` takes the number LESS favorable
+# to this engine; the basket median over those quoted numbers is emitted
+# as `quoting_rule_basket_median` so BASELINE.md quotes a computed field,
+# never a hand assembly.
+SOLO_ALWAYS = {"join_star_multiway", "agg_group_pricing"}
+SOLO_TRIGGER_SPREAD = 1.5
+
 
 def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Views over the staged dir; staged tables are DIRECTORIES of part
@@ -133,22 +149,46 @@ def main() -> None:
             # the shared protocol implementation (scripts/_ab_common.py)
             # owns the warm-up too (2 runs/engine since r12: one warm
             # run measurably under-warms DuckDB on GB-scale inputs)
-            rec = paired_rounds(
-                lambda: con.execute(sqls[key]).fetchall(),
+            run_duck = lambda: con.execute(sqls[key]).fetchall()  # noqa: E731
+            run_spark = (  # noqa: E731
                 lambda: fn(spark, sf_dir)
                 .write.format("noop")
                 .mode("overwrite")
-                .save(),
+                .save()
             )
+            rec = paired_rounds(run_duck, run_spark)
             paired = rec["paired_ratios"]
+            needs_solo = (
+                key in SOLO_ALWAYS
+                or rec["within_session_spread"]["duckdb_maxmin"]
+                > SOLO_TRIGGER_SPREAD
+            )
+            solo = solo_blocks(run_duck, run_spark) if needs_solo else None
+            if solo is not None:
+                rec["solo_block"] = solo
+            rec["quoted_ratio"], rec["quoted_from"] = quoted_ratio(rec, solo)
             results.setdefault(f"x{k}", {})[key] = rec
             print(f"x{k} {key}: duckdb={rec['duckdb_median3']}s "
                   f"spark={rec['spark_median3']}s ratio={rec['ratio']}x "
-                  f"paired={paired} spread(d)={rec['within_session_spread']['duckdb_maxmin']}",
+                  f"paired={paired} spread(d)={rec['within_session_spread']['duckdb_maxmin']}"
+                  + (f" solo={solo['solo_ratio']}x" if solo else "")
+                  + f" quoted={rec['quoted_ratio']}x({rec['quoted_from']})",
                   flush=True)
         con.close()
+    # the computed headline: quoting-rule median over the FROZEN basket
+    # only (extra keys emitted alongside but excluded, as always)
+    quoting_medians = {
+        scale: round(
+            statistics.median(res[key]["quoted_ratio"] for key in KEYS), 2
+        )
+        for scale, res in results.items()
+    }
     print(json.dumps({"metric": "same_scale_ab", "frozen_basket": KEYS,
-                      "extra_keys": EXTRA_KEYS, "results": results}))
+                      "extra_keys": EXTRA_KEYS,
+                      "solo_always": sorted(SOLO_ALWAYS),
+                      "solo_trigger_spread": SOLO_TRIGGER_SPREAD,
+                      "quoting_rule_basket_median": quoting_medians,
+                      "results": results}))
     spark.stop()
 
 

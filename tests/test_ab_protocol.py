@@ -79,5 +79,73 @@ def test_median_fields_match_raw_lists():
         statistics.median(rec["duckdb_times"]), 3)
     assert rec["spark_median3"] == round(
         statistics.median(rec["spark_times"]), 3)
-    assert rec["paired_ratio_median"] == sorted(
-        rec["paired_ratios"])[len(rec["paired_ratios"]) // 2]
+    assert rec["paired_ratio_median"] == round(
+        statistics.median(rec["paired_ratios"]), 2)
+
+
+def test_median_fields_even_round_count():
+    """ADVICE r12: for even round counts sorted()[n//2] is the
+    upper-middle element, not the median — paired_ratio_median must be
+    the true (interpolated) median for rounds=4 too."""
+    import statistics
+
+    _, duck, spark = _fake_pair()
+    rec = paired_rounds(duck, spark, rounds=4, warm_runs=0)
+    assert len(rec["paired_ratios"]) == 4
+    assert rec["paired_ratio_median"] == round(
+        statistics.median(rec["paired_ratios"]), 2)
+    assert rec["duckdb_median3"] == round(
+        statistics.median(rec["duckdb_times"]), 3)
+    assert rec["spark_median3"] == round(
+        statistics.median(rec["spark_times"]), 3)
+
+
+def test_solo_blocks_never_interleave_and_duck_block_first():
+    """VERDICT r12 task #2: the solo-block protocol exists so no measured
+    DuckDB run ever follows a Spark run — the whole point, given the
+    measured ~1.7x Spark-to-DuckDB within-session carryover."""
+    from scripts._ab_common import solo_blocks
+
+    log, duck, spark = _fake_pair()
+    rec = solo_blocks(duck, spark, rounds=3, warm_runs=2)
+    # one uninterrupted duck block (2 warm + 3 timed), then spark's
+    assert log == ["d"] * 5 + ["s"] * 5
+    assert rec["block_order"] == ["duckdb", "spark"]
+    assert len(rec["duckdb_solo_times"]) == 3
+    assert len(rec["spark_solo_times"]) == 3
+
+
+def test_solo_block_medians_and_spread_derive_from_raw_lists():
+    import statistics
+    import time
+
+    from scripts._ab_common import solo_blocks
+
+    def duck() -> None:
+        time.sleep(0.02)
+
+    def spark() -> None:
+        time.sleep(0.03)
+
+    rec = solo_blocks(duck, spark, rounds=4, warm_runs=1)
+    assert rec["duckdb_solo_median"] == round(
+        statistics.median(rec["duckdb_solo_times"]), 3)
+    assert rec["spark_solo_median"] == round(
+        statistics.median(rec["spark_solo_times"]), 3)
+    assert rec["solo_ratio"] > 1.0  # 30ms vs 20ms sleeps
+    assert rec["within_block_spread"]["duckdb_maxmin"] >= 1.0
+
+
+def test_quoted_ratio_takes_less_favorable_number():
+    """The BASELINE.md quoting rule as code: where paired and solo-block
+    disagree, quote the ratio LESS favorable to this engine (the larger
+    one); without a solo block the paired median stands."""
+    from scripts._ab_common import quoted_ratio
+
+    paired = {"paired_ratio_median": 0.38}
+    assert quoted_ratio(paired, None) == (0.38, "paired")
+    # the r12 join_star shape: paired flattered by carryover, solo honest
+    assert quoted_ratio(paired, {"solo_ratio": 1.7}) == (1.7, "solo_block")
+    # solo can also be the more favorable one; paired must then stand
+    assert quoted_ratio({"paired_ratio_median": 1.2},
+                        {"solo_ratio": 0.9}) == (1.2, "paired")

@@ -194,8 +194,9 @@ def test_r12_window_follows_rotation_policy():
     assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
     window = registry._R12_WINDOW
     assert len(window) == 50 and len(set(window)) == 50
-    first = list(registry.queries())[: len(window)]
-    assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
+    # (the leads-queries assertion moved to the r13 test below when the
+    # rotation advanced; this test keeps pinning r12's DERIVATION, which
+    # is frozen history)
     all_keys = set(registry.queries())
     assert set(last_hash) >= all_keys, (
         f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
@@ -209,6 +210,50 @@ def test_r12_window_follows_rotation_policy():
         assert key not in stalest
         stalest = stalest[:-1]  # each reshape displaces the freshest tail entry
     expected = tuple(reshaped_r12 + stalest)
+    assert window == expected, (
+        f"window is not the stalest 50 in derivation order; "
+        f"first divergence at index "
+        f"{next((i for i, (a, b) in enumerate(zip(window, expected)) if a != b), len(window))}: "
+        f"window={window[:5]}... expected={expected[:5]}..."
+    )
+
+
+def test_r13_window_follows_rotation_policy():
+    """Round-13 rotation: the active _R13_WINDOW must equal the 50 keys
+    whose most recent driver hash pass (across CORRECTNESS_r01-r12.json)
+    is oldest, ties broken by RAW registration order (_QUERIES insertion,
+    never the window-reordered queries() view — that would be circular).
+    No key was reshaped at round-13 open, so there is no rule-2 head and
+    the window is the pure stalest-50 (the 49 remaining r7-hashed keys
+    plus the stalest r8 key) — exactly the round-12 pre-commit.
+
+    Asserts the FULL ORDERED tuple (advisor r11): the driver samples
+    queries() in insertion order, so a silently reordered window would
+    change which keys face the gate first even with the set unchanged.
+    The window must also LEAD queries()."""
+    from hadoop_job_analyzer_spark import registry
+
+    last_hash: dict[str, int] = {}
+    for rnd in range(1, 13):
+        path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
+        if not path.exists():
+            continue
+        for key, rec in json.loads(path.read_text()).items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                last_hash[key] = rnd
+    assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
+    window = registry._R13_WINDOW
+    assert len(window) == 50 and len(set(window)) == 50
+    first = list(registry.queries())[: len(window)]
+    assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
+    all_keys = set(registry.queries())
+    assert set(last_hash) >= all_keys, (
+        f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
+    )
+    registry._load_all()
+    reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
+    by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
+    expected = tuple(by_age[:50])
     assert window == expected, (
         f"window is not the stalest 50 in derivation order; "
         f"first divergence at index "
@@ -253,7 +298,7 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    win = registry._R12_WINDOW
+    win = registry._R13_WINDOW
     assert tuple(qkeys[: len(win)]) == win
     okeys = [k for k in registry.oracle_sql() if k in set(win)]
     assert okeys == [k for k in win if k in set(okeys)]

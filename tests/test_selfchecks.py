@@ -264,6 +264,16 @@ def test_bench_probe_contamination_rule():
     cold = bench._probe_contamination(0.1714, 0.0875)
     assert cold["load_contaminated"] is False
     assert cold["cold_box_suspect"] is True
+    # ADVICE r12: a cold-box record must carry its caveat inline — the
+    # label also fires on clean-band drift, and the note says so
+    assert "band drift" in cold["cold_box_note"]
+    assert "cold_box_note" not in clean
     # fully-contaminated runs are NOT cold-box-suspect (stronger label wins)
     assert dirty_start["cold_box_suspect"] is False
+    # ADVICE r12: a probe exactly AT the band ceiling is in-band
+    # ("draws graze the ceiling from below") — strictly-between window
+    at_ceiling = bench._probe_contamination(0.154, 0.067)
+    assert at_ceiling["load_contaminated"] is False
+    assert at_ceiling["elevated_positions"] == []
+    assert at_ceiling["cold_box_suspect"] is False
     assert clean["probe_band"] == {"start": [0.126, 0.154], "end": [0.052, 0.067]}
