@@ -190,8 +190,43 @@ CONSTRUCTION_TIMED = {
 # growth + JIT profile drift); ends 0.054-0.067 across the three clean
 # draws (anchor 1's 0.174 end was itself flagged — transient load).
 # Moved per the BASELINE.md two-file protocol.
-PROBE_BAND = {"start": (0.126, 0.154), "end": (0.052, 0.067)}
+# r13 re-anchor (two-file move per the BASELINE.md protocol; evidence
+# verification/r13_bench_anchor_{1..14}.json + steal trace): 14 solo
+# draws on 2026-08-16 never produced an end probe inside the r11 band
+# (min 0.0767 across all draws, including the two whose BASKET landed
+# in the frozen clean band at 11.11/11.58 s), and in-band baskets
+# occurred with starts up to 0.1715 — the warm floor rose ~1.3x while
+# DuckDB on the same box got FASTER than its frozen baseline, so the
+# drift is JVM/scheduler-floor, not box speed (guest steal <=1.4%
+# throughout). Ceilings re-pinned to the max probe observed across the
+# basket-in-band draws (6/7/8: starts 0.1404-0.1715, ends
+# 0.0767-0.0855); floors kept (a faster-than-band probe is not a
+# contamination signal). The basket self-label below closes the
+# false-clean gap a wider probe band opens.
+PROBE_BAND = {"start": (0.126, 0.172), "end": (0.052, 0.086)}
 PROBE_INFLATION_FACTOR = 1.5
+
+# The frozen sf0.1 solo clean band for COMPARABLE_BASKET (BASELINE.md,
+# constant since r9; re-attained on 2026-08-16 draws 7/8 at 11.58/11.11
+# after a 7-draw warm-up). Emitted as a direct self-label so a record
+# whose probes slip through the (necessarily loose) probe band cannot
+# read as clean while its basket sits above the band — the basket IS
+# the quantity the rounds trend, so it gets its own verdict.
+BASKET_CLEAN_BAND = (10.5, 11.6)
+
+
+def _basket_verdict(basket_wall: float) -> dict:
+    """Label the basket wall against the frozen sf0.1 clean band.
+    `above_band` on a record whose probes read clean means mid-suite
+    load the endpoint probes missed (r13 anchors 6/9/11: load arrives
+    on a minutes timescale) — adjudicate against solo anchors, don't
+    read per-query deltas as regressions. Only meaningful at sf0.1 on
+    the standard box; other SFs emit no verdict."""
+    lo, hi = BASKET_CLEAN_BAND
+    verdict = "in_band" if basket_wall <= hi else "above_band"
+    if basket_wall < lo:
+        verdict = "below_band"
+    return {"basket_clean_band": [lo, hi], "basket_vs_band": verdict}
 
 
 def _probe_contamination(probe_start: float, probe_end: float) -> dict:
@@ -337,6 +372,13 @@ def main() -> None:
                     "end": probe_end,
                     **_probe_contamination(probe_start, probe_end),
                 },
+                **(
+                    _basket_verdict(
+                        round(sum(per_query[k] for k in COMPARABLE_BASKET), 4)
+                    )
+                    if sf == 0.1
+                    else {}
+                ),
             }
         )
     )

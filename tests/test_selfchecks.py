@@ -239,16 +239,22 @@ def test_bench_probe_contamination_rule():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 
-    assert bench.PROBE_BAND == {"start": (0.126, 0.154), "end": (0.052, 0.067)}
+    # r13 re-anchor (verification/r13_bench_anchor_{1..14}.json): ends
+    # never re-entered the r11 band across 14 draws while the basket
+    # re-attained its frozen clean band — ceilings moved to the max
+    # probes of the basket-in-band draws; the two-file protocol means
+    # changing these literals REQUIRES the matching BASELINE.md edit.
+    assert bench.PROBE_BAND == {"start": (0.126, 0.172), "end": (0.052, 0.086)}
     assert bench.PROBE_INFLATION_FACTOR == 1.5
+    assert bench.BASKET_CLEAN_BAND == (10.5, 11.6)
 
     clean = bench._probe_contamination(0.120, 0.060)
     assert clean["load_contaminated"] is False
     assert clean["inflated_positions"] == []
     assert clean["elevated_positions"] == []
     assert clean["cold_box_suspect"] is False
-    # a start like r10's in-driver 0.25-class inflation must be flagged
-    dirty_start = bench._probe_contamination(0.24, 0.060)
+    # a start like r13 anchor 1's 0.26-class inflation must be flagged
+    dirty_start = bench._probe_contamination(0.27, 0.060)
     assert dirty_start["load_contaminated"] is True
     assert dirty_start["inflated_positions"] == ["start"]
     dirty_end = bench._probe_contamination(0.120, 0.15)
@@ -256,7 +262,7 @@ def test_bench_probe_contamination_rule():
     assert dirty_end["inflated_positions"] == ["end"]
     # just under the 1.5× line on both → not contaminated, but labeled
     # cold-box-suspect (r12: post-reboot draws live in exactly this gap)
-    edge = bench._probe_contamination(0.154 * 1.5 - 1e-6, 0.067 * 1.5 - 1e-6)
+    edge = bench._probe_contamination(0.172 * 1.5 - 1e-6, 0.086 * 1.5 - 1e-6)
     assert edge["load_contaminated"] is False
     assert edge["cold_box_suspect"] is True
     assert sorted(edge["elevated_positions"]) == ["end", "start"]
@@ -272,8 +278,16 @@ def test_bench_probe_contamination_rule():
     assert dirty_start["cold_box_suspect"] is False
     # ADVICE r12: a probe exactly AT the band ceiling is in-band
     # ("draws graze the ceiling from below") — strictly-between window
-    at_ceiling = bench._probe_contamination(0.154, 0.067)
+    at_ceiling = bench._probe_contamination(0.172, 0.086)
     assert at_ceiling["load_contaminated"] is False
     assert at_ceiling["elevated_positions"] == []
     assert at_ceiling["cold_box_suspect"] is False
-    assert clean["probe_band"] == {"start": [0.126, 0.154], "end": [0.052, 0.067]}
+    # basket self-label (r13): the false-clean guard — a record whose
+    # probes slip through the band but whose basket sits above the
+    # frozen clean band says so itself
+    assert bench._basket_verdict(11.11)["basket_vs_band"] == "in_band"
+    assert bench._basket_verdict(11.6)["basket_vs_band"] == "in_band"
+    assert bench._basket_verdict(12.12)["basket_vs_band"] == "above_band"
+    assert bench._basket_verdict(9.8)["basket_vs_band"] == "below_band"
+    assert bench._basket_verdict(11.0)["basket_clean_band"] == [10.5, 11.6]
+    assert clean["probe_band"] == {"start": [0.126, 0.172], "end": [0.052, 0.086]}
