@@ -62,19 +62,30 @@ FROM events GROUP BY 1, 2
 KEYS = ["dedup_exact", "events_hourly", "text_wordcount"]
 
 
-def stage(spark, k: int) -> str:
-    """Key-shift q = k/BASE_SCALE copies of the x256 documents/events."""
+def stage(spark, k: int, tables: tuple[str, ...] = FLOOR_TABLES) -> str:
+    """Key-shift q = k/BASE_SCALE copies of the x256 documents/events.
+
+    `tables` narrows the staging to what the requested keys actually
+    read (r13: the x16384 events-only point stages ~26 GB of events
+    without the ~9 GB of documents no query would touch). A dir staged
+    with a subset marks _DONE_{table} per table, so a later fuller run
+    can top it up."""
     src = f"{OUT}/x{BASE_SCALE}"
     if not os.path.exists(f"{src}/_DONE"):
         raise SystemExit(f"{src} not staged; run scale_stress first")
     out_dir = f"{OUT}/floor_x{k}"
-    if os.path.exists(f"{out_dir}/_DONE"):
+    todo = tuple(
+        t for t in tables
+        if not os.path.exists(f"{out_dir}/_DONE")
+        and not os.path.exists(f"{out_dir}/_DONE_{t}")
+    )
+    if not todo:
         return out_dir
     assert k % BASE_SCALE == 0, "floor scales must be multiples of the base"
     q = k // BASE_SCALE
     os.makedirs(out_dir, exist_ok=True)
     shift_key = {"documents": "doc_id", "events": "event_id"}
-    for t in FLOOR_TABLES:
+    for t in todo:
         raw = spark.read.parquet(f"{src}/{t}.parquet")
         key = shift_key[t]
         max_key = raw.agg(F.max(key)).collect()[0][0]
@@ -88,7 +99,9 @@ def stage(spark, k: int) -> str:
         for p in parts[1:]:
             df = df.unionByName(p)
         df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
-    open(f"{out_dir}/_DONE", "w").close()
+        open(f"{out_dir}/_DONE_{t}", "w").close()
+    if all(os.path.exists(f"{out_dir}/_DONE_{t}") for t in FLOOR_TABLES):
+        open(f"{out_dir}/_DONE", "w").close()
     return out_dir
 
 
@@ -96,6 +109,8 @@ def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in FLOOR_TABLES:
         p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            continue  # subset staging (--keys): view only what exists
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
@@ -103,10 +118,23 @@ def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# which staged table each floor key reads — drives subset staging
+KEY_TABLES = {
+    "dedup_exact": "documents",
+    "text_wordcount": "documents",
+    "events_hourly": "events",
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="256,1024")
+    ap.add_argument("--keys", default=",".join(KEYS))
     args = ap.parse_args()
+    keys = [k for k in args.keys.split(",") if k]
+    unknown = set(keys) - set(KEYS)
+    if unknown:
+        raise SystemExit(f"unknown floor keys: {sorted(unknown)}")
 
     import bench
     from hadoop_job_analyzer_spark.registry import oracle_sql, queries
@@ -127,9 +155,10 @@ def main() -> None:
             if not os.path.exists(f"{sf_dir}/_DONE"):
                 raise SystemExit(f"{sf_dir} not staged; run scale_stress first")
         else:
-            sf_dir = stage(spark, k)
+            need = tuple(dict.fromkeys(KEY_TABLES[key] for key in keys))
+            sf_dir = stage(spark, k, need)
         con = duck_views(sf_dir)
-        for key in KEYS:
+        for key in keys:
             fn = reg[key]
             # shared paired protocol (scripts/_ab_common.py) — owns the
             # warm-up (2 runs/engine since r12)
@@ -149,7 +178,7 @@ def main() -> None:
                 flush=True,
             )
         con.close()
-    print(json.dumps({"metric": "floor_crossover", "keys": KEYS,
+    print(json.dumps({"metric": "floor_crossover", "keys": keys,
                       "results": results}))
     spark.stop()
 
