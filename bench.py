@@ -199,8 +199,9 @@ CONSTRUCTION_TIMED = {
 # DuckDB on the same box got FASTER than its frozen baseline, so the
 # drift is JVM/scheduler-floor, not box speed (guest steal <=1.4%
 # throughout). Ceilings re-pinned to the max probe observed across the
-# basket-in-band draws (6/7/8: starts 0.1404-0.1715, ends
-# 0.0767-0.0855); floors kept (a faster-than-band probe is not a
+# two basket-in-band draws (7/8: starts 0.1715/0.1404, ends
+# 0.0855/0.0767 — draw 6, basket 12.12, is NOT in-band and contributes
+# nothing to the band); floors kept (a faster-than-band probe is not a
 # contamination signal). The basket self-label below closes the
 # false-clean gap a wider probe band opens.
 PROBE_BAND = {"start": (0.126, 0.172), "end": (0.052, 0.086)}

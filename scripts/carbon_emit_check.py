@@ -9,8 +9,11 @@ engine session, sf0.01, loopback listener), and emits a small JSON
 artifact (`verification/r{N}_carbon_emit.json`) asserting:
 
 - wire bytes == renderer lines: the Graphite plaintext lines received
-  over TCP are exactly the report frame's `line` column (set-equal,
-  trailing-newline framed);
+  over TCP are exactly the report frame's `line` column — SET-equal,
+  not multiset-equal, because the push is documented at-least-once
+  (Carbon relays dedup by (path, ts) last-write-wins; a Spark task
+  retry or speculative re-send legitimately duplicates a partition's
+  lines on the wire). Duplicates are counted and recorded, not failed;
 - executor-side: the push happens via `foreachPartition` on the
   executors — one connection per non-empty partition, so >= 1
   connections is the distributed-send signature (a driver-side collect
@@ -37,6 +40,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(
+            "usage: python scripts/carbon_emit_check.py <round> [sf_dir]"
+        )
     rnd = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
@@ -80,31 +87,38 @@ def main() -> None:
         os.environ.pop("HJA_CARBON_TARGET", None)
         stop.set()
         t.join(timeout=10)
+        listener_hung = t.is_alive()
         srv.close()
     plain_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
 
-    wire = b"".join(received).decode("utf-8")
-    wire_lines = sorted(wire.strip("\n").split("\n")) if wire else []
+    # a hung listener (a connection that never closed) means `received`
+    # is partial AND still being mutated — grade nothing from it
+    wire = "" if listener_hung else b"".join(received).decode("utf-8")
+    wire_lines = wire.strip("\n").split("\n") if wire else []
     report_lines = sorted(r[3] for r in flagged_rows)  # column order: ..., line
 
     out = {
         "metric": "carbon_emit_check",
         "round": rnd,
         "sf_dir": sf_dir,
+        "listener_hung": listener_hung,
         "n_report_lines": len(report_lines),
         "n_wire_lines": len(wire_lines),
+        "n_wire_duplicates": len(wire_lines) - len(set(wire_lines)),
         "n_connections": len(received),
         "newline_framed": wire.endswith("\n") if wire else False,
-        "wire_equals_renderer": wire_lines == report_lines,
+        # SET equality: at-least-once emit, relay dedups — see docstring
+        "wire_equals_renderer": sorted(set(wire_lines)) == report_lines,
         "flag_off_frame_identical": flagged_rows == plain_rows,
-        "pass": bool(
-            report_lines
-            and wire_lines == report_lines
-            and (wire.endswith("\n") if wire else False)
-            and flagged_rows == plain_rows
-            and len(received) >= 1
-        ),
     }
+    out["pass"] = bool(
+        not listener_hung
+        and report_lines
+        and out["wire_equals_renderer"]
+        and out["newline_framed"]
+        and out["flag_off_frame_identical"]
+        and len(received) >= 1
+    )
     path = os.path.join(REPO, "verification", f"r{rnd}_carbon_emit.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -54,211 +54,140 @@ def test_oracle_keys_subset_of_queries():
     assert set(registry.oracle_sql()) <= set(registry.queries())
 
 
-def test_first_50_registration_keys_follow_rotation_policy():
-    """The driver hard-verifies only the first 50 keys of queries().
+def _check_rotation_window(window, rotation_round, reshaped, *,
+                           full_order, leads_queries):
+    """Shared body of the per-round rotation-policy tests (r13
+    self-review: the per-round tests had grown into ~45-line
+    near-copies, each hand-edited when the next rotation landed).
 
-    Round-10 rotation (policy documented at registry.py's window block):
-    STALEST EVIDENCE FIRST with rule-2 displacement — the active
-    _R10_WINDOW must equal the 50 keys whose most recent driver hash
-    pass (across CORRECTNESS_r01-r09.json) is oldest (ties broken by
-    registration order), except that keys RESHAPED in round 10
-    (text_fingerprint: collapse-identical-texts plan; win_sessionize:
-    session_window formulation — the latter already stale-listed)
-    displace the freshest tail entries. Recomputed here from the same
-    files scripts/hash_ledger.py reads, so the window cannot silently
-    drift from the evidence that justifies it.
+    Recomputes STALEST EVIDENCE FIRST with rule-2 displacement from the
+    same CORRECTNESS files scripts/hash_ledger.py reads, so a window
+    cannot silently drift from the evidence that justifies it:
+
+    - `rotation_round` N: evidence is CORRECTNESS_r01..r(N-1);
+    - `reshaped`: round-N rule-2 head keys, each displacing the
+      freshest tail entry of the stalest-50;
+    - `full_order`: assert the FULL ORDERED tuple (advisor r11 — the
+      driver samples queries() in insertion order) vs set equality
+      (the pre-r12 frozen-history tests);
+    - `leads_queries`: assert the window leads queries() — true ONLY
+      for the active window (exactly one caller passes it).
+
+    Tie-break on RAW registration order (_QUERIES insertion), never the
+    window-reordered queries() view — using the latter is circular:
+    putting a key in the window would promote it in the very order that
+    decides whether it belongs there.
     """
     from hadoop_job_analyzer_spark import registry
 
     last_hash: dict[str, int] = {}
-    for rnd in range(1, 10):
-        path = REPO / f"CORRECTNESS_r0{rnd}.json"
+    for rnd in range(1, rotation_round):
+        path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
         if not path.exists():
             continue
         for key, rec in json.loads(path.read_text()).items():
             if isinstance(rec, dict) and rec.get("hash_match"):
                 last_hash[key] = rnd
     assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
-    window = registry._R10_WINDOW
     assert len(window) == 50 and len(set(window)) == 50
-    # (the leads-queries assertion moved to the r11 test below when the
-    # rotation advanced; this test keeps pinning r10's DERIVATION, which
-    # is frozen history)
+    if leads_queries:
+        first = list(registry.queries())[: len(window)]
+        assert tuple(first) == window, (
+            "window keys must LEAD queries() in pinned order"
+        )
     all_keys = set(registry.queries())
     assert set(last_hash) >= all_keys, (
         f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
     )
-    # Stalest-50 with the documented registration-order tie-break (the
-    # r5 tail IS tied, unlike r9's unambiguous cut), then rule 2: each
-    # r10-reshaped key not already present displaces the freshest tail
-    # entry. Registration order = queries() insertion order ignoring the
-    # window head itself, which _QUERIES preserves; reuse ledger logic.
-    # tie-break on RAW registration order (_QUERIES insertion), not the
-    # window-reordered queries() view — using the latter is circular:
-    # putting a key in the window would promote it in the very order
-    # that decides whether it belongs there
     registry._load_all()
     reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
     by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
-    expected = by_age[:50]
-    # every key whose implementing function was reshaped in r10
-    # (win_sessionize, also reshaped, is already stale-listed)
-    reshaped_r10 = [
-        "text_fingerprint",
-        "agg_session_bounce_rate",
-        "text_casing_profile",
-        "agg_weighted_median",
-    ]
-    for key in reshaped_r10:
-        assert key not in expected
-        expected = expected[:-1]  # drop the freshest tail entry
-    expected = reshaped_r10 + expected
-    assert set(window) == set(expected), (
-        f"window is not the rule-2-adjusted stalest 50; "
-        f"missing={sorted(set(expected) - set(window))} "
-        f"extra={sorted(set(window) - set(expected))}"
+    stalest = by_age[:50]
+    for key in reshaped:
+        assert key not in stalest
+        stalest = stalest[:-1]  # each reshape displaces the freshest tail entry
+    expected = tuple(list(reshaped) + stalest)
+    if full_order:
+        assert window == expected, (
+            f"window is not the stalest 50 in derivation order; "
+            f"first divergence at index "
+            f"{next((i for i, (a, b) in enumerate(zip(window, expected)) if a != b), len(window))}: "
+            f"window={window[:5]}... expected={expected[:5]}..."
+        )
+    else:
+        assert set(window) == set(expected), (
+            f"window is not the rule-2-adjusted stalest 50; "
+            f"missing={sorted(set(expected) - set(window))} "
+            f"extra={sorted(set(window) - set(expected))}"
+        )
+
+
+def test_first_50_registration_keys_follow_rotation_policy():
+    """Round-10 rotation (frozen history; derivation only — the
+    leads-queries assertion lives with the ACTIVE window's test).
+    Rule-2 head: the four keys reshaped in r10 (win_sessionize, also
+    reshaped, was already stale-listed)."""
+    from hadoop_job_analyzer_spark import registry
+
+    _check_rotation_window(
+        registry._R10_WINDOW,
+        rotation_round=10,
+        reshaped=[
+            "text_fingerprint",
+            "agg_session_bounce_rate",
+            "text_casing_profile",
+            "agg_weighted_median",
+        ],
+        full_order=False,
+        leads_queries=False,
     )
 
 
 def test_r11_window_follows_rotation_policy():
-    """Round-11 rotation: the active _R11_WINDOW must equal the 50 keys
-    whose most recent driver hash pass (across CORRECTNESS_r01-r10.json)
-    is oldest — ties broken by RAW registration order (_QUERIES
-    insertion, never the window-reordered queries() view: that would be
-    circular) — except that `agg_session_bounce_rate` (fused-long
-    bucket-chain plan) and `join_star_multiway` (SHJ + single-key agg),
-    RESHAPED in r11, displace the two freshest tail entries per
-    rule 2. Recomputed here from the same files
-    scripts/hash_ledger.py reads, and the window must LEAD queries()
-    (the driver hard-verifies the first 50 keys)."""
+    """Round-11 rotation (frozen history; derivation only). Rule-2
+    head: `agg_session_bounce_rate` (fused-long bucket-chain plan) and
+    `join_star_multiway` (SHJ + single-key agg), both reshaped in
+    r11."""
     from hadoop_job_analyzer_spark import registry
 
-    last_hash: dict[str, int] = {}
-    for rnd in range(1, 11):
-        path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
-        if not path.exists():
-            continue
-        for key, rec in json.loads(path.read_text()).items():
-            if isinstance(rec, dict) and rec.get("hash_match"):
-                last_hash[key] = rnd
-    assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
-    window = registry._R11_WINDOW
-    assert len(window) == 50 and len(set(window)) == 50
-    # (the leads-queries assertion moved to the r12 test below when the
-    # rotation advanced; this test keeps pinning r11's DERIVATION, which
-    # is frozen history)
-    all_keys = set(registry.queries())
-    assert set(last_hash) >= all_keys, (
-        f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
-    )
-    registry._load_all()
-    reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
-    by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
-    expected = by_age[:50]
-    reshaped_r11 = ["agg_session_bounce_rate", "join_star_multiway"]
-    for key in reshaped_r11:
-        assert key not in expected
-        expected = expected[:-1]  # drop the freshest tail entry
-    expected = reshaped_r11 + expected
-    assert set(window) == set(expected), (
-        f"window is not the rule-2-adjusted stalest 50; "
-        f"missing={sorted(set(expected) - set(window))} "
-        f"extra={sorted(set(window) - set(expected))}"
+    _check_rotation_window(
+        registry._R11_WINDOW,
+        rotation_round=11,
+        reshaped=["agg_session_bounce_rate", "join_star_multiway"],
+        full_order=False,
+        leads_queries=False,
     )
 
 
 def test_r12_window_follows_rotation_policy():
-    """Round-12 rotation: the active _R12_WINDOW must equal the 50 keys
-    whose most recent driver hash pass (across CORRECTNESS_r01-r11.json)
-    is oldest, ties broken by RAW registration order (_QUERIES insertion,
-    never the window-reordered queries() view — that would be circular)
-    — except that `text_wordcount` (collapse-identical-texts plan),
-    RESHAPED in r12, leads the window and displaces the freshest tail
-    entry per rule 2.
-
-    Unlike the earlier rotation tests this asserts the FULL ORDERED
-    tuple, not set equality (advisor r11): the driver samples queries()
-    in insertion order, so a silently reordered window would change
-    which keys face the gate first even with the set unchanged. The
-    window must also LEAD queries()."""
+    """Round-12 rotation (frozen history; full ordered tuple since
+    r12, per advisor r11). Rule-2 head: `text_wordcount`
+    (collapse-identical-texts plan), reshaped in r12."""
     from hadoop_job_analyzer_spark import registry
 
-    last_hash: dict[str, int] = {}
-    for rnd in range(1, 12):
-        path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
-        if not path.exists():
-            continue
-        for key, rec in json.loads(path.read_text()).items():
-            if isinstance(rec, dict) and rec.get("hash_match"):
-                last_hash[key] = rnd
-    assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
-    window = registry._R12_WINDOW
-    assert len(window) == 50 and len(set(window)) == 50
-    # (the leads-queries assertion moved to the r13 test below when the
-    # rotation advanced; this test keeps pinning r12's DERIVATION, which
-    # is frozen history)
-    all_keys = set(registry.queries())
-    assert set(last_hash) >= all_keys, (
-        f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
-    )
-    registry._load_all()
-    reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
-    by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
-    reshaped_r12 = ["text_wordcount"]
-    stalest = by_age[:50]
-    for key in reshaped_r12:
-        assert key not in stalest
-        stalest = stalest[:-1]  # each reshape displaces the freshest tail entry
-    expected = tuple(reshaped_r12 + stalest)
-    assert window == expected, (
-        f"window is not the stalest 50 in derivation order; "
-        f"first divergence at index "
-        f"{next((i for i, (a, b) in enumerate(zip(window, expected)) if a != b), len(window))}: "
-        f"window={window[:5]}... expected={expected[:5]}..."
+    _check_rotation_window(
+        registry._R12_WINDOW,
+        rotation_round=12,
+        reshaped=["text_wordcount"],
+        full_order=True,
+        leads_queries=False,
     )
 
 
 def test_r13_window_follows_rotation_policy():
-    """Round-13 rotation: the active _R13_WINDOW must equal the 50 keys
-    whose most recent driver hash pass (across CORRECTNESS_r01-r12.json)
-    is oldest, ties broken by RAW registration order (_QUERIES insertion,
-    never the window-reordered queries() view — that would be circular).
-    No key was reshaped at round-13 open, so there is no rule-2 head and
-    the window is the pure stalest-50 (the 49 remaining r7-hashed keys
-    plus the stalest r8 key) — exactly the round-12 pre-commit.
-
-    Asserts the FULL ORDERED tuple (advisor r11): the driver samples
-    queries() in insertion order, so a silently reordered window would
-    change which keys face the gate first even with the set unchanged.
-    The window must also LEAD queries()."""
+    """Round-13 rotation — the ACTIVE window, so it must also LEAD
+    queries() (the driver hard-verifies the first 50 keys). No key was
+    reshaped at round-13 open, so there is no rule-2 head and the
+    window is the pure stalest-50 (the 49 remaining r7-hashed keys plus
+    the stalest r8 key) — exactly the round-12 pre-commit."""
     from hadoop_job_analyzer_spark import registry
 
-    last_hash: dict[str, int] = {}
-    for rnd in range(1, 13):
-        path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
-        if not path.exists():
-            continue
-        for key, rec in json.loads(path.read_text()).items():
-            if isinstance(rec, dict) and rec.get("hash_match"):
-                last_hash[key] = rnd
-    assert last_hash, "historic CORRECTNESS files missing — cannot check rotation"
-    window = registry._R13_WINDOW
-    assert len(window) == 50 and len(set(window)) == 50
-    first = list(registry.queries())[: len(window)]
-    assert tuple(first) == window, "window keys must LEAD queries() in pinned order"
-    all_keys = set(registry.queries())
-    assert set(last_hash) >= all_keys, (
-        f"coverage regressed below 293/293: {sorted(all_keys - set(last_hash))[:5]}"
-    )
-    registry._load_all()
-    reg_order = {k: i for i, k in enumerate(registry._QUERIES)}
-    by_age = sorted(all_keys, key=lambda k: (last_hash[k], reg_order[k]))
-    expected = tuple(by_age[:50])
-    assert window == expected, (
-        f"window is not the stalest 50 in derivation order; "
-        f"first divergence at index "
-        f"{next((i for i, (a, b) in enumerate(zip(window, expected)) if a != b), len(window))}: "
-        f"window={window[:5]}... expected={expected[:5]}..."
+    _check_rotation_window(
+        registry._R13_WINDOW,
+        rotation_round=13,
+        reshaped=[],
+        full_order=True,
+        leads_queries=True,
     )
 
 
