@@ -275,6 +275,57 @@ def _probe_contamination(probe_start: float, probe_end: float) -> dict:
     return out
 
 
+# Frozen DuckDB control baseline (VERDICT r13 task #4): the q1 oracle
+# at sf0.1, measured 2026-08-13 on this box, warm in-process, single
+# run (BASELINE.md "Measured baseline" table). The r13 adjudication
+# proved this is the ONE discriminator that works when the box noise
+# source is invisible to guest counters (anchors 15/16: 99.9% idle, 0%
+# steal, walls 1.4-2.5x inflated): DuckDB-vs-its-own-baseline separates
+# box-slow (control inflated too) from JVM/scheduler drift (control at
+# or under baseline while Spark walls inflate). Only drawn when a
+# record self-stamps contaminated/above-band — a clean record needs no
+# adjudication and skips the extra ~1 s.
+DUCK_CONTROL_BASELINE_S = 0.093
+DUCK_CONTROL_NAME = "q1_pricing_summary"
+
+
+def _duckdb_control() -> dict:
+    """Time the frozen q1 oracle in in-process DuckDB over the same
+    sf-dir parquet (median of 5 after one warm run) and report the
+    ratio to the frozen 2026-08-13 baseline. `read` states the binding
+    interpretation so the adjudication lives in the record itself."""
+    import duckdb
+
+    from hadoop_job_analyzer_spark.registry import oracle_sql
+
+    sql = oracle_sql()["agg_group_pricing"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    con.execute(sql).fetchall()  # warm (page cache + duckdb buffers)
+    walls = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        walls.append(time.perf_counter() - t0)
+    con.close()
+    wall = round(sorted(walls)[2], 4)
+    ratio = round(wall / DUCK_CONTROL_BASELINE_S, 2)
+    return {
+        "name": DUCK_CONTROL_NAME,
+        "wall_median5": wall,
+        "frozen_baseline": DUCK_CONTROL_BASELINE_S,
+        "ratio_to_baseline": ratio,
+        "read": (
+            "control inflated with Spark walls => box-slow (discount "
+            "per-query deltas); control at/under baseline => drift is "
+            "JVM/scheduler-side (adjudicate against solo anchors)"
+        ),
+    }
+
+
 def _calibration_probe(spark: SparkSession) -> float:
     """Floor-calibration probe (VERDICT r9 task #2): a fixed, data-light
     query — one small shuffle over the cached events table — whose wall
@@ -346,6 +397,19 @@ def main() -> None:
     probe_end = _calibration_probe(spark)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    contamination = _probe_contamination(probe_start, probe_end)
+    basket_wall = round(sum(per_query[k] for k in COMPARABLE_BASKET), 4)
+    basket = _basket_verdict(basket_wall) if sf == 0.1 else {}
+    # DuckDB control draw (VERDICT r13 task #4): only on records that
+    # need adjudication, and only at sf0.1 where the frozen baseline
+    # applies. Any self-label (contaminated probes, elevated/cold-box
+    # window, above-band basket) triggers it.
+    needs_control = sf == 0.1 and (
+        contamination["load_contaminated"]
+        or contamination["cold_box_suspect"]
+        or basket.get("basket_vs_band") == "above_band"
+    )
+    control = {"duckdb_control": _duckdb_control()} if needs_control else {}
     print(
         json.dumps(
             {
@@ -371,15 +435,10 @@ def main() -> None:
                     "name": "events_type_count_median5",
                     "start": probe_start,
                     "end": probe_end,
-                    **_probe_contamination(probe_start, probe_end),
+                    **contamination,
                 },
-                **(
-                    _basket_verdict(
-                        round(sum(per_query[k] for k in COMPARABLE_BASKET), 4)
-                    )
-                    if sf == 0.1
-                    else {}
-                ),
+                **basket,
+                **control,
             }
         )
     )

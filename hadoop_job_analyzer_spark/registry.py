@@ -779,40 +779,104 @@ _R13_WINDOW = (
     "win_topk_per_group",  # last driver hash r8
 )
 
-# _R14_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
-# the sample is predictable, not curated): once CORRECTNESS_r13 lands
-# 50/50 on _R13_WINDOW, every key's latest hash is r8+ and the stalest
-# 50 are the remaining 46 r8-hashed keys plus the 4 stalest r9-hashed
+# _R14_WINDOW — ACTIVE (rotation executed in round 14). Exactly the
+# pre-committed list (policy rule 4): once CORRECTNESS_r13 landed 50/50
+# on _R13_WINDOW, every key's latest hash was r8+ and the stalest 50
+# are the remaining 46 r8-hashed keys plus the 4 stalest r9-hashed
+# keys, in raw registration order. Re-derived mechanically at round-14
+# open with `python scripts/hash_ledger.py --window` over
+# CORRECTNESS_r01-r13 — the derivation reproduced the round-13
+# pre-commit VERBATIM (zero adjustments; no key was reshaped at round
+# open, so there is no rule-2 head). After CORRECTNESS_r14 lands 50/50
+# on this window, nothing is older than r9. Rule 2 still displaces
+# tail entries for any key added/reshaped in round 14 itself.
+_R14_WINDOW = (
+    "win_rank_dense",  # last driver hash r8
+    "win_lag_lead",  # r8
+    "win_running_sum",  # r8
+    "win_moving_avg",  # r8
+    "win_range_frame",  # r8
+    "win_sessionize_salted",  # r8
+    "agg_session_bounce_rate_salted",  # r8
+    "dedup_near_minhash_full",  # r8
+    "dedup_components_full",  # r8
+    "emb_mrl_truncate_recall",  # r8
+    "dedup_containment",  # r8
+    "graph_degree_stats",  # r8
+    "emb_pq_quantize",  # r8
+    "graph_triangle_count",  # r8
+    "dedup_source_matrix",  # r8
+    "emb_ivf_build_stats",  # r8
+    "sim_knn_join_bucketed",  # r8
+    "emb_kmeans_iterative",  # r8
+    "sim_range_search",  # r8
+    "emb_outlier_mahalanobis",  # r8
+    "decon_embedding",  # r8
+    "emb_binary_quantize",  # r8
+    "sim_rerank_two_stage",  # r8
+    "dedup_keeper_quality",  # r8
+    "text_edit_distance_join",  # r8
+    "text_langid",  # r8
+    "text_quality",  # r8
+    "text_token_stats",  # r8
+    "text_lm_unigram_score",  # r8
+    "text_token_entropy",  # r8
+    "text_zipf_fit",  # r8
+    "text_hapax_ratio",  # r8
+    "text_compression_ratio",  # r8
+    "text_pii_scrub",  # r8
+    "text_repetition_score",  # r8
+    "corpus_epoch_plan",  # r8
+    "ops_stream_session_report",  # r8
+    "filter_blocklist_regex",  # r8
+    "join_bloom_prejoin",  # r8
+    "join_range_bucketed",  # r8
+    "join_q4_priority_semi",  # r8
+    "join_q18_large_orders",  # r8
+    "agg_dow_hour_heatmap",  # r8
+    "agg_multi_distinct",  # r8
+    "text_dup_gram_mass",  # r8
+    "win_percent_rank_global",  # r8
+    "scan_parquet",  # last driver hash r9
+    "scan_parquet_nanos",  # r9
+    "scan_column_prune",  # r9
+    "scan_csv_schema",  # r9
+)
+
+# _R15_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
+# the sample is predictable, not curated): once CORRECTNESS_r14 lands
+# 50/50 on _R14_WINDOW, every key's latest hash is r9+ (histogram
+# r9:45, r10:48, r11:50, r12:50, r13:50, r14:50) and the stalest 50
+# are the 45 remaining r9-hashed keys plus the 5 stalest r10-hashed
 # keys, in raw registration order — derived mechanically by simulating
-# the r13 landing over CORRECTNESS_r01-r12 + _R13_WINDOW (re-derive
-# with `python scripts/hash_ledger.py --window` once CORRECTNESS_r13
+# the r14 landing over CORRECTNESS_r01-r13 + _R14_WINDOW (re-derive
+# with `python scripts/hash_ledger.py --window` once CORRECTNESS_r14
 # exists; tie-break = _QUERIES insertion order as always):
-#   win_rank_dense, win_lag_lead, win_running_sum, win_moving_avg,
-#   win_range_frame, win_sessionize_salted,
-#   agg_session_bounce_rate_salted, dedup_near_minhash_full,
-#   dedup_components_full, emb_mrl_truncate_recall, dedup_containment,
-#   graph_degree_stats, emb_pq_quantize, graph_triangle_count,
-#   dedup_source_matrix, emb_ivf_build_stats, sim_knn_join_bucketed,
-#   emb_kmeans_iterative, sim_range_search, emb_outlier_mahalanobis,
-#   decon_embedding, emb_binary_quantize, sim_rerank_two_stage,
-#   dedup_keeper_quality, text_edit_distance_join, text_langid,
-#   text_quality, text_token_stats, text_lm_unigram_score,
-#   text_token_entropy, text_zipf_fit, text_hapax_ratio,
-#   text_compression_ratio, text_pii_scrub, text_repetition_score,
-#   corpus_epoch_plan, ops_stream_session_report,
-#   filter_blocklist_regex, join_bloom_prejoin, join_range_bucketed,
-#   join_q4_priority_semi, join_q18_large_orders, agg_dow_hour_heatmap,
-#   agg_multi_distinct, text_dup_gram_mass, win_percent_rank_global,
-#   scan_parquet, scan_parquet_nanos, scan_column_prune, scan_csv_schema
-# (after which nothing is older than r9). Rule 2 still displaces tail
-# entries for any key added/reshaped in round 14 itself.
+#   scan_jsonl, sink_parquet_partitioned, scan_orc_roundtrip,
+#   scan_custom_datasource, sink_compact_small_files,
+#   scan_schema_evolution, scan_text_log_regex, project_compute,
+#   filter_range_date, filter_in_set, filter_like, filter_rlike,
+#   filter_null_logic, filter_bool_combo, filter_outlier_p99,
+#   filter_exists_subquery, join_inner_equi, join_broadcast_hint,
+#   join_sort_merge, join_shuffle_hash, join_left_outer,
+#   join_right_outer, join_full_outer, join_left_semi, join_left_anti,
+#   join_cross, join_theta_range, join_asof, join_interval,
+#   join_skew_salted, join_bucketed, join_lateral_topk,
+#   join_dpp_partitioned, join_product_line_profit, join_null_safe_eq,
+#   agg_global, agg_group_pricing, agg_count_distinct,
+#   agg_grouping_sets, agg_rollup, agg_cube, agg_having,
+#   agg_conditional, agg_stats, agg_minmax_by, win_ntile_pct,
+#   win_first_last, win_share_of_total, win_sessionize,
+#   win_fill_forward
+# (after which nothing is older than r10). Rule 2 still displaces tail
+# entries for any key added/reshaped in round 15 itself.
 
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R13_WINDOW if k in d}
+    head = {k: d[k] for k in _R14_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

@@ -107,14 +107,21 @@ def main() -> None:
         "n_wire_duplicates": len(wire_lines) - len(set(wire_lines)),
         "n_connections": len(received),
         "newline_framed": wire.endswith("\n") if wire else False,
-        # SET equality: at-least-once emit, relay dedups — see docstring
-        "wire_equals_renderer": sorted(set(wire_lines)) == report_lines,
+        # SET equality on BOTH sides (ADVICE r13 #1): the emit contract
+        # is at-least-once with relay-side dedup, so duplicates are legal
+        # on the wire AND — in principle — in the renderer frame; the old
+        # set-vs-list compare would spuriously fail on a legitimately
+        # duplicated report line. Renderer uniqueness is asserted as its
+        # own named check so the two properties stay separately readable.
+        "wire_equals_renderer": set(wire_lines) == set(report_lines),
+        "report_lines_unique": len(report_lines) == len(set(report_lines)),
         "flag_off_frame_identical": flagged_rows == plain_rows,
     }
     out["pass"] = bool(
         not listener_hung
         and report_lines
         and out["wire_equals_renderer"]
+        and out["report_lines_unique"]
         and out["newline_framed"]
         and out["flag_off_frame_identical"]
         and len(received) >= 1

@@ -105,8 +105,11 @@ def stage(spark, k: int, tables: tuple[str, ...] = FLOOR_TABLES) -> str:
     return out_dir
 
 
-def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
+def duck_views(
+    sf_dir: str, needed: tuple[str, ...] = ()
+) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    made: set[str] = set()
     for t in FLOOR_TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if not os.path.exists(p):
@@ -114,6 +117,17 @@ def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+        )
+        made.add(t)
+    # ADVICE r13 #3: fail at STAGING time, with a staging-oriented
+    # message, if a table a requested key reads got no view — otherwise
+    # a KEY_TABLES/query drift surfaces only as a DuckDB 'table not
+    # found' deep inside the timed loop.
+    missing = set(needed) - made
+    if missing:
+        raise SystemExit(
+            f"staged dir {sf_dir} is missing tables {sorted(missing)} "
+            f"needed by the requested keys — re-stage (KEY_TABLES drift?)"
         )
     return con
 
@@ -157,7 +171,9 @@ def main() -> None:
         else:
             need = tuple(dict.fromkeys(KEY_TABLES[key] for key in keys))
             sf_dir = stage(spark, k, need)
-        con = duck_views(sf_dir)
+        con = duck_views(
+            sf_dir, tuple(dict.fromkeys(KEY_TABLES[key] for key in keys))
+        )
         for key in keys:
             fn = reg[key]
             # shared paired protocol (scripts/_ab_common.py) — owns the

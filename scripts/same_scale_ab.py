@@ -97,11 +97,14 @@ EXTRA_KEYS = [
 # found paired and solo protocols disagreeing (the paired interleaving
 # lands a measured ~1.7x Spark-to-DuckDB carryover on GB-scale DuckDB
 # runs; Spark is order-insensitive) — plus, dynamically, any row whose
-# paired-protocol within-session DuckDB spread exceeds SOLO_TRIGGER_SPREAD
-# (a loose DuckDB block is exactly the carryover signature). Where the
-# two protocols disagree, `quoted_ratio` takes the number LESS favorable
-# to this engine; the basket median over those quoted numbers is emitted
-# as `quoting_rule_basket_median` so BASELINE.md quotes a computed field,
+# paired-protocol within-session spread — EITHER engine's (ADVICE r13
+# #2: the r12 "Spark is order-insensitive" observation was a single
+# session; carryover landing on the Spark numerator would flatter the
+# ratio the other way, so a loose Spark block must escalate to solo
+# too) — exceeds SOLO_TRIGGER_SPREAD. Where the two protocols
+# disagree, `quoted_ratio` takes the number LESS favorable to this
+# engine; the basket median over those quoted numbers is emitted as
+# `quoting_rule_basket_median` so BASELINE.md quotes a computed field,
 # never a hand assembly.
 SOLO_ALWAYS = {"join_star_multiway", "agg_group_pricing"}
 SOLO_TRIGGER_SPREAD = 1.5
@@ -158,11 +161,17 @@ def main() -> None:
             )
             rec = paired_rounds(run_duck, run_spark)
             paired = rec["paired_ratios"]
+            spread = rec["within_session_spread"]
             needs_solo = (
                 key in SOLO_ALWAYS
-                or rec["within_session_spread"]["duckdb_maxmin"]
-                > SOLO_TRIGGER_SPREAD
+                or spread["duckdb_maxmin"] > SOLO_TRIGGER_SPREAD
+                or spread["spark_maxmin"] > SOLO_TRIGGER_SPREAD
             )
+            if spread["spark_maxmin"] > SOLO_TRIGGER_SPREAD:
+                # ADVICE r13 #2: record when the SPARK spread alone
+                # tripped the escalation, so the one-sidedness of the
+                # old trigger stays auditable in the artifact.
+                rec["solo_trigger_spark_spread"] = spread["spark_maxmin"]
             solo = solo_blocks(run_duck, run_spark) if needs_solo else None
             if solo is not None:
                 rec["solo_block"] = solo

@@ -175,8 +175,7 @@ def test_r12_window_follows_rotation_policy():
 
 
 def test_r13_window_follows_rotation_policy():
-    """Round-13 rotation — the ACTIVE window, so it must also LEAD
-    queries() (the driver hard-verifies the first 50 keys). No key was
+    """Round-13 rotation (frozen history; derivation only). No key was
     reshaped at round-13 open, so there is no rule-2 head and the
     window is the pure stalest-50 (the 49 remaining r7-hashed keys plus
     the stalest r8 key) — exactly the round-12 pre-commit."""
@@ -185,6 +184,23 @@ def test_r13_window_follows_rotation_policy():
     _check_rotation_window(
         registry._R13_WINDOW,
         rotation_round=13,
+        reshaped=[],
+        full_order=True,
+        leads_queries=False,
+    )
+
+
+def test_r14_window_follows_rotation_policy():
+    """Round-14 rotation — the ACTIVE window, so it must also LEAD
+    queries() (the driver hard-verifies the first 50 keys). No key was
+    reshaped at round-14 open, so there is no rule-2 head and the
+    window is the pure stalest-50 (the 46 remaining r8-hashed keys plus
+    the 4 stalest r9 keys) — exactly the round-13 pre-commit."""
+    from hadoop_job_analyzer_spark import registry
+
+    _check_rotation_window(
+        registry._R14_WINDOW,
+        rotation_round=14,
         reshaped=[],
         full_order=True,
         leads_queries=True,
@@ -227,7 +243,7 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    win = registry._R13_WINDOW
+    win = registry._R14_WINDOW
     assert tuple(qkeys[: len(win)]) == win
     okeys = [k for k in registry.oracle_sql() if k in set(win)]
     assert okeys == [k for k in win if k in set(okeys)]

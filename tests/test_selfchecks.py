@@ -291,3 +291,37 @@ def test_bench_probe_contamination_rule():
     assert bench._basket_verdict(9.8)["basket_vs_band"] == "below_band"
     assert bench._basket_verdict(11.0)["basket_clean_band"] == [10.5, 11.6]
     assert clean["probe_band"] == {"start": [0.126, 0.172], "end": [0.052, 0.086]}
+
+
+def test_bench_duckdb_control_draw():
+    """VERDICT r13 task #4: contaminated/above-band bench records must
+    carry a DuckDB control draw — the ratio of a frozen query to its
+    frozen 2026-08-13 baseline — so box-slow vs JVM-drift is
+    adjudicable from the artifact alone (r13 anchors 15/16: the box
+    noise was invisible to every guest counter; the DuckDB control was
+    the only discriminator that worked). Pins the frozen baseline
+    literal (two-file protocol with BASELINE.md) and the record shape;
+    runs the actual draw at the bench sf-dir so the field is known to
+    produce, not just to exist."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # frozen literal: BASELINE.md "Measured baseline" q1 row (0.093 s)
+    assert bench.DUCK_CONTROL_BASELINE_S == 0.093
+    assert bench.DUCK_CONTROL_NAME == "q1_pricing_summary"
+
+    rec = bench._duckdb_control()
+    assert rec["name"] == "q1_pricing_summary"
+    assert rec["frozen_baseline"] == 0.093
+    assert rec["wall_median5"] > 0
+    assert rec["ratio_to_baseline"] == round(
+        rec["wall_median5"] / 0.093, 2
+    )
+    # the binding interpretation travels in the record itself
+    assert "box-slow" in rec["read"] and "JVM" in rec["read"]
