@@ -128,7 +128,17 @@ def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="64,256")
+    # r14 (flagship adjudication): a subset run measures only the named
+    # keys — the frozen quoting_rule_basket_median is NOT computed (it
+    # is only meaningful over the full frozen basket) and the record
+    # says so via `subset_run`.
+    ap.add_argument("--keys", default="")
     args = ap.parse_args()
+    subset = [k for k in args.keys.split(",") if k]
+    unknown = set(subset) - set(KEYS + EXTRA_KEYS)
+    if unknown:
+        raise SystemExit(f"unknown keys: {sorted(unknown)}")
+    run_keys = subset or KEYS + EXTRA_KEYS
 
     import bench
     from hadoop_job_analyzer_spark.registry import oracle_sql, queries
@@ -146,7 +156,7 @@ def main() -> None:
         if not os.path.exists(f"{sf_dir}/_DONE"):
             raise SystemExit(f"{sf_dir} not staged; run scale_stress first")
         con = duck_views(sf_dir)
-        for key in KEYS + EXTRA_KEYS:
+        for key in run_keys:
             fn = reg[key]
             # paired alternation with per-round engine-order swap —
             # the shared protocol implementation (scripts/_ab_common.py)
@@ -185,15 +195,21 @@ def main() -> None:
                   flush=True)
         con.close()
     # the computed headline: quoting-rule median over the FROZEN basket
-    # only (extra keys emitted alongside but excluded, as always)
-    quoting_medians = {
-        scale: round(
-            statistics.median(res[key]["quoted_ratio"] for key in KEYS), 2
-        )
-        for scale, res in results.items()
-    }
+    # only (extra keys emitted alongside but excluded, as always);
+    # undefined on a --keys subset run
+    quoting_medians = (
+        {
+            scale: round(
+                statistics.median(res[key]["quoted_ratio"] for key in KEYS), 2
+            )
+            for scale, res in results.items()
+        }
+        if not subset
+        else None
+    )
     print(json.dumps({"metric": "same_scale_ab", "frozen_basket": KEYS,
                       "extra_keys": EXTRA_KEYS,
+                      "subset_run": subset or None,
                       "solo_always": sorted(SOLO_ALWAYS),
                       "solo_trigger_spread": SOLO_TRIGGER_SPREAD,
                       "quoting_rule_basket_median": quoting_medians,
