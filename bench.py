@@ -300,9 +300,13 @@ def _duckdb_control() -> dict:
 
     sql = oracle_sql()["agg_group_pricing"]
     con = duckdb.connect()
+    # Escape single quotes in the env-controlled path (ADVICE r14 #3):
+    # CREATE VIEW is DDL, so DuckDB prepared-statement params can't bind
+    # the read_parquet argument — SQL-literal doubling is the contract.
+    safe_dir = str(SF_DIR).replace("'", "''")
     con.execute(
         "CREATE VIEW lineitem AS SELECT * FROM "
-        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+        f"read_parquet('{safe_dir}/lineitem.parquet')"
     )
     con.execute(sql).fetchall()  # warm (page cache + duckdb buffers)
     walls = []

@@ -779,7 +779,8 @@ _R13_WINDOW = (
     "win_topk_per_group",  # last driver hash r8
 )
 
-# _R14_WINDOW — ACTIVE (rotation executed in round 14). Exactly the
+# _R14_WINDOW — round-14 window, kept for provenance (CORRECTNESS_r14
+# landed 50/50 on it; judge r14 verified the rotation). Exactly the
 # pre-committed list (policy rule 4): once CORRECTNESS_r13 landed 50/50
 # on _R13_WINDOW, every key's latest hash was r8+ and the stalest 50
 # are the remaining 46 r8-hashed keys plus the 4 stalest r9-hashed
@@ -787,9 +788,8 @@ _R13_WINDOW = (
 # open with `python scripts/hash_ledger.py --window` over
 # CORRECTNESS_r01-r13 — the derivation reproduced the round-13
 # pre-commit VERBATIM (zero adjustments; no key was reshaped at round
-# open, so there is no rule-2 head). After CORRECTNESS_r14 lands 50/50
-# on this window, nothing is older than r9. Rule 2 still displaces
-# tail entries for any key added/reshaped in round 14 itself.
+# open, so there is no rule-2 head). After CORRECTNESS_r14 landed
+# 50/50 on this window, nothing is older than r9.
 _R14_WINDOW = (
     "win_rank_dense",  # last driver hash r8
     "win_lag_lead",  # r8
@@ -843,40 +843,105 @@ _R14_WINDOW = (
     "scan_csv_schema",  # r9
 )
 
-# _R15_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
-# the sample is predictable, not curated): once CORRECTNESS_r14 lands
-# 50/50 on _R14_WINDOW, every key's latest hash is r9+ (histogram
-# r9:45, r10:48, r11:50, r12:50, r13:50, r14:50) and the stalest 50
-# are the 45 remaining r9-hashed keys plus the 5 stalest r10-hashed
+# _R15_WINDOW — ACTIVE (rotation executed in round 15). Exactly the
+# pre-committed list (policy rule 4): once CORRECTNESS_r14 landed 50/50
+# on _R14_WINDOW, every key's latest hash is r9+ (histogram r9:45,
+# r10:48, r11:50, r12:50, r13:50, r14:50) and the stalest 50 are the
+# 45 remaining r9-hashed keys plus the 5 stalest r10-hashed keys, in
+# raw registration order. Re-derived mechanically at round-15 open
+# with `python scripts/hash_ledger.py --window` over
+# CORRECTNESS_r01-r14 — the derivation reproduced the round-14
+# pre-commit VERBATIM (zero adjustments; no key was reshaped at round
+# open, so there is no rule-2 head). After CORRECTNESS_r15 lands 50/50
+# on this window, nothing is older than r10. Rule 2 still displaces
+# tail entries for any key added/reshaped in round 15 itself.
+_R15_WINDOW = (
+    "scan_jsonl",  # last driver hash r9
+    "sink_parquet_partitioned",  # r9
+    "scan_orc_roundtrip",  # r9
+    "scan_custom_datasource",  # r9
+    "sink_compact_small_files",  # r9
+    "scan_schema_evolution",  # r9
+    "scan_text_log_regex",  # r9
+    "project_compute",  # r9
+    "filter_range_date",  # r9
+    "filter_in_set",  # r9
+    "filter_like",  # r9
+    "filter_rlike",  # r9
+    "filter_null_logic",  # r9
+    "filter_bool_combo",  # r9
+    "filter_outlier_p99",  # r9
+    "filter_exists_subquery",  # r9
+    "join_inner_equi",  # r9
+    "join_broadcast_hint",  # r9
+    "join_sort_merge",  # r9
+    "join_shuffle_hash",  # r9
+    "join_left_outer",  # r9
+    "join_right_outer",  # r9
+    "join_full_outer",  # r9
+    "join_left_semi",  # r9
+    "join_left_anti",  # r9
+    "join_cross",  # r9
+    "join_theta_range",  # r9
+    "join_asof",  # r9
+    "join_interval",  # r9
+    "join_skew_salted",  # r9
+    "join_bucketed",  # r9
+    "join_lateral_topk",  # r9
+    "join_dpp_partitioned",  # r9
+    "join_product_line_profit",  # r9
+    "join_null_safe_eq",  # r9
+    "agg_global",  # r9
+    "agg_group_pricing",  # r9
+    "agg_count_distinct",  # r9
+    "agg_grouping_sets",  # r9
+    "agg_rollup",  # r9
+    "agg_cube",  # r9
+    "agg_having",  # r9
+    "agg_conditional",  # r9
+    "agg_stats",  # r9
+    "agg_minmax_by",  # r9
+    "win_ntile_pct",  # last driver hash r10
+    "win_first_last",  # r10
+    "win_share_of_total",  # r10
+    "win_sessionize",  # r10
+    "win_fill_forward",  # r10
+)
+
+# _R16_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
+# the sample is predictable, not curated): once CORRECTNESS_r15 lands
+# 50/50 on _R15_WINDOW, every key's latest hash is r10+ (histogram
+# r10:43, r11:50, r12:50, r13:50, r14:50, r15:50) and the stalest 50
+# are the 43 remaining r10-hashed keys plus the 7 stalest r11-hashed
 # keys, in raw registration order — derived mechanically by simulating
-# the r14 landing over CORRECTNESS_r01-r13 + _R14_WINDOW (re-derive
-# with `python scripts/hash_ledger.py --window` once CORRECTNESS_r14
+# the r15 landing over CORRECTNESS_r01-r14 + _R15_WINDOW (re-derive
+# with `python scripts/hash_ledger.py --window` once CORRECTNESS_r15
 # exists; tie-break = _QUERIES insertion order as always):
-#   scan_jsonl, sink_parquet_partitioned, scan_orc_roundtrip,
-#   scan_custom_datasource, sink_compact_small_files,
-#   scan_schema_evolution, scan_text_log_regex, project_compute,
-#   filter_range_date, filter_in_set, filter_like, filter_rlike,
-#   filter_null_logic, filter_bool_combo, filter_outlier_p99,
-#   filter_exists_subquery, join_inner_equi, join_broadcast_hint,
-#   join_sort_merge, join_shuffle_hash, join_left_outer,
-#   join_right_outer, join_full_outer, join_left_semi, join_left_anti,
-#   join_cross, join_theta_range, join_asof, join_interval,
-#   join_skew_salted, join_bucketed, join_lateral_topk,
-#   join_dpp_partitioned, join_product_line_profit, join_null_safe_eq,
-#   agg_global, agg_group_pricing, agg_count_distinct,
-#   agg_grouping_sets, agg_rollup, agg_cube, agg_having,
-#   agg_conditional, agg_stats, agg_minmax_by, win_ntile_pct,
-#   win_first_last, win_share_of_total, win_sessionize,
-#   win_fill_forward
-# (after which nothing is older than r10). Rule 2 still displaces tail
-# entries for any key added/reshaped in round 15 itself.
+#   ts_gapfill_hourly, funnel_stages, cohort_retention,
+#   win_trailing_hour, win_nth_value, win_transition_matrix,
+#   ts_ohlc_hourly, ts_resample_interp, ts_anomaly_zscore,
+#   win_rolling_median, ts_ewma_daily, win_activity_streaks,
+#   ts_changepoint_cusum, win_gap_distribution, ts_autocorr_lag,
+#   dedup_exact, dedup_near_minhash, sim_cosine_topk, sim_knn_join,
+#   text_ngram, text_tfidf, text_stats, multimodal_join,
+#   emb_centroid_per_label, dedup_prefix, dedup_simhash,
+#   dedup_ngram_jaccard, dedup_embedding, dedup_embedding_bucketed,
+#   sim_ann_ivf, dedup_components, minhash_jaccard_estimate,
+#   emb_quantize_int8, graph_pagerank, sim_ann_recall,
+#   dedup_family_compare, dedup_cluster_sizes, emb_label_separation,
+#   text_fingerprint, sample_hash_stratified, sample_fixed_per_stratum,
+#   agg_weighted_median, text_casing_profile, emb_pca_top_component,
+#   split_train_test, decon_ngram_overlap, pack_sequences,
+#   text_remove_stopwords, corpus_dedup_apply, corpus_pipeline_e2e
+# (after which nothing is older than r11). Rule 2 still displaces tail
+# entries for any key added/reshaped in round 16 itself.
 
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R14_WINDOW if k in d}
+    head = {k: d[k] for k in _R15_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

@@ -109,10 +109,13 @@ def main() -> None:
         "newline_framed": wire.endswith("\n") if wire else False,
         # SET equality on BOTH sides (ADVICE r13 #1): the emit contract
         # is at-least-once with relay-side dedup, so duplicates are legal
-        # on the wire AND — in principle — in the renderer frame; the old
-        # set-vs-list compare would spuriously fail on a legitimately
-        # duplicated report line. Renderer uniqueness is asserted as its
-        # own named check so the two properties stay separately readable.
+        # ON THE WIRE and must not fail the wire compare. The RENDERER
+        # frame is different: it is a deterministic projection of the
+        # flagged report rows, so a duplicated report line there is a
+        # renderer bug, not an at-least-once artifact — which is why
+        # `report_lines_unique` stays in the pass conjunction below as
+        # its own named check (ADVICE r14: the two properties answer to
+        # different contracts).
         "wire_equals_renderer": set(wire_lines) == set(report_lines),
         "report_lines_unique": len(report_lines) == len(set(report_lines)),
         "flag_off_frame_identical": flagged_rows == plain_rows,

@@ -90,6 +90,12 @@ EXTRA_KEYS = [
     # 1.55x at x256) — tracked in-protocol so a regression can't hide
     # off-basket again
     "agg_session_bounce_rate",
+    # r15 (VERDICT r14 task #5): the heaviest wall in every BENCH record
+    # (7.6 s r13 / 9.5 s r14) sits outside the frozen basket, so its
+    # engine ratio was never quoted — tracked here so the
+    # pointer-doubling components plan gets an on-record x256 ratio
+    # against its recursive-CTE DuckDB oracle.
+    "dedup_components_full",
 ]
 
 # Quoting rule, automated (VERDICT r12 task #2): rows that ALWAYS get a

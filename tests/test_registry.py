@@ -191,16 +191,33 @@ def test_r13_window_follows_rotation_policy():
 
 
 def test_r14_window_follows_rotation_policy():
-    """Round-14 rotation — the ACTIVE window, so it must also LEAD
-    queries() (the driver hard-verifies the first 50 keys). No key was
-    reshaped at round-14 open, so there is no rule-2 head and the
-    window is the pure stalest-50 (the 46 remaining r8-hashed keys plus
-    the 4 stalest r9 keys) — exactly the round-13 pre-commit."""
+    """Round-14 rotation (frozen history; derivation only — it landed
+    50/50 in CORRECTNESS_r14). No key was reshaped at round-14 open, so
+    there is no rule-2 head and the window is the pure stalest-50 (the
+    46 remaining r8-hashed keys plus the 4 stalest r9 keys) — exactly
+    the round-13 pre-commit."""
     from hadoop_job_analyzer_spark import registry
 
     _check_rotation_window(
         registry._R14_WINDOW,
         rotation_round=14,
+        reshaped=[],
+        full_order=True,
+        leads_queries=False,
+    )
+
+
+def test_r15_window_follows_rotation_policy():
+    """Round-15 rotation — the ACTIVE window, so it must also LEAD
+    queries() (the driver hard-verifies the first 50 keys). No key was
+    reshaped at round-15 open, so there is no rule-2 head and the
+    window is the pure stalest-50 (the 45 remaining r9-hashed keys plus
+    the 5 stalest r10 keys) — exactly the round-14 pre-commit."""
+    from hadoop_job_analyzer_spark import registry
+
+    _check_rotation_window(
+        registry._R15_WINDOW,
+        rotation_round=15,
         reshaped=[],
         full_order=True,
         leads_queries=True,
@@ -243,7 +260,7 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    win = registry._R14_WINDOW
+    win = registry._R15_WINDOW
     assert tuple(qkeys[: len(win)]) == win
     okeys = [k for k in registry.oracle_sql() if k in set(win)]
     assert okeys == [k for k in win if k in set(okeys)]
