@@ -126,6 +126,58 @@ def solo_blocks(
     }
 
 
+def reduced_slow_leg(
+    run_duck: Callable[[], None],
+    run_spark: Callable[[], None],
+    probe_wall: float,
+    rounds: int = 3,
+    warm_runs: int = 2,
+) -> dict:
+    """Reduced protocol for keys whose DuckDB leg is minutes long (r15:
+    the full paired protocol re-runs the slow leg 8 times — ~45 min of
+    box time on `dedup_near_minhash`'s 335 s oracle — to refine a ratio
+    that is 0.04x, where the 8-run precision buys nothing: the 2x
+    criterion is decided by keys NEAR the line, and a >80 s DuckDB leg
+    against single-digit Spark walls cannot be near it). One more
+    DuckDB run (the probe already warmed its buffers; quoting the COLD
+    probe itself would overstate the DuckDB wall and flatter the ratio
+    — the r12 under-warm lesson, applied in reverse) + a standard
+    Spark solo block. The caller must escalate back to the full paired
+    protocol if the resulting ratio lands anywhere precision matters
+    (same_scale_ab escalates on (0.5, 2.5))."""
+    t0 = time.perf_counter()
+    run_duck()
+    dwall = time.perf_counter() - t0
+    for _ in range(warm_runs):
+        run_spark()
+    stimes: list[float] = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        run_spark()
+        stimes.append(time.perf_counter() - t0)
+    smed = statistics.median(stimes)
+    return {
+        "protocol": "reduced_slow_leg",
+        "duckdb_probe_wall": round(probe_wall, 3),
+        "duckdb_median3": round(dwall, 3),  # single warm run, field name kept for the record shape
+        "spark_median3": round(smed, 3),
+        "ratio": round(smed / dwall, 2),
+        "paired_ratios": [round(smed / dwall, 2)],
+        "paired_ratio_median": round(smed / dwall, 2),
+        "duckdb_times": [round(dwall, 3)],
+        "spark_times": [round(t, 3) for t in stimes],
+        "round_order": ["duck_block_then_spark_block"],
+        "warm_runs": warm_runs,
+        "within_session_spread": {
+            # single duck run: spread undefined, recorded as 1.0 so the
+            # solo-escalation trigger reads it as tight (the protocol is
+            # already block-shaped, there is nothing to escalate to)
+            "duckdb_maxmin": 1.0,
+            "spark_maxmin": round(max(stimes) / min(stimes), 2),
+        },
+    }
+
+
 def quoted_ratio(paired_rec: dict, solo_rec: dict | None) -> tuple[float, str]:
     """The BASELINE.md quoting rule as code: where paired and solo-block
     protocols disagree, quote the ratio LESS favorable to this engine

@@ -46,8 +46,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import statistics
+import time
 
-from scripts._ab_common import paired_rounds, quoted_ratio, solo_blocks
+from scripts._ab_common import (
+    paired_rounds,
+    quoted_ratio,
+    reduced_slow_leg,
+    solo_blocks,
+)
 
 OUT = "/tmp/hja_scale"
 
@@ -115,6 +121,54 @@ EXTRA_KEYS = [
 SOLO_ALWAYS = {"join_star_multiway", "agg_group_pricing"}
 SOLO_TRIGGER_SPREAD = 1.5
 
+# Slow-leg fast path (r15). Every key's FIRST DuckDB run is a timed
+# probe under an interrupt watchdog:
+# - probe > DUCK_INTERRUPT_CAP_S: the oracle is interrupted mid-run
+#   (con.interrupt) and the key records `duckdb_dnf` with Spark solo
+#   walls — an untested oracle (r15: dedup_components_full's recursive
+#   CTE at x256) can no longer hang the box or OOM it (the killed r15
+#   first attempt had the minhash CTE at 59 GiB RSS).
+# - probe > SLOW_LEG_THRESHOLD_S: reduced_slow_leg protocol (one more
+#   warm DuckDB run + a Spark solo block) — at >80 s DuckDB vs
+#   single-digit Spark walls the ratio is an order of magnitude from
+#   the 2x line, so the full 8-run paired refinement buys nothing; if
+#   the reduced ratio lands in RATIO_PRECISION_ZONE anyway (slow Spark
+#   leg too), the key escalates BACK to the full paired protocol.
+# - else: the full paired + solo-escalation protocol, unchanged — every
+#   key that can be near the 2x criterion keeps the r10-r14 protocol
+#   (the probe is just an extra warm run for them). Round-over-round
+#   comparability: the two basket keys this reroutes (dedup_near_minhash,
+#   text_fingerprint, both 0.04x in r14) sit at the extreme of the
+#   11-key distribution, so the frozen basket MEDIAN is unaffected by
+#   their protocol change.
+SLOW_LEG_THRESHOLD_S = 80.0
+DUCK_INTERRUPT_CAP_S = 1800.0
+RATIO_PRECISION_ZONE = (0.5, 2.5)
+
+
+def duck_probe(con, run_duck, cap_s: float) -> tuple[float, bool]:
+    """One timed DuckDB run with an interrupt watchdog. Returns
+    (wall_seconds, dnf). The watchdog thread calls con.interrupt() —
+    DuckDB aborts the running statement and raises, leaving the
+    connection reusable."""
+    import threading
+
+    timer = threading.Timer(cap_s, con.interrupt)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        run_duck()
+        return time.perf_counter() - t0, False
+    except duckdb.Error as e:
+        wall = time.perf_counter() - t0
+        if wall < cap_s * 0.95:  # a real error, not the watchdog
+            raise
+        print(f"  duck probe interrupted at {wall:.0f}s: {type(e).__name__}",
+              flush=True)
+        return wall, True
+    finally:
+        timer.cancel()
+
 
 def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Views over the staged dir; staged tables are DIRECTORIES of part
@@ -175,7 +229,43 @@ def main() -> None:
                 .mode("overwrite")
                 .save()
             )
-            rec = paired_rounds(run_duck, run_spark)
+            probe_wall, dnf = duck_probe(con, run_duck, DUCK_INTERRUPT_CAP_S)
+            if dnf:
+                # DuckDB could not finish one run inside the cap: record
+                # the Spark solo block and the DNF honestly — no ratio is
+                # quoted (a spark/cap "bound" would flatter this engine),
+                # and the basket median is marked incomplete if a frozen
+                # key ever lands here.
+                run_spark()  # warm
+                stimes = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    run_spark()
+                    stimes.append(time.perf_counter() - t0)
+                rec = {
+                    "duckdb_dnf": True,
+                    "duckdb_dnf_cap_s": DUCK_INTERRUPT_CAP_S,
+                    "duckdb_probe_wall": round(probe_wall, 3),
+                    "spark_median3": round(statistics.median(stimes), 3),
+                    "spark_times": [round(t, 3) for t in stimes],
+                    "quoted_ratio": None,
+                    "quoted_from": "duckdb_dnf",
+                }
+                results.setdefault(f"x{k}", {})[key] = rec
+                print(f"x{k} {key}: duckdb=DNF(>{DUCK_INTERRUPT_CAP_S:.0f}s) "
+                      f"spark={rec['spark_median3']}s", flush=True)
+                continue
+            if probe_wall > SLOW_LEG_THRESHOLD_S:
+                rec = reduced_slow_leg(run_duck, run_spark, probe_wall)
+                if (RATIO_PRECISION_ZONE[0] < rec["paired_ratio_median"]
+                        < RATIO_PRECISION_ZONE[1]):
+                    # slow Spark leg too — the ratio is where precision
+                    # matters, so pay for the full protocol after all
+                    rec = paired_rounds(run_duck, run_spark)
+                    rec["escalated_from_reduced"] = True
+            else:
+                rec = paired_rounds(run_duck, run_spark)
+            rec["duckdb_probe_wall"] = round(probe_wall, 3)
             paired = rec["paired_ratios"]
             spread = rec["within_session_spread"]
             needs_solo = (
@@ -183,6 +273,10 @@ def main() -> None:
                 or spread["duckdb_maxmin"] > SOLO_TRIGGER_SPREAD
                 or spread["spark_maxmin"] > SOLO_TRIGGER_SPREAD
             )
+            if rec.get("protocol") == "reduced_slow_leg":
+                # already block-shaped (duck block then spark block);
+                # a solo re-measure would just repeat it
+                needs_solo = False
             if spread["spark_maxmin"] > SOLO_TRIGGER_SPREAD:
                 # ADVICE r13 #2: record when the SPARK spread alone
                 # tripped the escalation, so the one-sidedness of the
@@ -197,6 +291,7 @@ def main() -> None:
                   f"spark={rec['spark_median3']}s ratio={rec['ratio']}x "
                   f"paired={paired} spread(d)={rec['within_session_spread']['duckdb_maxmin']}"
                   + (f" solo={solo['solo_ratio']}x" if solo else "")
+                  + (" [reduced]" if rec.get("protocol") == "reduced_slow_leg" else "")
                   + f" quoted={rec['quoted_ratio']}x({rec['quoted_from']})",
                   flush=True)
         con.close()
@@ -205,8 +300,14 @@ def main() -> None:
     # undefined on a --keys subset run
     quoting_medians = (
         {
-            scale: round(
-                statistics.median(res[key]["quoted_ratio"] for key in KEYS), 2
+            scale: (
+                round(
+                    statistics.median(res[key]["quoted_ratio"] for key in KEYS), 2
+                )
+                # a DNF frozen-basket key makes the median incomplete —
+                # say so rather than computing over a silent subset
+                if all(res[key].get("quoted_ratio") is not None for key in KEYS)
+                else "incomplete_dnf"
             )
             for scale, res in results.items()
         }

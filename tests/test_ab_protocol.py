@@ -149,3 +149,77 @@ def test_quoted_ratio_takes_less_favorable_number():
     # solo can also be the more favorable one; paired must then stand
     assert quoted_ratio({"paired_ratio_median": 1.2},
                         {"solo_ratio": 0.9}) == (1.2, "paired")
+
+def test_reduced_slow_leg_shape_and_arithmetic():
+    """r15 slow-leg fast path: one more (already-warm) DuckDB run, then a
+    Spark solo block — duck never follows spark, and the record carries
+    the paired-compatible field names so quoted_ratio/solo-escalation
+    logic reads it unchanged."""
+    import statistics
+    import time
+
+    from scripts._ab_common import reduced_slow_leg
+
+    log: list[str] = []
+
+    def duck() -> None:
+        log.append("d")
+        time.sleep(0.03)
+
+    def spark() -> None:
+        log.append("s")
+        time.sleep(0.01)
+
+    rec = reduced_slow_leg(duck, spark, probe_wall=123.4, rounds=3,
+                           warm_runs=2)
+    # one duck run, then spark's block (2 warm + 3 timed) — never interleaved
+    assert log == ["d"] + ["s"] * 5
+    assert rec["protocol"] == "reduced_slow_leg"
+    assert rec["duckdb_probe_wall"] == 123.4
+    assert len(rec["duckdb_times"]) == 1
+    assert len(rec["spark_times"]) == 3
+    assert rec["spark_median3"] == round(
+        statistics.median(rec["spark_times"]), 3)
+    # ratio fields mirror the single quotient; spread reads as tight so
+    # the solo-escalation trigger can't fire on an undefined spread
+    assert rec["paired_ratio_median"] == rec["ratio"]
+    assert rec["paired_ratios"] == [rec["ratio"]]
+    assert rec["within_session_spread"]["duckdb_maxmin"] == 1.0
+    assert rec["ratio"] < 1.0  # 10ms spark vs 30ms duck
+
+
+def test_duck_probe_interrupts_and_leaves_connection_reusable():
+    """r15 watchdog: an oracle that exceeds the cap is interrupted
+    mid-run (dnf=True) and the connection stays usable; a fast oracle
+    passes through untouched (dnf=False). Pins the real con.interrupt()
+    path — the first r15 A/B attempt had to be killed by hand when an
+    uncapped DuckDB leg hit 59 GiB RSS."""
+    import duckdb
+
+    from scripts.same_scale_ab import duck_probe
+
+    con = duckdb.connect()
+    slow = lambda: con.execute(  # noqa: E731
+        "SELECT count(*) FROM range(100000) a, range(1000000) b "
+        "WHERE (a.range * b.range) % 7 = 3").fetchall()
+    wall, dnf = duck_probe(con, slow, cap_s=1.0)
+    assert dnf and wall >= 0.95
+    assert con.execute("SELECT 1").fetchone()[0] == 1  # reusable
+    fast = lambda: con.execute("SELECT 1").fetchall()  # noqa: E731
+    wall, dnf = duck_probe(con, fast, cap_s=5.0)
+    assert not dnf and wall < 1.0
+
+
+def test_duck_probe_reraises_real_errors():
+    """A genuine query error (not the watchdog) must propagate — the
+    wall-clock guard distinguishes an interrupt at the cap from an
+    error that happened to be raised early."""
+    import duckdb
+    import pytest
+
+    from scripts.same_scale_ab import duck_probe
+
+    con = duckdb.connect()
+    bad = lambda: con.execute("SELECT * FROM no_such_table").fetchall()  # noqa: E731
+    with pytest.raises(duckdb.Error):
+        duck_probe(con, bad, cap_s=30.0)
