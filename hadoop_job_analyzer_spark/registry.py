@@ -843,7 +843,8 @@ _R14_WINDOW = (
     "scan_csv_schema",  # r9
 )
 
-# _R15_WINDOW — ACTIVE (rotation executed in round 15). Exactly the
+# _R15_WINDOW — rotation executed in round 15 (frozen history; it landed
+# 50/50 in CORRECTNESS_r15). Exactly the
 # pre-committed list (policy rule 4): once CORRECTNESS_r14 landed 50/50
 # on _R14_WINDOW, every key's latest hash is r9+ (histogram r9:45,
 # r10:48, r11:50, r12:50, r13:50, r14:50) and the stalest 50 are the
@@ -908,40 +909,108 @@ _R15_WINDOW = (
     "win_fill_forward",  # r10
 )
 
-# _R16_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
-# the sample is predictable, not curated): once CORRECTNESS_r15 lands
-# 50/50 on _R15_WINDOW, every key's latest hash is r10+ (histogram
-# r10:43, r11:50, r12:50, r13:50, r14:50, r15:50) and the stalest 50
-# are the 43 remaining r10-hashed keys plus the 7 stalest r11-hashed
+# _R16_WINDOW — ACTIVE (rotation executed in round 16). Exactly the
+# pre-committed list (policy rule 4): once CORRECTNESS_r15 landed 50/50
+# on _R15_WINDOW, every key's latest hash is r10+ (histogram r10:43,
+# r11:50, r12:50, r13:50, r14:50, r15:50) and the stalest 50 are the
+# 43 remaining r10-hashed keys plus the 7 stalest r11-hashed keys, in
+# raw registration order. Re-derived mechanically at round-16 open with
+# `python scripts/hash_ledger.py --window` over CORRECTNESS_r01-r15 —
+# the derivation reproduced the round-15 pre-commit VERBATIM (zero
+# adjustments; no key was reshaped at round open, so there is no
+# rule-2 head). After CORRECTNESS_r16 lands 50/50 on this window,
+# nothing is older than r11. Rule 2 still displaces tail entries for
+# any key added/reshaped in round 16 itself.
+_R16_WINDOW = (
+    "ts_gapfill_hourly",  # last driver hash r10
+    "funnel_stages",  # r10
+    "cohort_retention",  # r10
+    "win_trailing_hour",  # r10
+    "win_nth_value",  # r10
+    "win_transition_matrix",  # r10
+    "ts_ohlc_hourly",  # r10
+    "ts_resample_interp",  # r10
+    "ts_anomaly_zscore",  # r10
+    "win_rolling_median",  # r10
+    "ts_ewma_daily",  # r10
+    "win_activity_streaks",  # r10
+    "ts_changepoint_cusum",  # r10
+    "win_gap_distribution",  # r10
+    "ts_autocorr_lag",  # r10
+    "dedup_exact",  # r10
+    "dedup_near_minhash",  # r10
+    "sim_cosine_topk",  # r10
+    "sim_knn_join",  # r10
+    "text_ngram",  # r10
+    "text_tfidf",  # r10
+    "text_stats",  # r10
+    "multimodal_join",  # r10
+    "emb_centroid_per_label",  # r10
+    "dedup_prefix",  # r10
+    "dedup_simhash",  # r10
+    "dedup_ngram_jaccard",  # r10
+    "dedup_embedding",  # r10
+    "dedup_embedding_bucketed",  # r10
+    "sim_ann_ivf",  # r10
+    "dedup_components",  # r10
+    "minhash_jaccard_estimate",  # r10
+    "emb_quantize_int8",  # r10
+    "graph_pagerank",  # r10
+    "sim_ann_recall",  # r10
+    "dedup_family_compare",  # r10
+    "dedup_cluster_sizes",  # r10
+    "emb_label_separation",  # r10
+    "text_fingerprint",  # r10
+    "sample_hash_stratified",  # r10
+    "sample_fixed_per_stratum",  # r10
+    "agg_weighted_median",  # r10
+    "text_casing_profile",  # r10
+    "emb_pca_top_component",  # last driver hash r11
+    "split_train_test",  # r11
+    "decon_ngram_overlap",  # r11
+    "pack_sequences",  # r11
+    "text_remove_stopwords",  # r11
+    "corpus_dedup_apply",  # r11
+    "corpus_pipeline_e2e",  # r11
+)
+
+# _R17_WINDOW pre-commit (policy rule 4 — committed ahead of the round so
+# the sample is predictable, not curated): once CORRECTNESS_r16 lands
+# 50/50 on _R16_WINDOW, every key's latest hash is r11+ (histogram
+# r11:43, r12:50, r13:50, r14:50, r15:50, r16:50) and the stalest 50
+# are the 43 remaining r11-hashed keys plus the 7 stalest r12-hashed
 # keys, in raw registration order — derived mechanically by simulating
-# the r15 landing over CORRECTNESS_r01-r14 + _R15_WINDOW (re-derive
-# with `python scripts/hash_ledger.py --window` once CORRECTNESS_r15
+# the r16 landing over CORRECTNESS_r01-r15 + _R16_WINDOW (re-derive
+# with `python scripts/hash_ledger.py --window` once CORRECTNESS_r16
 # exists; tie-break = _QUERIES insertion order as always):
-#   ts_gapfill_hourly, funnel_stages, cohort_retention,
-#   win_trailing_hour, win_nth_value, win_transition_matrix,
-#   ts_ohlc_hourly, ts_resample_interp, ts_anomaly_zscore,
-#   win_rolling_median, ts_ewma_daily, win_activity_streaks,
-#   ts_changepoint_cusum, win_gap_distribution, ts_autocorr_lag,
-#   dedup_exact, dedup_near_minhash, sim_cosine_topk, sim_knn_join,
-#   text_ngram, text_tfidf, text_stats, multimodal_join,
-#   emb_centroid_per_label, dedup_prefix, dedup_simhash,
-#   dedup_ngram_jaccard, dedup_embedding, dedup_embedding_bucketed,
-#   sim_ann_ivf, dedup_components, minhash_jaccard_estimate,
-#   emb_quantize_int8, graph_pagerank, sim_ann_recall,
-#   dedup_family_compare, dedup_cluster_sizes, emb_label_separation,
-#   text_fingerprint, sample_hash_stratified, sample_fixed_per_stratum,
-#   agg_weighted_median, text_casing_profile, emb_pca_top_component,
-#   split_train_test, decon_ngram_overlap, pack_sequences,
-#   text_remove_stopwords, corpus_dedup_apply, corpus_pipeline_e2e
-# (after which nothing is older than r11). Rule 2 still displaces tail
-# entries for any key added/reshaped in round 16 itself.
+#   assign_contiguous_ids, corpus_health_report, corpus_snapshot_diff,
+#   split_kfold, corpus_mix_rebalance, decon_exact_doc,
+#   sketch_countmin, sketch_kmv_distinct, join_star_multiway,
+#   agg_collect_sorted, agg_first_digit_benford, agg_user_type_entropy,
+#   agg_apdex_score, ts_seasonal_strength_dow,
+#   win_session_length_histogram, join_attribution_asof,
+#   emb_norm_percentiles, graph_type_cooccurrence, corpus_filter_funnel,
+#   decon_near_minhash, win_activity_rank_global,
+#   ts_seasonal_naive_error, dedup_vector_exact, join_snowflake_q5,
+#   text_ngram_novelty, text_vocab_growth, agg_hourly_latency_bands,
+#   fn_datetime_format, ts_dau_wau, corpus_shard_balance,
+#   ops_session_report_e2e, win_time_weighted_avg,
+#   ts_anomaly_robust_mad, ts_merge_intervals,
+#   corpus_temperature_weights, text_sentence_stats,
+#   corpus_doc_length_histogram, win_pareto_8020, ts_cumulative_daily,
+#   emb_dim_variance_top, profile_column_stats, win_rank_delta_daily,
+#   agg_session_bounce_rate, win_survival_gap_curve, text_wordcount,
+#   sketch_hll_mergeable, udf_python_scalar, udf_pandas_scalar,
+#   udaf_pandas_grouped, udtf_apply_in_pandas
+# (after which nothing is older than r12). Rule 2 still displaces tail
+# entries for any key added/reshaped in round 17 itself.
 
 
 def _window_ordered(d: dict[str, Any]) -> dict[str, Any]:
     """Return ``d`` with the pinned driver-window keys first (insertion
     order is the driver's sampling order), then the rest in registration
     order."""
-    head = {k: d[k] for k in _R15_WINDOW if k in d}
+    head = {k: d[k] for k in _R16_WINDOW if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

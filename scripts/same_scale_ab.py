@@ -150,24 +150,49 @@ def duck_probe(con, run_duck, cap_s: float) -> tuple[float, bool]:
     """One timed DuckDB run with an interrupt watchdog. Returns
     (wall_seconds, dnf). The watchdog thread calls con.interrupt() —
     DuckDB aborts the running statement and raises, leaving the
-    connection reusable."""
+    connection reusable.
+
+    ADVICE r15 #1: DNF vs real-error is decided by an explicit
+    threading.Event set by the watchdog callback, NOT by wall-clock
+    proximity to the cap — an OOM raised after 95% of the cap used to
+    be silently recorded as a DNF, and a timer firing just after
+    run_duck() completed left a latched con.interrupt() that could
+    abort the NEXT statement. The Event disambiguates the first case;
+    the post-run swallow (a trivial statement in try/except when the
+    flag fired after completion) clears the second."""
     import threading
 
-    timer = threading.Timer(cap_s, con.interrupt)
+    fired = threading.Event()
+
+    def _watchdog() -> None:
+        fired.set()
+        con.interrupt()
+
+    timer = threading.Timer(cap_s, _watchdog)
     timer.start()
     t0 = time.perf_counter()
     try:
         run_duck()
-        return time.perf_counter() - t0, False
-    except duckdb.Error as e:
         wall = time.perf_counter() - t0
-        if wall < cap_s * 0.95:  # a real error, not the watchdog
+        timer.cancel()
+        if fired.is_set():
+            # Timer fired in the window between run_duck() returning and
+            # cancel(): the interrupt is latched on the connection and
+            # would spuriously abort the next real statement — absorb it
+            # on a throwaway one.
+            try:
+                con.execute("SELECT 1").fetchall()
+            except duckdb.Error:
+                pass
+        return wall, False
+    except duckdb.Error as e:
+        timer.cancel()
+        wall = time.perf_counter() - t0
+        if not fired.is_set():  # a real error, not the watchdog
             raise
         print(f"  duck probe interrupted at {wall:.0f}s: {type(e).__name__}",
               flush=True)
         return wall, True
-    finally:
-        timer.cancel()
 
 
 def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -266,6 +291,14 @@ def main() -> None:
             else:
                 rec = paired_rounds(run_duck, run_spark)
             rec["duckdb_probe_wall"] = round(probe_wall, 3)
+            if rec.get("protocol") != "reduced_slow_leg":
+                # ADVICE r15 #3: for full-protocol keys the probe is a
+                # THIRD DuckDB warm run while Spark keeps two — warm-up
+                # is asymmetric vs the r10-r14 protocol. Direction is
+                # conservative (a warmer DuckDB denominator can only make
+                # the quoted ratio less favorable to Spark); flagged here
+                # so round-over-round readers see the protocol delta.
+                rec["probe_counts_as_warm"] = True
             paired = rec["paired_ratios"]
             spread = rec["within_session_spread"]
             needs_solo = (

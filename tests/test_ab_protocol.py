@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scripts._ab_common import paired_rounds
@@ -128,10 +130,14 @@ def test_solo_block_medians_and_spread_derive_from_raw_lists():
         time.sleep(0.03)
 
     rec = solo_blocks(duck, spark, rounds=4, warm_runs=1)
-    assert rec["duckdb_solo_median"] == round(
-        statistics.median(rec["duckdb_solo_times"]), 3)
-    assert rec["spark_solo_median"] == round(
-        statistics.median(rec["spark_solo_times"]), 3)
+    # ADVICE r15 #2: the stored median is round(median(RAW), 3) while
+    # the stored times are themselves rounded; an even rounds count
+    # averages two middle values, so the two can differ by 0.0005 —
+    # compare with abs tolerance 1e-3, not equality.
+    assert rec["duckdb_solo_median"] == pytest.approx(
+        statistics.median(rec["duckdb_solo_times"]), abs=1e-3)
+    assert rec["spark_solo_median"] == pytest.approx(
+        statistics.median(rec["spark_solo_times"]), abs=1e-3)
     assert rec["solo_ratio"] > 1.0  # 30ms vs 20ms sleeps
     assert rec["within_block_spread"]["duckdb_maxmin"] >= 1.0
 
@@ -212,10 +218,10 @@ def test_duck_probe_interrupts_and_leaves_connection_reusable():
 
 def test_duck_probe_reraises_real_errors():
     """A genuine query error (not the watchdog) must propagate — the
-    wall-clock guard distinguishes an interrupt at the cap from an
-    error that happened to be raised early."""
+    threading.Event set by the watchdog callback (ADVICE r15 #1)
+    distinguishes an interrupt from a real error, regardless of when
+    the error is raised."""
     import duckdb
-    import pytest
 
     from scripts.same_scale_ab import duck_probe
 
@@ -223,3 +229,26 @@ def test_duck_probe_reraises_real_errors():
     bad = lambda: con.execute("SELECT * FROM no_such_table").fetchall()  # noqa: E731
     with pytest.raises(duckdb.Error):
         duck_probe(con, bad, cap_s=30.0)
+
+
+def test_duck_probe_reraises_real_error_near_cap():
+    """ADVICE r15 #1 regression: a real error raised after 95% of the
+    cap used to be misclassified as a watchdog DNF by the old
+    wall-clock heuristic. With the Event flag it must still re-raise —
+    only an actual watchdog interrupt records a DNF."""
+    import time as _time
+
+    import duckdb
+
+    from scripts.same_scale_ab import duck_probe
+
+    con = duckdb.connect()
+
+    def late_error() -> None:
+        _time.sleep(2.9)  # > 0.95 * cap, before the 3.0 s watchdog
+        con.execute("SELECT * FROM no_such_table").fetchall()
+
+    with pytest.raises(duckdb.Error):
+        duck_probe(con, late_error, cap_s=3.0)
+    # and the connection has no latched interrupt pending
+    assert con.execute("SELECT 1").fetchone()[0] == 1

@@ -208,16 +208,33 @@ def test_r14_window_follows_rotation_policy():
 
 
 def test_r15_window_follows_rotation_policy():
-    """Round-15 rotation — the ACTIVE window, so it must also LEAD
-    queries() (the driver hard-verifies the first 50 keys). No key was
-    reshaped at round-15 open, so there is no rule-2 head and the
-    window is the pure stalest-50 (the 45 remaining r9-hashed keys plus
-    the 5 stalest r10 keys) — exactly the round-14 pre-commit."""
+    """Round-15 rotation (frozen history; derivation only — it landed
+    50/50 in CORRECTNESS_r15). No key was reshaped at round-15 open, so
+    there is no rule-2 head and the window is the pure stalest-50 (the
+    45 remaining r9-hashed keys plus the 5 stalest r10 keys) — exactly
+    the round-14 pre-commit."""
     from hadoop_job_analyzer_spark import registry
 
     _check_rotation_window(
         registry._R15_WINDOW,
         rotation_round=15,
+        reshaped=[],
+        full_order=True,
+        leads_queries=False,
+    )
+
+
+def test_r16_window_follows_rotation_policy():
+    """Round-16 rotation — the ACTIVE window, so it must also LEAD
+    queries() (the driver hard-verifies the first 50 keys). No key was
+    reshaped at round-16 open, so there is no rule-2 head and the
+    window is the pure stalest-50 (the 43 remaining r10-hashed keys
+    plus the 7 stalest r11 keys) — exactly the round-15 pre-commit."""
+    from hadoop_job_analyzer_spark import registry
+
+    _check_rotation_window(
+        registry._R16_WINDOW,
+        rotation_round=16,
         reshaped=[],
         full_order=True,
         leads_queries=True,
@@ -260,7 +277,7 @@ def test_window_order_matches_pinned_list():
     from hadoop_job_analyzer_spark import registry
 
     qkeys = list(registry.queries())
-    win = registry._R15_WINDOW
+    win = registry._R16_WINDOW
     assert tuple(qkeys[: len(win)]) == win
     okeys = [k for k in registry.oracle_sql() if k in set(win)]
     assert okeys == [k for k in win if k in set(okeys)]
