@@ -614,7 +614,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf is spread-before-explode (parallel tokenize, exchange-free
     groupBy — _common.spread) and persisted: both consumers (the df
     aggregation and the scoring join) would replay the token pipeline
-    otherwise."""
+    otherwise.
+
+    r16: df counts tf ROWS, not distinct doc_ids — tf is unique on
+    (doc_id, token) by construction (it is a groupBy output on exactly
+    those keys), so COUNT(*) == COUNT(DISTINCT doc_id) and the
+    countDistinct's Expand + two-phase aggregate was pure overhead: the
+    shuffle carried every (token, doc_id) pair where a plain count
+    ships one partial count per (partition, token) (guide §2.3
+    "aggregate before you shuffle")."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar dimension; at scale: a 1-row broadcast instead
     tf = (
@@ -624,7 +632,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     score = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
     return (

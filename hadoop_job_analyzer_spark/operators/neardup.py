@@ -2202,51 +2202,135 @@ def _km_snap(c):
     return (F.col(c) if isinstance(c, str) else c).cast("decimal(38,12)")
 
 
+def _km_sum_snap(arr):
+    """Exact IN-ROW decimal sum with SUM(CAST(t AS DECIMAL(38,12)))
+    semantics (r16 assignment reshape — see _km_assign).
+
+    Terms snap at (25,12) — value-identical to the oracle's (38,12)
+    snap while |t| < 10^13 (embedding cells are O(1); the fixture max
+    |x·c| is < 10^3) — and the running (30,12) accumulator keeps every
+    addition exact: (30,12)+(25,12) widens to (31,12), and the cast
+    back to (30,12) is lossless below 10^18 integer magnitude. A
+    (38,12) accumulator would NOT work: Spark adjusts (38,12)+(38,12)
+    to scale 11 and rounds away the 12th decimal of every partial sum.
+    Verified equal to the exploded groupBy-SUM path bit-for-bit."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, t: (acc + t).cast("decimal(30,12)"),
+    ).cast("double")
+
+
+def _km_dot(a, b):
+    """Decimal-snapped dot product of two double arrays, in-row."""
+    return _km_sum_snap(F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(25,12)")))
+
+
+def _km_onerow(per_cent: DataFrame) -> DataFrame:
+    """(cen_id, cvec) k rows → ONE codebook row: array of k structs
+    {cen_id, cvec, cn2} sorted by cen_id. The single-partition exchange
+    carries k rows — metadata-sized by construction (k=8)."""
+    with_n = per_cent.withColumn(
+        "cn2", _km_sum_snap(F.transform("cvec", lambda c: (c * c).cast("decimal(25,12)")))
+    )
+    return with_n.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cen_id", "cvec", "cn2"))).alias("cb")
+    )
+
+
 def _km_inputs(spark: SparkSession, sf_dir: str):
-    """(exploded vectors, per-vector norms, initial codebook) for the
-    k-means loop. ex/vnorm persist — every round re-reads both."""
+    """(projected vectors, initial 1-row codebook) for the k-means loop.
+
+    r16 reshape (guide §2.4/§3.1): vectors stay ARRAYS — (vec_id, _v,
+    _vn2) with the squared norm precomputed in-row — and persist (every
+    round re-reads them); the codebook travels as ONE row of k
+    (cen_id, cvec, cn2) structs. The old shape exploded vectors to
+    n×64 rows and joined the k×64 codebook cells per round (n×64×8
+    intermediate rows through two groupBy shuffles per round); the
+    codebook is k·dim cells at ANY corpus size, so it belongs on the
+    build side of a broadcast with the vector side never shuffled —
+    taken to the limit, the build side is literally one row and the
+    assignment is a pure map (the MLlib k-means shape)."""
     e = load_table(spark, sf_dir, "embeddings")
-    ex = (
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    # spread BEFORE projecting: the embeddings scan is as few tasks as
+    # the file layout dictates (ONE at bench SF — measured: the whole
+    # per-round assignment map ran single-threaded without this), and
+    # every round's map + recenter explode reads this frame, so the
+    # explicit-N repartition is their parallelism for the entire loop.
+    vecs = (
         spread(e, "vec_id")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
-        .select("vec_id", (F.col("pos") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+        .select("vec_id", v.alias("_v"))
+        .withColumn(
+            "_vn2",
+            _km_sum_snap(F.transform("_v", lambda x: (x * x).cast("decimal(25,12)"))),
+        )
         .persist()
     )
-    vnorm = ex.groupBy("vec_id").agg(
-        F.sum(_km_snap(F.col("x") * F.col("x"))).cast("double").alias("vn2")
-    ).persist()
-    cents = ex.where(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cen_id"), "i", F.col("x").alias("c")
+    cb0 = _km_onerow(
+        vecs.where(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cen_id"), F.col("_v").alias("cvec")
+        )
     )
-    return ex, vnorm, cents
+    return vecs, cb0
 
 
-def _km_assign(ex: DataFrame, vnorm: DataFrame, cents: DataFrame) -> DataFrame:
-    """One k-means assignment round: rounded cosine of every vector
-    against the BROADCAST codebook, argmax via min(struct). Extracted so
-    the plan guard (tests/test_plans.py) can assert the codebook joins
-    broadcast on the real per-round subtree — the operator's final plan
-    hides them behind the result checkpoint."""
-    cn = cents.groupBy("cen_id").agg(
-        F.sum(_km_snap(F.col("c") * F.col("c"))).cast("double").alias("cn2")
-    )
-    cos = (
-        ex.join(F.broadcast(cents), "i")
-        .groupBy("vec_id", "cen_id")
-        .agg(F.sum(_km_snap(F.col("x") * F.col("c"))).cast("double").alias("dot"))
-        .join(vnorm, "vec_id")
-        .join(F.broadcast(cn), "cen_id")
-        .select(
-            "vec_id",
-            "cen_id",
-            F.round(F.col("dot") / F.sqrt(F.col("vn2") * F.col("cn2")), 6).alias("cos"),
+def _km_assign(vecs: DataFrame, cb: DataFrame) -> DataFrame:
+    """One k-means assignment round, MAP-ONLY: rounded cosine of every
+    vector against the broadcast ONE-ROW codebook, argmax in-row via
+    array_min on (-cos, cen_id) structs — ties pick the lowest cen_id,
+    exactly the oracle's ROW_NUMBER ORDER BY cos DESC, cen_id ASC.
+
+    No exchange anywhere in this subtree (guarded by tests/
+    test_plans.py): the r15 shape paid, per round, an n×64×8-row
+    join+groupBy for the dots plus a second groupBy for the argmax;
+    all of that arithmetic now runs inside one codegen'd projection.
+    Extracted so the plan guard can assert the shape on the real
+    per-round subtree — the operator's final plan hides it behind the
+    result checkpoint."""
+    best = F.array_min(
+        F.transform(
+            "cb",
+            lambda c: F.struct(
+                (
+                    -F.round(
+                        _km_dot(F.col("_v"), c["cvec"]) / F.sqrt(F.col("_vn2") * c["cn2"]),
+                        6,
+                    )
+                ).alias("nc"),
+                c["cen_id"].alias("cen_id"),
+            ),
         )
     )
     return (
-        cos.groupBy("vec_id")
-        .agg(F.min(F.struct((-F.col("cos")).alias("nc"), F.col("cen_id"))).alias("m"))
-        .select("vec_id", F.col("m.cen_id").alias("cen_id"), (-F.col("m.nc")).alias("cos"))
+        vecs.crossJoin(F.broadcast(cb))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            "_v",
+            F.col("_best.cen_id").alias("cen_id"),
+            (-F.col("_best.nc")).alias("cos"),
+        )
     )
+
+
+def _km_recenter(asg: DataFrame) -> DataFrame:
+    """Assignment (carrying _v) → next 1-row codebook: per-(cen_id, dim)
+    member mean with exact decimal sums. The only non-trivial shuffle
+    per round: n×64 exploded cells, partially aggregated map-side to
+    ≤ k×64 rows per partition before the exchange."""
+    per_cent = (
+        asg.select("cen_id", F.posexplode("_v").alias("_p", "x"))
+        .groupBy("cen_id", "_p")
+        .agg((F.sum(_km_snap("x")).cast("double") / F.count(F.lit(1))).alias("c"))
+        .groupBy("cen_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+    return _km_onerow(per_cent)
 
 
 @query("emb_kmeans_iterative", oracle=_kmeans_oracle())
@@ -2264,48 +2348,45 @@ def emb_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp round are single IEEE ops. Centroid means divide an exact
     decimal sum (cast to double) by the bigint member count.
 
-    Plan shape per round: one (pos)-join of the exploded vectors against
-    the k×64 centroid frame (broadcast — the codebook is k·dim cells at
-    any corpus size), partial-agg'd groupBy(vec_id, cen_id) for dots,
-    argmax via min(struct), then a (cen_id, pos) groupBy for the new
-    means. The vector-side explode happens ONCE and persists; rounds
-    reuse it. At 100 TB this is MLlib's k-means shuffle pattern with a
-    broadcast codebook — nothing iterates on the driver but the loop
-    counter (fixed rounds, no convergence collect).
+    Plan shape per round (r16 reshape, guide §2.4 "remove shuffles
+    outright" + §3.1 broadcast): assignment is a PURE MAP — the k×64
+    codebook travels as ONE broadcast row of (cen_id, cvec, cn2)
+    structs and every vector computes its 8 decimal-snapped dots and
+    the argmax inside a single codegen'd projection (zip_with +
+    aggregate + array_min; exact-sum equivalence argued at
+    _km_sum_snap). The only per-round shuffle is the re-center: n×64
+    exploded cells partial-agg'd to k×64 means. The r15 shape instead
+    joined exploded vectors (n×64 rows) against the codebook cells and
+    paid an n×64×8-row groupBy for the dots plus a second groupBy for
+    the argmax, per round — two shuffles and a 3-orders-larger
+    intermediate that all collapse into the map stage. The vector side
+    (vec_id, _v, _vn2) is projected ONCE and persists; rounds reuse it.
+    At 100 TB this is exactly MLlib's k-means pattern (broadcast
+    codebook, map-side assignment, one small re-center shuffle) —
+    nothing iterates on the driver but the loop counter (fixed rounds,
+    no convergence collect).
     """
-    ex, vnorm, cents = _km_inputs(spark, sf_dir)
+    vecs, cb = _km_inputs(spark, sf_dir)
     asg = None
     for rnd in range(_KM_ROUNDS):
-        asg = _km_assign(ex, vnorm, cents)
+        asg = _km_assign(vecs, cb)
         if rnd < _KM_ROUNDS - 1:
-            # The re-centered codebook is k×dim cells — localCheckpoint
-            # truncates the per-round lineage (the dedup_components rule)
-            # so the final plan stays shallow and each round's tiny
-            # centroid job runs once, not once per downstream reference.
-            cents = (
-                asg.join(ex, "vec_id")
-                .groupBy("cen_id", "i")
-                .agg(
-                    (F.sum(_km_snap("x")).cast("double") / F.count(F.lit(1))).alias("c")
-                )
-                .localCheckpoint(eager=True)
-            )
+            # The re-centered codebook is ONE k-struct row —
+            # localCheckpoint truncates the per-round lineage (the
+            # dedup_components rule) so the final plan stays shallow and
+            # each round's subtree runs once, not once per downstream
+            # reference.
+            cb = _km_recenter(asg).localCheckpoint(eager=True)
         else:
             # Final round: nothing consumes a re-centered codebook (the
             # result is the ASSIGNMENT against the round-(N-1) centroids),
             # so skip that whole job, and checkpoint the assignment itself
             # — otherwise the action that consumes the returned DataFrame
-            # re-executes the entire last-round broadcast-join + argmax
-            # subtree a second time. One fewer heavy pass per invocation
-            # (4 → 3); measured ~15% cold / ~5% warm at sf0.1 (the saved
-            # pass reads the cached explode, so it was cheap to begin
-            # with — the structural win is at scale, where the join-back
-            # and argmax shuffles are not cache-local).
+            # re-executes the last-round assignment map a second time.
             asg = asg.localCheckpoint(eager=True)
-    # Result is materialized; release the round-shared caches so a
-    # long-lived driver session doesn't accumulate them per invocation.
-    ex.unpersist()
-    vnorm.unpersist()
+    # Result is materialized; release the round-shared cache so a
+    # long-lived driver session doesn't accumulate it per invocation.
+    vecs.unpersist()
     return asg.select("vec_id", "cen_id", F.col("cos").alias("cosine"))
 
 

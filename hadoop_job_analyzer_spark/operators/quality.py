@@ -2103,10 +2103,17 @@ def text_dup_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority-duplicate. THE before/after metric a dedup run is sized by:
     dup_mass is (approximately) the token mass dedup can reclaim.
 
-    Plan: one non-distinct gram explode (occurrence stream), df counts
-    as one (gram → distinct doc count) groupBy, joined back on the gram
-    key, collapsed per doc then per lang — three hash shuffles, all on
-    gram/doc keys, no windows, no pairs. At 100 TB the join key becomes
+    Plan (r16 reshape, guide §2.3 "shuffle fewer bytes" / "aggregate
+    before you shuffle"): the occurrence stream is collapsed to DISTINCT
+    (doc, gram) pairs with an in-stage occurrence count FIRST — the
+    spread already clusters by doc_id, so that groupBy adds NO exchange
+    — and everything downstream runs on pairs, not occurrences: df is a
+    plain COUNT over the unique pairs (the r15 shape's
+    countDistinct(doc_id) paid an Expand + two-phase aggregate whose
+    shuffle carried every occurrence), the gram-keyed join back ships
+    each (doc, gram) once with its count, and the per-doc rollup sums
+    counts. Three hash shuffles as before, every one of them now
+    carrying pair-granularity rows. At 100 TB the join key becomes
     md5(gram) (32-byte bound, the decon_ngram_overlap note) and df fits
     a count-min sketch if the exact join ever dominates.
     """
@@ -2121,14 +2128,25 @@ def text_dup_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(n)])
     )
-    occ = toks.select("doc_id", "lang", F.explode(gram).alias("gram")).persist()
-    df_counts = occ.groupBy("gram").agg(F.countDistinct("doc_id").alias("n_docs_gram"))
+    # Exchange-free collapse: HashPartitioning(doc_id) from the spread
+    # satisfies the (doc_id, lang, gram) clustering, so this groupBy runs
+    # inside the scan stage; rows out = distinct pairs, with multiplicity.
+    occ = (
+        toks.select("doc_id", "lang", F.explode(gram).alias("gram"))
+        .groupBy("doc_id", "lang", "gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .persist()
+    )
+    # occ is unique on (doc_id, gram) ⇒ COUNT(*) == COUNT(DISTINCT doc_id).
+    df_counts = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_gram"))
     per_doc = (
         occ.join(df_counts, "gram")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_occ"),
-            F.sum(F.when(F.col("n_docs_gram") > 1, 1).otherwise(0)).alias("n_dup_occ"),
+            F.sum("_cnt").alias("n_occ"),
+            F.sum(F.when(F.col("n_docs_gram") > 1, F.col("_cnt")).otherwise(0)).alias(
+                "n_dup_occ"
+            ),
         )
     )
     return per_doc.groupBy("lang").agg(

@@ -285,10 +285,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts are collapsed FIRST — groupBy(md5(text)) with first(text)
     (map-side partial agg keeps one text per key per partition, so the
     shuffle carries ~distinct texts, not the corpus) — each distinct
-    text is fingerprinted once (explode → md5 → per-text gram dedup →
-    agg, the same zero-extra-exchange chain as the per-doc twin), and
-    the per-text results fan back out with a join on md5(text) that AQE
-    broadcast-converts when the distinct side is small. This is the
+    text is fingerprinted once (r16: fully IN-ROW via higher-order
+    functions — see the inline comment), and the per-text results fan
+    back out with a join on md5(text) that AQE broadcast-converts when
+    the distinct side is small. This is the
     dedup-before-featurize move every training-data pipeline makes, in
     one declarative plan.
 
@@ -310,32 +310,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3.6 s at sf0.1): the collapse's groupBy exchange is already
     # hash(_tkey)-partitioned, so a spread(_tkey) after it is PRUNED by
     # EnsureRequirements, AQE coalesces the metadata-sized shuffle to
-    # ~1 partition, and the gram explode + md5 ran single-threaded
-    # (verified: raw.rdd.getNumPartitions() == 1). Round-robin
-    # repartition(n) is never pruned (different partitioning) nor
-    # AQE-coalesced (explicit N) → explode/md5 run n-way; the explicit
-    # spread(_tkey, gram_md5) below then feeds the dedup+fp aggs n-way
-    # (its exchange carries the gram rows ONCE — ~#distinct-text grams,
-    # scale-invariant under duplication — and satisfies both downstream
-    # groupBys, so they add no further exchange). A/B'd against letting
-    # the dedup groupBy take its natural exchange (map-side combine but
-    # AQE-coalesced final stage): 0.96 s vs 1.21 s at sf0.1.
+    # ~1 partition, and the gram hashing would run single-threaded.
+    # Round-robin repartition(n) is never pruned (different
+    # partitioning) nor AQE-coalesced (explicit N) → the md5 map stage
+    # runs n-way.
     texts = d.groupBy(F.md5("text").alias("_tkey")).agg(
         F.first("text").alias("text")
     ).repartition(n)
-    raw = texts.select(
-        "_tkey",
-        "text",
-        F.explode(F.expr("sequence(1, length(text) - 7)")).alias("i"),
-    ).select("_tkey", F.expr("md5(substr(text, i, 8))").alias("gram_md5"))
-    pairs = spread(raw, "_tkey", "gram_md5").groupBy("_tkey", "gram_md5").agg(
-        F.lit(1).alias("_one")
+    # r16 reshape (guide §2.4 "remove shuffles outright" + §4.1
+    # higher-order functions): the whole per-text sketch is computed
+    # IN-ROW — grams as a transform over the slide positions, dedup via
+    # array_distinct, min/max/count as array ops — so the gram mass
+    # (~290 md5s per text, 1.45 M rows at sf0.1) never materializes as
+    # rows and never crosses an exchange. The r15 shape exploded the
+    # grams and paid one full (_tkey, gram_md5) shuffle plus FOUR
+    # SortAggregates (min/max over string buffers demote HashAggregate —
+    # the bounce-rewrite lesson); all of it collapses into one
+    # codegen'd projection over the ~#distinct-text rows. min/max are
+    # dedup-invariant so they read the raw gram array; only the distinct
+    # count pays the per-row hash-set. Per-row state is (len-7)×32-char
+    # strings — bounded by document length, the same per-task bound the
+    # exploded shape had per partition.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
     )
-    fp = pairs.groupBy("_tkey").agg(
-        F.min("gram_md5").alias("fp_min"),
-        F.max("gram_md5").alias("fp_max"),
-        F.count(F.lit(1)).alias("n_distinct_grams"),
-        F.conv(F.substring(F.min("gram_md5"), 1, 15), 16, 10)
+    fp = texts.select(
+        "_tkey",
+        grams.alias("_g"),
+    ).select(
+        "_tkey",
+        F.array_min("_g").alias("fp_min"),
+        F.array_max("_g").alias("fp_max"),
+        F.size(F.array_distinct("_g")).cast("bigint").alias("n_distinct_grams"),
+        F.conv(F.substring(F.array_min("_g"), 1, 15), 16, 10)
         .cast("bigint")
         .alias("fingerprint64"),
     )

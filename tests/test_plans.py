@@ -114,9 +114,15 @@ def test_fingerprint_has_no_expand_and_parallel_map(plan):
     # partitioning and the md5 mass running single-threaded.
     assert "REPARTITION_BY_NUM" in p, p[:600]
     assert "RoundRobinPartitioning" in p or "roundrobin" in p.lower(), p[:600]
-    # the gram dedup is fed by the explicit-N spread (coalesce-proof):
-    # one hashpartitioning exchange on (_tkey, gram_md5)
-    assert "hashpartitioning(_tkey" in p
+    # r16: the per-text sketch is computed IN-ROW (transform/array_min/
+    # array_distinct) — the gram mass never materializes as rows, so
+    # there is no (_tkey, gram_md5) exchange and the only
+    # SortAggregates left are the collapse's partial/final first(text)
+    # pair over corpus-sized rows (the r15 shape additionally paid four
+    # SortAggregates over the ~290×-larger gram mass)
+    assert "hashpartitioning(_tkey, gram_md5" not in p
+    assert p.count("SortAggregate") == 2, p
+    assert "array_distinct" in p
     # the fan-out join is declared plainly; with stats AQE broadcasts it
     assert "Join" in p
 
@@ -489,28 +495,33 @@ def test_mahalanobis_moments_are_broadcast(plan):
     assert "Window" not in p  # no windows anywhere in this plan
 
 
-def test_kmeans_codebook_joins_are_broadcast(plan, spark, sf_dir):
-    """emb_kmeans_iterative: every per-round codebook join (k x 64 cells)
-    must broadcast — the vector side never reshuffles for the codebook.
-    Asserted on the extracted per-round assignment subtree (`_km_assign`,
-    the exact code the loop runs): since r7 the operator checkpoints the
-    final assignment (so the write doesn't re-run the last round), which
-    reduces ITS final plan to a checkpoint scan with no joins to inspect.
-    The operator's plan is still pinned shallow below."""
+def test_kmeans_assignment_is_map_only(plan, spark, sf_dir):
+    """emb_kmeans_iterative: the per-round assignment must be a PURE MAP
+    — the 1-row codebook attaches via a broadcast nested-loop join and
+    the vector side never shuffles (r16 reshape; the dots + argmax run
+    in-row). Asserted on the extracted per-round assignment subtree
+    (`_km_assign`, the exact code the loop runs): since r7 the operator
+    checkpoints the final assignment (so the write doesn't re-run the
+    last round), which reduces ITS final plan to a checkpoint scan with
+    no joins to inspect. The operator's plan is still pinned shallow
+    below."""
     from hadoop_job_analyzer_spark.operators.neardup import _km_assign, _km_inputs
 
-    ex, vnorm, cents = _km_inputs(spark, sf_dir)
+    vecs, cb0 = _km_inputs(spark, sf_dir)
     try:
-        asg = _km_assign(ex, vnorm, cents)
+        asg = _km_assign(vecs, cb0.localCheckpoint(eager=True))
         p = spark._jvm.PythonSQLUtils.explainString(asg._jdf.queryExecution(), "simple")
-        assert "BroadcastHashJoin" in p
+        assert "BroadcastNestedLoopJoin" in p  # the 1-row codebook attach
+        # the vector side must not shuffle: no hash/range exchange in the
+        # assignment subtree (the checkpointed codebook contributes none)
+        assert "Exchange hashpartitioning" not in p
+        assert "Exchange rangepartitioning" not in p
         assert "SortMergeJoin" not in p
     finally:
-        # _km_inputs persists both frames for the loop; release them so the
-        # shared session fixture doesn't accumulate cached relations
+        # _km_inputs persists the vector frame for the loop; release it so
+        # the shared session fixture doesn't accumulate cached relations
         # (ADVICE r7 — same cache-release discipline as the operators).
-        ex.unpersist()
-        vnorm.unpersist()
+        vecs.unpersist()
     # the registered key's own plan: nothing but the materialized result
     # (no recompute of the assignment subtree at action time)
     pk = plan("emb_kmeans_iterative")
