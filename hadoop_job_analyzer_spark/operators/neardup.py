@@ -35,6 +35,50 @@ _H_SQL = "('0x' || substring(md5(token), 1, 15))::BIGINT"
 _H_SPARK = "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)"
 
 
+def _rare_shingle_index(spark: SparkSession, sf_dir: str):
+    """df≤{_JACCARD_MAX_DF} rare-shingle inverted index (doc_id, h),
+    PERSISTED — shared by dedup_ngram_jaccard and dedup_containment
+    (identical subtree ⇒ one CacheManager entry when both run).
+
+    r16 reshape (guide §4.1 higher-order functions): the per-doc
+    shingle DEDUP runs IN-ROW (array_distinct over the shingle array,
+    hashed to int64 in the same projection), replacing the exploded
+    (doc_id, shingle-string) hash aggregation — the explode now emits
+    8-byte longs only and no distinct-agg state exists at all (measured
+    1.12→0.97 s at sf0.1 on the index build; the structural win is the
+    removed string-keyed aggregation at corpus scale). The df filter
+    stays a COUNT window over the shingle-hash partition: one shuffle,
+    row-streamed and spill-safe for mega-shingles (a groupBy+collect
+    per h would hold a boilerplate shingle's whole posting list in one
+    aggregation state).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + 1),
+            F.element_at(F.col("t"), i + 2),
+        ),
+    )
+    hs = F.transform(
+        F.array_distinct(sh),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    return (
+        toks.select("doc_id", F.explode(hs).alias("h"))
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("_df") <= _JACCARD_MAX_DF)
+        .drop("_df")
+        .persist()
+    )
+
+
 def _simhash_oracle() -> str:
     sums = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -193,18 +237,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides the same way — the comparison stays exact (and at 2^60 the
     expected collision count is ~0 below trillions of shingles).
     """
-    rsh = (
-        _shingles(load_table(spark, sf_dir, "documents"))
-        .distinct()
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
-        )
-        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .where(F.col("_df") <= _JACCARD_MAX_DF)
-        .drop("_df")
-        .persist()
-    )
+    rsh = _rare_shingle_index(spark, sf_dir)
     sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = rsh.select(F.col("doc_id").alias("doc_a"), "h")
     b = rsh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -736,22 +769,25 @@ def _min_label_components(spark: SparkSession, sf_dir: str, pairs: DataFrame) ->
     dedup_components' docstring for the checkpointing/convergence
     rationale.
 
-    r6 (verdict task #7): rounds ≥3 follow the one-hop neighbor-min step
-    with a POINTER JUMP — component ← component's own component (labels
-    are doc_ids, so the label table doubles as the pointer map; one
-    extra (id,label)-sized equi-join per jumping round). Plain
-    propagation moves the min label one hop per round (O(diameter)
-    rounds), and the loop is hard-capped at 20 rounds — so a component
-    of diameter >~20 would previously return UNCONVERGED labels. The
-    jump halves every label chain per round (Shiloach-Vishkin
-    shortcutting), so the cap now covers diameters up to ~2^17 —
-    a correctness-at-scale guarantee, not just speed. The jump is
-    DEFERRED to round 3 because measured dedup graphs converge in 2-3
-    one-hop rounds (cluster diameters are shallow) and an always-on
-    jump was pure overhead there (+17% at x16, measured); shallow
-    graphs therefore pay nothing. Labels only ever decrease and the
-    fixed point (every doc labeled its component's min doc_id, where
-    l(l(v)) = l(v)) is unchanged, so both components keys and every
+    r6 (verdict task #7) introduced the POINTER JUMP — component ←
+    component's own component (labels are doc_ids, so the label table
+    doubles as the pointer map). Plain propagation moves the min label
+    one hop per round (O(diameter) rounds), and the loop is hard-capped
+    at 20 rounds — so a component of diameter >~20 would previously
+    return UNCONVERGED labels. The jump doubles the label's reach per
+    round (Shiloach-Vishkin shortcutting), so the cap covers diameters
+    up to ~2^17 — a correctness-at-scale guarantee, not just speed.
+
+    r16 reshape: the jump reads the PREVIOUS round's materialized
+    labels instead of self-joining the current step — see the inline
+    comment. That removes the mid-round eager checkpoint (one blocking
+    job + one full label-table materialization per jumping round), and
+    makes the jump cheap enough to run from round 1 (the r15 shape
+    deferred it to round 3 because its fresh-jump checkpoint cost +17%
+    at x16 on shallow graphs; the stale jump is one in-job broadcast-
+    sized equi-join). Labels only ever decrease and the fixed point
+    (every doc labeled its component's min doc_id, where l(l(v)) =
+    l(v)) is unchanged, so both components keys and every
     keeper/cluster/apply dependent hash-match exactly as before.
     tests/test_llm_ext.py pins the deep-chain case a plain 20-round
     cap gets wrong.
@@ -786,30 +822,31 @@ def _min_label_components(spark: SparkSession, sf_dir: str, pairs: DataFrame) ->
                 F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
             ).alias("component"),
         )
-        if rnd >= 2:
-            # Pointer jump (deferred — see docstring): component ← the
-            # component's own component. Every label IS a doc_id, so
-            # `stepped` itself is the pointer map; min-labels are monotone
-            # non-increasing, hence the jump only tightens toward the same
-            # fixed point. The left join always matches (labels cover all
-            # doc_ids); coalesce guards the contract anyway.
-            # Eagerly checkpoint BEFORE the self-join: both sides of the
-            # jump read `stepped`, and without materialization the
-            # neighbor-min join+groupBy subtree executes twice per jumping
-            # round (ADVICE r6). localCheckpoint beats persist() here
-            # (measured A/B at sf0.1: 6.1 vs 7.7 s warm, 7.4 vs 15.8 cold):
-            # a persist only helps if the first consumer's cache write
-            # finishes before the second consumer's tasks run — inside ONE
-            # job the two join sides race and often both compute the
-            # subtree anyway, now paying cache-write overhead on top. The
-            # eager checkpoint runs the subtree exactly once, synchronously,
-            # and truncates lineage for free (the per-round checkpoint was
-            # already the loop's design).
-            sck = stepped.localCheckpoint(eager=True)
-            ptr = sck.select(
+        if rnd >= 1:
+            # Pointer jump through the PREVIOUS round's labels (r16
+            # reshape): component ← prev_labels(component). `labels` is
+            # already materialized (last round's localCheckpoint), so the
+            # jump is ONE extra equi-join inside the same per-round job —
+            # the r15 shape self-joined `stepped` instead, which forced a
+            # mid-round eager checkpoint (a full extra materialization of
+            # the label table plus one extra blocking job per jumping
+            # round; the jump was therefore deferred to round ≥3 to spare
+            # shallow graphs). Soundness: labels only decrease and every
+            # label IS a doc_id, so prev(m) ≤ m lies in m's component —
+            # the stale jump only tightens toward the same fixed point,
+            # and reach still doubles per round (new(v) goes through one
+            # fresh hop plus the previous round's full chain), so the
+            # 20-round cap still covers ~2^17 diameters. At the fixed
+            # point prev(min)=min, hence `changed == 0` remains a correct
+            # convergence test. Verified output-identical to the r15
+            # shape at sf0.1 and pinned by the deep-chain test. Round 0
+            # skips the jump (labels are the identity map — prev(m)=m).
+            ptr = labels.select(
                 F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
             )
-            jumped = sck.join(ptr, sck["component"] == ptr["c_id"], "left").select(
+            jumped = stepped.join(
+                ptr, stepped["component"] == ptr["c_id"], "left"
+            ).select(
                 "doc_id",
                 "_old",
                 F.coalesce(F.col("c_comp"), F.col("component")).alias("component"),
@@ -1635,18 +1672,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherited verbatim. Running both keys in one session shares the
     persisted index via CacheManager plan-dedup.
     """
-    rsh = (
-        _shingles(load_table(spark, sf_dir, "documents"))
-        .distinct()
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
-        )
-        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .where(F.col("_df") <= _JACCARD_MAX_DF)
-        .drop("_df")
-        .persist()
-    )
+    rsh = _rare_shingle_index(spark, sf_dir)
     sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = rsh.select(F.col("doc_id").alias("doc_a"), "h")
     b = rsh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -2954,10 +2980,18 @@ def text_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast rounds-to-nearest while Spark's truncates (§5.3 cast trap).
     b = d.withColumn("bkt", F.floor(F.col("n") / _ED_BLOCK_CHARS).cast("long"))
     w = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+    # persist: BOTH self-join legs consume `capped` (the probe side and
+    # the banded side), and each leg otherwise replays the whole
+    # scan→window→cap subtree — ReusedExchange doesn't fire because the
+    # legs project differently above the window (r16, measured 2.9 s →
+    # 1.0 s at sf0.1; the same lesson as _lsh_pairs' bands persist).
+    # (doc_id, lang, text, n, bkt) rows, ≤64 per (lang, band) — at
+    # 100 TB persist MEMORY_AND_DISK, same plan.
     capped = (
         b.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _ED_CAP)
         .drop("rn")
+        .persist()
     )
     # Left side probes its own band and the next-higher band (explode of a
     # 2-element array — keeps the join an EQUI-join on (lang, probe band);

@@ -184,15 +184,161 @@ def r15_text_dup_gram_mass(spark, sf_dir):
     return out
 
 
+def r15_dedup_components_full(spark, sf_dir):
+    from hadoop_job_analyzer_spark.catalog import load_table as _lt
+    from hadoop_job_analyzer_spark.operators.llm import dedup_near_minhash_full
+
+    pairs = dedup_near_minhash_full(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    labels = (
+        _lt(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for rnd in range(20):
+        nbr = (
+            edges.join(labels, edges["a"] == labels["doc_id"])
+            .select(F.col("b").alias("doc_id"), "component")
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+            ).alias("component"),
+        )
+        if rnd >= 2:
+            sck = stepped.localCheckpoint(eager=True)
+            ptr = sck.select(
+                F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
+            )
+            jumped = sck.join(ptr, sck["component"] == ptr["c_id"], "left").select(
+                "doc_id",
+                "_old",
+                F.coalesce(F.col("c_comp"), F.col("component")).alias("component"),
+            )
+            checkpointed = jumped.localCheckpoint(eager=True)
+        else:
+            checkpointed = stepped.localCheckpoint(eager=True)
+        changed = checkpointed.where(F.col("component") < F.col("_old")).count()
+        labels = checkpointed.drop("_old")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "component",
+        F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0).alias("is_keeper"),
+    )
+
+
+def r15_text_edit_distance_join(spark, sf_dir):
+    from hadoop_job_analyzer_spark.operators.neardup import (
+        _ED_BLOCK_CHARS,
+        _ED_CAP,
+        _ED_MAX_DIST,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", F.length("text").alias("n")
+    )
+    b = d.withColumn("bkt", F.floor(F.col("n") / _ED_BLOCK_CHARS).cast("long"))
+    w = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+    capped = (
+        b.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _ED_CAP).drop("rn")
+    )  # r15: NOT persisted — both join legs replay the window subtree
+    left = capped.select(
+        "lang",
+        F.col("bkt").alias("bkt_a"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("pbkt"),
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        F.col("n").alias("n_a"),
+    )
+    right = capped.select(
+        "lang", F.col("bkt").alias("pbkt"), F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"), F.col("n").alias("n_b"),
+    )
+    pairs = left.join(right, ["lang", "pbkt"]).where(
+        (F.col("pbkt") > F.col("bkt_a")) | (F.col("id_a") < F.col("id_b"))
+    )
+    dist = F.levenshtein("text_a", "text_b", _ED_MAX_DIST)
+    return (
+        pairs.withColumn("edit_dist", dist.cast("long"))
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _ED_MAX_DIST))
+        .select(
+            "lang",
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "edit_dist",
+            F.round(
+                1.0 - F.col("edit_dist").cast("double") / F.greatest("n_a", "n_b").cast("double"),
+                6,
+            ).alias("edit_sim"),
+        )
+    )
+
+
+def _r15_rare_index(spark, sf_dir):
+    from hadoop_job_analyzer_spark.operators.llm import _shingles
+    from hadoop_job_analyzer_spark.operators.neardup import _JACCARD_MAX_DF
+
+    return (
+        _shingles(load_table(spark, sf_dir, "documents"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("_df") <= _JACCARD_MAX_DF)
+        .drop("_df")
+        .persist()
+    )
+
+
+def r15_dedup_ngram_jaccard(spark, sf_dir):
+    from hadoop_job_analyzer_spark.operators.neardup import _JACCARD_MIN
+
+    rsh = _r15_rare_index(spark, sf_dir)
+    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rsh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = rsh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, ["h"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_inter", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 BEFORE = {
     "emb_kmeans_iterative": r15_emb_kmeans_iterative,
     "text_fingerprint": r15_text_fingerprint,
     "text_tfidf": r15_text_tfidf,
     "text_dup_gram_mass": r15_text_dup_gram_mass,
+    "dedup_components_full": r15_dedup_components_full,
+    "text_edit_distance_join": r15_text_edit_distance_join,
+    "dedup_ngram_jaccard": r15_dedup_ngram_jaccard,
 }
 
 # keys whose construction runs eager jobs: time construction + execution
-CONSTRUCTION_TIMED = {"emb_kmeans_iterative"}
+CONSTRUCTION_TIMED = {"emb_kmeans_iterative", "dedup_components_full"}
 
 
 def run_once(fn, spark, sf_dir, include_construction):

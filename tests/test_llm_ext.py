@@ -207,8 +207,9 @@ def test_components_deep_chain_converges_within_round_cap(spark, sf_dir):
     """A 500-node PATH graph has diameter 499: one-hop min propagation
     alone cannot converge within the 20-round cap (it moves the min
     label one hop per round), so correct labels on this graph prove the
-    deferred pointer-jump is live and gives the documented O(log d)
-    convergence — the correctness-at-scale property, not a perf nicety."""
+    pointer-jump (r16: through the previous round's materialized labels)
+    is live and gives the documented O(log d) convergence — the
+    correctness-at-scale property, not a perf nicety."""
     from pyspark.sql import functions as F
 
     from hadoop_job_analyzer_spark.catalog import load_table

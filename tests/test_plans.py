@@ -512,9 +512,18 @@ def test_kmeans_assignment_is_map_only(plan, spark, sf_dir):
         asg = _km_assign(vecs, cb0.localCheckpoint(eager=True))
         p = spark._jvm.PythonSQLUtils.explainString(asg._jdf.queryExecution(), "simple")
         assert "BroadcastNestedLoopJoin" in p  # the 1-row codebook attach
-        # the vector side must not shuffle: no hash/range exchange in the
-        # assignment subtree (the checkpointed codebook contributes none)
-        assert "Exchange hashpartitioning" not in p
+        # the assignment itself must not shuffle: the only exchange
+        # anywhere is the ONE-TIME explicit-N vecs spread (input prep,
+        # printed as the persisted frame's lineage) — no operator in the
+        # assignment requires a distribution (ENSURE_REQUIREMENTS) and
+        # nothing sorts or merges
+        assert "ENSURE_REQUIREMENTS" not in p
+        # every exchange in the printout is that one spread (the cached
+        # relation prints it once per AQE plan section)
+        assert p.count("Exchange hashpartitioning") == p.count(
+            "Exchange hashpartitioning(vec_id"
+        )
+        assert "REPARTITION_BY_NUM" in p
         assert "Exchange rangepartitioning" not in p
         assert "SortMergeJoin" not in p
     finally:
