@@ -446,6 +446,28 @@ def main() -> None:
             }
         )
     )
+    # Tail-capture insurance (VERDICT r16 #4): the driver stores only a
+    # 2000-char tail of the bench output, and r15's single ~4 KB line
+    # lost its leading fields to that truncation (BENCH_r15 parsed:
+    # null). Repeat the CONTRACT fields — metric/value/unit/queries/sf
+    # plus the basket verdict — as a SECOND, compact line (~1.6 KB) so
+    # whichever line a capture keeps, a full contract record survives.
+    # Additions-only: the first line above is byte-identical to r16's.
+    print(
+        json.dumps(
+            {
+                "metric": "warm_headline_suite_wall",
+                "value": round(sum(per_query.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "comparable_basket_wall": basket_wall,
+                **{k: v for k, v in basket.items() if k == "basket_vs_band"},
+                "compact_repeat": True,
+            },
+            separators=(",", ":"),
+        )
+    )
     spark.stop()
 
 

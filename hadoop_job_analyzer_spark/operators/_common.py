@@ -128,7 +128,7 @@ def distributed_rank(df, *sort_cols, out_col: str = "rn"):
     ranged = (
         df.repartitionByRange(n, *sort_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .transform(tpersist)
     )
     local = F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
@@ -142,6 +142,19 @@ def distributed_rank(df, *sort_cols, out_col: str = "rn"):
         .withColumn(out_col, (F.col("_off") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_off")
     )
+
+
+def tpersist(df):
+    """Persist an operator-internal multi-consumer frame and register it
+    with session.release_transient_caches() (r17 hygiene, VERDICT r16
+    #7). Drop-in for ``.persist()`` via ``.transform(tpersist)``; use it
+    for every cache whose consuming action runs caller-side (so the
+    operator itself can never unpersist — see session.py's registry
+    note). Caches released in-operator (eager_release, explicit
+    unpersist after a localCheckpoint) don't need it."""
+    from .. import session
+
+    return session.track_transient_cache(df.persist())
 
 
 def eager_release(result, *cached):

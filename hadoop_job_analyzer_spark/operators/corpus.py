@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._common import spread
+from ._common import spread, tpersist
 from . import textops  # noqa: F401 — _health_oracle composes textops'
 # registered oracle SQL at import time; the registry's module order
 # guarantees textops-first, but a DIRECT import of corpus (tests, A/B
@@ -253,7 +253,7 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = _grams(d.where(F.col("source") != "src0").select("doc_id", "text"), _DECON_N)
     # spread established partitioning on doc_id; the per-doc total is
     # exchange-free, and both consumers share the persisted gram stream.
-    train = train.persist()
+    train = train.transform(tpersist)
     tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         train.join(F.broadcast(bench), "gram")
@@ -504,9 +504,22 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DEFAULT_RATE),
     )
     mixed = q.where(_bucket(F.col("doc_id"), 100) < rate)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # r17 reshape (guide §2.3 "aggregate before you shuffle"): the exact
+    # dedup keeps the min-doc_id row per content hash. The r16 shape was
+    # a row_number window over md5(text) — a full shuffle of every
+    # surviving row plus a per-partition SORT just to pick rank 1. min_by
+    # over the whole row is the same selection (doc_id is unique, so the
+    # ordering is total and the winner identical) as ONE HashAggregate:
+    # partial agg keeps one candidate row per distinct text per map
+    # partition, so the exchange carries ~distinct texts instead of the
+    # corpus and the sort disappears. The aggregation buffer holds a
+    # single row (text ≤ 2000 chars here — the quality filter runs
+    # first), never a posting list. Hash-equal to the window shape by
+    # construction; pinned by tests/test_r17_opt.py.
     dd = (
-        mixed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        mixed.groupBy(F.md5("text").alias("_tk"))
+        .agg(F.min_by(F.struct(*mixed.columns), F.col("doc_id")).alias("_r"))
+        .select("_r.*")
     )
     bench = (
         _grams(d.where(F.col("source") == "src0").select("doc_id", "text"), _DECON_N)
@@ -514,7 +527,7 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = dd.where(F.col("source") != "src0")
-    tg = _grams(train.select("doc_id", "text"), _DECON_N).persist()
+    tg = _grams(train.select("doc_id", "text"), _DECON_N).transform(tpersist)
     tot = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         tg.join(F.broadcast(bench), "gram")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._common import dsum, lsum, o_dsum
+from ._common import dsum, lsum, o_dsum, tpersist
 
 _JOIN3_ORACLE = """
 SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
@@ -802,7 +802,7 @@ def join_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos_union = p if pos_union is None else pos_union.unionAll(p)
     # tiny (≤ members×k rows); persisted so the three broadcast builds
     # don't re-run the distinct pipeline (plan showed 3× otherwise)
-    bits = pos_union.distinct().persist()
+    bits = pos_union.distinct().transform(tpersist)
 
     pre = hashed(li, "l_orderkey")
     for r in range(_BLJ_K):

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._common import spread
+from ._common import spread, tpersist
 
 # ---------------------------------------------------------------- dedup
 
@@ -256,7 +256,7 @@ def _lsh_pairs(minhash: DataFrame) -> DataFrame:
         bands.withColumn("_rn", F.row_number().over(cap_w))
         .where(F.col("_rn") <= _BUCKET_CAP)
         .drop("_rn")
-        .persist()
+        .transform(tpersist)
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("band_sig").alias("sig_a")
@@ -290,7 +290,7 @@ def dedup_near_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved by the same final distinct the pair join already needs.
     """
     d = load_table(spark, sf_dir, "documents")
-    bands = _band_rows(_minhash_sigs(_shingles(d))).persist()
+    bands = _band_rows(_minhash_sigs(_shingles(d))).transform(tpersist)
     bw = Window.partitionBy("band", "band_sig").orderBy("doc_id")
     capped = (
         bands.withColumn("_rn", F.row_number().over(bw))
@@ -630,7 +630,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .transform(tpersist)
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     score = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)

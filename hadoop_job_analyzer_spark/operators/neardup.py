@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._common import spread
+from ._common import spread, tpersist
 from .llm import MINHASH_PAIRS_FULL_ORACLE, MINHASH_PAIRS_ORACLE, _shingles, dedup_near_minhash
 
 _SIMHASH_BITS = 16
@@ -36,9 +36,16 @@ _H_SPARK = "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)"
 
 
 def _rare_shingle_index(spark: SparkSession, sf_dir: str):
-    """df≤{_JACCARD_MAX_DF} rare-shingle inverted index (doc_id, h),
-    PERSISTED — shared by dedup_ngram_jaccard and dedup_containment
-    (identical subtree ⇒ one CacheManager entry when both run).
+    """Rare-shingle inverted index (doc_id, h), df-capped at
+    _JACCARD_MAX_DF, PERSISTED — shared by dedup_ngram_jaccard and
+    dedup_containment (identical subtree ⇒ one CacheManager entry when
+    both run). The persist cannot be released inside this builder (the
+    consuming action runs caller-side, after the operators return), so
+    it is registered with session.track_transient_cache: long-lived
+    drivers release it via session.release_transient_caches() between
+    pipeline runs; plan-identical re-invocations before a release dedup
+    to the SAME CacheManager entry, so entries do not accumulate per
+    call.
 
     r16 reshape (guide §4.1 higher-order functions): the per-doc
     shingle DEDUP runs IN-ROW (array_distinct over the shingle array,
@@ -75,7 +82,7 @@ def _rare_shingle_index(spark: SparkSession, sf_dir: str):
         .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .where(F.col("_df") <= _JACCARD_MAX_DF)
         .drop("_df")
-        .persist()
+        .transform(tpersist)
     )
 
 
@@ -160,7 +167,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.nibble").alias("nibble"))
     # persist: both self-join legs replay the tokenize+16-sum pipeline
     # otherwise (same lesson as minhash's bands). #docs × 2 small rows.
-    bands = bands.persist()
+    bands = bands.transform(tpersist)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
         F.col("band").alias("band_a"), F.col("nibble").alias("nib_a"),
@@ -785,7 +792,9 @@ def _min_label_components(spark: SparkSession, sf_dir: str, pairs: DataFrame) ->
     makes the jump cheap enough to run from round 1 (the r15 shape
     deferred it to round 3 because its fresh-jump checkpoint cost +17%
     at x16 on shallow graphs; the stale jump is one in-job broadcast-
-    sized equi-join). Labels only ever decrease and the fixed point
+    sized equi-join). A r17 two-hops-per-round fold was measured and
+    REJECTED — see the loop's negative-result note. Labels only ever
+    decrease and the fixed point
     (every doc labeled its component's min doc_id, where l(l(v)) =
     l(v)) is unchanged, so both components keys and every
     keeper/cluster/apply dependent hash-match exactly as before.
@@ -802,6 +811,16 @@ def _min_label_components(spark: SparkSession, sf_dir: str, pairs: DataFrame) ->
         .select("doc_id", F.col("doc_id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    # r17 NEGATIVE RESULT (loop kept in the r16 shape on evidence):
+    # folding TWO neighbor-min hops (+jumps) into each round's single
+    # checkpoint+count — halving rounds (7 → 4 at sf0.1) and label
+    # materializations — measured SLOWER warm (3.69 s → 4.35 s,
+    # verification/r17_comp_hops.txt): the hop-1 subtree is referenced
+    # twice inside the round's lazy plan (nbr build + left join) and
+    # executes twice (no exchange reuse fires across the differently-
+    # shaped references), so per-round cost doubles while only the
+    # ~0.07 s count jobs are saved. Three hops: worse again. The
+    # per-round wall here is the JOINS, not the materialization.
     for rnd in range(20):
         nbr = (
             edges.join(labels, edges["a"] == labels["doc_id"])
@@ -971,12 +990,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import _lsh_pairs, _minhash_sigs
 
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d).distinct().persist()
+    sh = _shingles(d).distinct().transform(tpersist)
     # one shingle pipeline feeds sigs, pairs, sizes, AND both
     # intersection legs (distinct is minhash-invariant: mins over a
     # multiset equal mins over its support)
-    sigs = _minhash_sigs(sh).persist()
-    pairs = _lsh_pairs(sigs).persist()
+    sigs = _minhash_sigs(sh).transform(tpersist)
+    pairs = _lsh_pairs(sigs).transform(tpersist)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(_MJ_N)]
     )
@@ -1353,10 +1372,10 @@ def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(e, "vec_id")
         .select("vec_id", "label", F.posexplode("embedding").alias("pos", "xf"))
         .select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
-        .persist()
+        .transform(tpersist)
     )
     cent = (
-        ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c")).persist()
+        ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c")).transform(tpersist)
     )
     g = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
     a = cent.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
@@ -1605,10 +1624,10 @@ def emb_mrl_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10)
         )
 
-    full = top(64).select("vec_id").persist()
+    full = top(64).select("vec_id").transform(tpersist)
     out = None
     for d in (8, 16, 32):
-        t = top(d).persist()
+        t = top(d).transform(tpersist)
         overlap = (
             t.join(full, "vec_id")
             .agg(F.count(F.lit(1)).alias("n_overlap_top10"))
@@ -1876,7 +1895,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge roles + the degree pass; wedges are pure integer arithmetic.
     All four counts land in ONE row — metadata-sized output.
     """
-    pairs = dedup_near_minhash(spark, sf_dir).persist()
+    pairs = dedup_near_minhash(spark, sf_dir).transform(tpersist)
     ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
@@ -2177,6 +2196,14 @@ def sim_knn_join_bucketed_at(
 
 _KM_K = 8  # clusters
 _KM_ROUNDS = 3  # fixed round count (deterministic; no convergence test)
+# Embedding width. The embeddings fixture is FIXED-WIDTH by contract
+# (FIXTURES.md; every consumer — _km_dot's zip_with, the PQ subspace
+# slicing, the IVF kernels — already assumes it): a ragged/short array
+# would make zip_with emit NULL products and poison the in-row sums,
+# where the oracle's SUM skips NULLs (ADVICE r16). Documented invariant,
+# not a runtime branch: enforcing it per-row would tax every vector for
+# a malformed-fixture case the loaders never produce.
+_KM_DIM = 64
 _KM_DIM = 64  # embedding dimensionality (pinned by catalog contract)
 
 
@@ -2248,7 +2275,12 @@ def _km_sum_snap(arr):
 
 
 def _km_dot(a, b):
-    """Decimal-snapped dot product of two double arrays, in-row."""
+    """Decimal-snapped dot product of two double arrays, in-row.
+
+    Requires both arrays fixed-width (_KM_DIM — see the invariant note
+    there): zip_with over a ragged pair yields NULL products, which
+    would poison the whole sum where the oracle's SUM skips NULLs
+    (ADVICE r16). The embeddings contract guarantees the width."""
     return _km_sum_snap(F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(25,12)")))
 
 
@@ -2344,7 +2376,21 @@ def _km_recenter(asg: DataFrame) -> DataFrame:
     """Assignment (carrying _v) → next 1-row codebook: per-(cen_id, dim)
     member mean with exact decimal sums. The only non-trivial shuffle
     per round: n×64 exploded cells, partially aggregated map-side to
-    ≤ k×64 rows per partition before the exchange."""
+    ≤ k×64 rows per partition before the exchange.
+
+    r17 NEGATIVE RESULT (kept the r16 explode shape on evidence): the
+    "obvious" §2.3 rewrite — one flat groupBy(cen_id) with 64 separate
+    SUM(element_at(_v, d)::decimal(38,12)) columns, deleting the explode
+    and the re-assembly aggregation — measured 2.4× SLOWER per round
+    (1.46 → 3.55 s at sf0.1, verification/r17_km_variants.txt): a
+    65-aggregate HashAggregate over wide decimals blows past the
+    whole-stage-codegen field limits and the update path falls back to
+    interpreted BigDecimal per column per row, while the exploded shape
+    keeps ONE codegen'd decimal accumulator and the explode itself is
+    cheap. Same total BigDecimal additions either way — where they run
+    (codegen vs interpreted) decides. The companion lesson to r16's
+    in-row-minhash negative: rewrites that merely RELOCATE per-element
+    work lose unless they delete an exchange that matters."""
     per_cent = (
         asg.select("cen_id", F.posexplode("_v").alias("_p", "x"))
         .groupBy("cen_id", "_p")
@@ -2381,7 +2427,12 @@ def emb_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax inside a single codegen'd projection (zip_with +
     aggregate + array_min; exact-sum equivalence argued at
     _km_sum_snap). The only per-round shuffle is the re-center: n×64
-    exploded cells partial-agg'd to k×64 means. The r15 shape instead
+    exploded cells partial-agg'd to k×64 means (a flat 64-column
+    rewrite measured 2.4× worse — see _km_recenter's negative-result
+    note). The final-round checkpoint projects the raw vectors away
+    first (r17, ADVICE r16 — measured ~2.2× on the whole key: the n×64
+    doubles were materialized only to be dropped by the very next
+    select). The r15 shape instead
     joined exploded vectors (n×64 rows) against the codebook cells and
     paid an n×64×8-row groupBy for the dots plus a second groupBy for
     the argmax, per round — two shuffles and a 3-orders-larger
@@ -2409,7 +2460,11 @@ def emb_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
             # so skip that whole job, and checkpoint the assignment itself
             # — otherwise the action that consumes the returned DataFrame
             # re-executes the last-round assignment map a second time.
-            asg = asg.localCheckpoint(eager=True)
+            # Project _v away FIRST (ADVICE r16): the re-center is the
+            # only consumer of the raw vectors and it is skipped on the
+            # last round, so checkpointing them would materialize n×64
+            # doubles that the very next select drops.
+            asg = asg.select("vec_id", "cen_id", "cos").localCheckpoint(eager=True)
     # Result is materialized; release the round-shared cache so a
     # long-lived driver session doesn't accumulate it per invocation.
     vecs.unpersist()
@@ -2636,7 +2691,7 @@ def decon_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.withColumn("_rn", F.row_number().over(cap_w))
         .where(F.col("_rn") <= _DECON_EMB_CAP)
         .drop("_rn")
-        .persist()
+        .transform(tpersist)
     )
     train = capped.where(F.col("source") != "src0").select(
         F.col("doc_id").alias("t_id"), F.col("cen_id"), F.col("embedding").alias("t_emb")
@@ -2722,7 +2777,7 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = e.select(
         "vec_id", word(0).alias("sig_lo"), word(half).alias("sig_hi")
-    ).persist()
+    ).transform(tpersist)
     q = sig.where(F.col("vec_id") == 0).select(
         F.col("sig_lo").alias("q_lo"), F.col("sig_hi").alias("q_hi")
     )
@@ -2991,7 +3046,7 @@ def text_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _ED_CAP)
         .drop("rn")
-        .persist()
+        .transform(tpersist)
     )
     # Left side probes its own band and the next-higher band (explode of a
     # 2-element array — keeps the join an EQUI-join on (lang, probe band);

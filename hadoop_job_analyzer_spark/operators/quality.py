@@ -505,7 +505,7 @@ def graph_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     order so the doubles agree bit-for-bit.
     """
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct().persist()
+    ut = ev.select("user_id", "event_type").distinct().transform(tpersist)
     tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     # population size as a broadcast 1-row aggregate — keeps the whole
     # key one lazy plan (no driver-side count() action)
@@ -663,7 +663,7 @@ def decon_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         _band_rows(_minhash_sigs(_shingles(d)))
         .join(ids.select("doc_id", "source"), "doc_id")
-        .persist()
+        .transform(tpersist)
     )
     cap_w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
 
@@ -700,7 +700,7 @@ def decon_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ wave 4 (r4w4) keys
 
 # Wave-4 imports kept local to the section for reviewability.
-from ._common import distributed_rank, eager_release, o_dsum, spread, ulong, unscale  # noqa: E402
+from ._common import distributed_rank, eager_release, o_dsum, spread, tpersist, ulong, unscale  # noqa: E402
 
 
 @query(
@@ -966,7 +966,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     note as decon_ngram_overlap.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = _grams(d.select("doc_id", "text"), _DECON_N).persist()
+    grams = _grams(d.select("doc_id", "text"), _DECON_N).transform(tpersist)
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(first_seen, "gram")
@@ -1192,7 +1192,7 @@ def ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     user_day = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).distinct().persist()
+    ).distinct().transform(tpersist)
     days = user_day.select("day").distinct()
     dau = user_day.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     k = spark.range(7).select(F.col("id").cast("int").alias("k"))
@@ -1718,7 +1718,7 @@ def win_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         ua.repartitionByRange(n_parts, F.col("n").desc(), F.col("user_id").asc())
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .transform(tpersist)
     )
     w_local = Window.partitionBy("_pid").orderBy(F.col("n").desc(), F.col("user_id").asc())
     w_cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2135,7 +2135,7 @@ def text_dup_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", "lang", F.explode(gram).alias("gram"))
         .groupBy("doc_id", "lang", "gram")
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .persist()
+        .transform(tpersist)
     )
     # occ is unique on (doc_id, gram) ⇒ COUNT(*) == COUNT(DISTINCT doc_id).
     df_counts = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_gram"))

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..catalog import COLUMNS, load_table
 from ..registry import query
 from ..sources.fixtures import ensure_csv_nation, ensure_jobs_jsonl
-from ._common import dsum, o_dsum
+from ._common import dsum, o_dsum, tpersist
 
 _ARTIFACTS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_artifacts")
 
@@ -656,7 +656,7 @@ def scan_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path)
-    ).persist()
+    ).transform(tpersist)
     good = raw.where(F.col("_corrupt").isNull())
     n_corrupt = raw.where(F.col("_corrupt").isNotNull()).count()
     return (

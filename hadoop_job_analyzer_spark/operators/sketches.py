@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._common import tpersist
 from .corpus import _bucket, _o_bucket
 
 _CMS_D = 4  # hash rows
@@ -69,7 +70,7 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .persist()  # both the build and the probe consume it
+        .transform(tpersist)  # both the build and the probe consume it
     )
     coords = cnt.select(
         "token",
@@ -454,7 +455,7 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
         F.countDistinct("user_id").alias("n_users_exact"),
     )
-    per = per.persist()  # two consumers: per-type estimates + the union
+    per = per.transform(tpersist)  # two consumers: per-type estimates + the union
     verdict = F.abs(F.col("_est") - F.col("n_users_exact")) <= F.greatest(
         F.lit(2.0), 0.05 * F.col("n_users_exact")
     )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 from ..sources.fixtures import ensure_zlib_ratio
-from ._common import distributed_rank, spread
+from ._common import distributed_rank, spread, tpersist
 
 # Marker-word profiles (space-padded, counted in ' '||text||' ').
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -259,6 +259,16 @@ def text_fingerprint_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# In-row fingerprint gate (VERDICT r16 #1): the in-row gram sketch holds
+# (len−7) 32-char md5 strings in ONE row — ~32 B of row state per text
+# character — so it is capped at 64 Ki chars (~2 MB/row); longer texts
+# route to the exploded r15 shape, which streams the same gram mass
+# through partial aggregates with per-TASK (not per-row) state. Fixture
+# texts are ≲2 KB, so at bench SF every text takes the in-row path and
+# the gate is visible in the plan without changing the executed work.
+_FP_INROW_MAX_CHARS = 65536
+
+
 @query(
     "text_fingerprint",
     oracle="""
@@ -314,9 +324,28 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-robin repartition(n) is never pruned (different
     # partitioning) nor AQE-coalesced (explicit N) → the md5 map stage
     # runs n-way.
-    texts = d.groupBy(F.md5("text").alias("_tkey")).agg(
-        F.first("text").alias("text")
-    ).repartition(n)
+    # r17 LENGTH GATE (VERDICT r16 #1): the in-row gram array is
+    # per-ROW state — ~32 bytes per character of text held in ONE
+    # UnsafeRow — so a multi-MB outlier document would materialize
+    # hundreds of MB in a single row, where the r15 explode streamed
+    # the same mass through a partial aggregate. Texts at or under
+    # _FP_INROW_MAX_CHARS (per-row state ≤ ~2 MB) take the r16 in-row
+    # path; longer texts take an exploded branch that reads the base
+    # table DIRECTLY (the (_tkey, gram_md5) dedup absorbs duplicate
+    # copies, so skipping the collapse changes nothing per _tkey — same
+    # min/max/distinct-count over the same gram set, the union is a
+    # disjoint routing, not a semantic branch). Two designs were
+    # measured and rejected (verification/r17_fp_gate_designs.txt):
+    # both branches filtering one shared `texts` frame re-EXECUTES the
+    # whole collapse per branch at scale (0.74× at ×64 — exchange reuse
+    # does not fire across the differently-filtered consumers), and a
+    # per-branch collapse duplicates it outright (gate_split, 1.8 s vs
+    # 0.6 s at ×64). Here the collapse has exactly ONE consumer again —
+    # and the gate filter runs BELOW it, so oversized texts never
+    # shuffle through the collapse at all.
+    texts = d.where(F.length("text") <= _FP_INROW_MAX_CHARS).groupBy(
+        F.md5("text").alias("_tkey")
+    ).agg(F.first("text").alias("text")).repartition(n)
     # r16 reshape (guide §2.4 "remove shuffles outright" + §4.1
     # higher-order functions): the whole per-text sketch is computed
     # IN-ROW — grams as a transform over the slide positions, dedup via
@@ -328,14 +357,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bounce-rewrite lesson); all of it collapses into one
     # codegen'd projection over the ~#distinct-text rows. min/max are
     # dedup-invariant so they read the raw gram array; only the distinct
-    # count pays the per-row hash-set. Per-row state is (len-7)×32-char
-    # strings — bounded by document length, the same per-task bound the
-    # exploded shape had per partition.
+    # count pays the per-row hash-set.
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - 7),
         lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
     )
-    fp = texts.select(
+    fp_inrow = texts.select(
         "_tkey",
         grams.alias("_g"),
     ).select(
@@ -347,6 +374,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fingerprint64"),
     )
+    # Beyond-gate branch: straight off the (cached) base table, spread by
+    # doc_id so the explode+md5 over rare huge documents runs parallel
+    # regardless of file splits (the r15 lesson); per-task state in the
+    # dedup aggregate is bounded by partition size, never by document
+    # size. Empty at bench SF — costs only its empty-stream plan nodes.
+    raw = spread(d.where(F.length("text") > _FP_INROW_MAX_CHARS), "doc_id").select(
+        F.md5("text").alias("_tkey"),
+        "text",
+        F.explode(F.expr("sequence(1, length(text) - 7)")).alias("i"),
+    ).select("_tkey", F.expr("md5(substr(text, i, 8))").alias("gram_md5"))
+    gpairs = raw.groupBy("_tkey", "gram_md5").agg(F.lit(1).alias("_one"))
+    fp_exploded = gpairs.groupBy("_tkey").agg(
+        F.min("gram_md5").alias("fp_min"),
+        F.max("gram_md5").alias("fp_max"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.conv(F.substring(F.min("gram_md5"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fingerprint64"),
+    )
+    fp = fp_inrow.unionByName(fp_exploded)
     return (
         d.select("doc_id", F.md5("text").alias("_tkey"))
         .join(fp, "_tkey")
@@ -394,7 +441,7 @@ def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .transform(tpersist)
     )
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("n"))
     total = vocab.agg(F.sum("n").alias("total"))

@@ -133,6 +133,54 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# --- Transient-cache hygiene (r17, VERDICT r16 #7) --------------------
+#
+# Operators that persist a multi-consumer INTERMEDIATE (the rare-shingle
+# index, LSH band frames, the edit-distance capped frame, …) cannot
+# unpersist it at operator exit: the returned DataFrame is lazy and the
+# consuming action runs caller-side, so an exit-time unpersist would
+# drop the cache before its first use. Within one invocation that is
+# fine (fresh session per bench/driver run), but a LONG-LIVED driver
+# session accumulates one CacheManager entry per distinct plan. The
+# registry below closes that leak with code: every such persist is
+# registered (operators/_common.tpersist), and a long-lived session
+# calls release_transient_caches() between pipeline runs — releasing
+# ONLY the operator-internal caches, never the session's deliberate
+# base-table caches (which spark.catalog.clearCache() would also drop).
+# Note plan-identical re-invocations BETWEEN releases dedup to the same
+# CacheManager entry, so entries grow with distinct plans, not calls.
+
+_TRANSIENT_CACHES: list = []
+
+
+def track_transient_cache(df):
+    """Register an operator-internal persisted DataFrame for release.
+
+    Holds a STRONG reference deliberately: the JVM-side cache outlives
+    the Python DataFrame handle, so a weakref that dies before release
+    would orphan the cached blocks (observed — the exact leak this
+    registry exists to close). The handle itself is a few hundred bytes
+    of py4j plumbing; the data lives in the cache either way."""
+    _TRANSIENT_CACHES.append(df)
+    return df
+
+
+def release_transient_caches(blocking: bool = False) -> int:
+    """Unpersist every registered operator-internal cache; returns the
+    number released. Safe to call at any time: results already
+    materialized (localCheckpoint/collected) are unaffected, and lazy
+    frames not yet executed simply recompute without the cache."""
+    n = 0
+    for df in _TRANSIENT_CACHES:
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:
+            pass
+    _TRANSIENT_CACHES.clear()
+    return n
+
+
 def get_spark(app_name: str = "hja-spark", master: str | None = None) -> SparkSession:
     """Build the engine's own session (tests, bench, CLI use)."""
     cpus = _default_parallelism()

@@ -115,14 +115,22 @@ def test_fingerprint_has_no_expand_and_parallel_map(plan):
     assert "REPARTITION_BY_NUM" in p, p[:600]
     assert "RoundRobinPartitioning" in p or "roundrobin" in p.lower(), p[:600]
     # r16: the per-text sketch is computed IN-ROW (transform/array_min/
-    # array_distinct) — the gram mass never materializes as rows, so
-    # there is no (_tkey, gram_md5) exchange and the only
-    # SortAggregates left are the collapse's partial/final first(text)
-    # pair over corpus-sized rows (the r15 shape additionally paid four
-    # SortAggregates over the ~290×-larger gram mass)
-    assert "hashpartitioning(_tkey, gram_md5" not in p
-    assert p.count("SortAggregate") == 2, p
+    # array_distinct) — the gram mass never materializes as rows and
+    # never crosses an exchange on the in-row path.
     assert "array_distinct" in p
+    # r17 length gate (VERDICT r16 #1): the in-row path is bounded to
+    # length(text) <= _FP_INROW_MAX_CHARS — the gate predicate must
+    # reach BOTH branch scans (<= on the collapse input, > on the
+    # exploded branch) and the two branches union.
+    assert p.count("65536") >= 2, p
+    assert "Union" in p
+    # the collapse pair is the ONLY SortAggregate pair over corpus-sized
+    # rows; the second pair (min/max strings) belongs to the beyond-gate
+    # exploded branch, which is EMPTY below the gate. A shared-`texts`
+    # union (collapse consumed by both branches) re-executes the
+    # collapse once per branch — guarded by exactly one partial_first.
+    assert p.count("SortAggregate") == 4, p
+    assert p.count("partial_first") == 1, p
     # the fan-out join is declared plainly; with stats AQE broadcasts it
     assert "Join" in p
 
