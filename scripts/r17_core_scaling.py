@@ -32,7 +32,6 @@ X64 = "/tmp/hja_scale/x64"
 KEYS_X64 = [
     "dedup_components_full",
     "emb_kmeans_iterative",
-    "dedup_simhash",
     "agg_session_bounce_rate",
     "dedup_near_minhash_full",
     "decon_near_minhash",
@@ -41,7 +40,11 @@ KEYS_X64 = [
     "text_edit_distance_join",
     "text_fingerprint",
 ]
-KEYS_SALT = ["dedup_ngram_jaccard", "dedup_containment"]
+# dedup_simhash is quadratic under verbatim duplication (identical docs
+# share simhashes and its 8-bit bands carry NO bucket cap — the same
+# reason scale_stress excludes it), so it runs on the token-salted
+# staging with the jaccard family instead.
+KEYS_SALT = ["dedup_ngram_jaccard", "dedup_containment", "dedup_simhash"]
 
 CONSTRUCTION_TIMED = {
     "dedup_components_full",
