@@ -3041,7 +3041,10 @@ def text_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # legs project differently above the window (r16, measured 2.9 s →
     # 1.0 s at sf0.1; the same lesson as _lsh_pairs' bands persist).
     # (doc_id, lang, text, n, bkt) rows, ≤64 per (lang, band) — at
-    # 100 TB persist MEMORY_AND_DISK, same plan.
+    # 100 TB persist MEMORY_AND_DISK, same plan. Cannot unpersist here
+    # (the consuming action runs caller-side — ADVICE r16); tracked via
+    # tpersist for session.release_transient_caches(), and plan-identical
+    # re-invocations before a release dedup to ONE CacheManager entry.
     capped = (
         b.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _ED_CAP)
